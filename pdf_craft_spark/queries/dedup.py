@@ -1,0 +1,350 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each a first-class training-data-pipeline op:
+
+- exact:     content-hash groupBy (the reference's own asset dedup shape,
+             /root/reference/pdf_craft/common/asset.py:24-27)
+- jaccard:   n-gram shingle set overlap via explode + self-equi-join
+- minhash:   MinHash+LSH banding — the 100 TB-scale path: signature size is
+             constant per doc, the band join is an equi-join on
+             (band_idx, band_key) so candidate generation never goes
+             quadratic in corpus size
+- simhash:   16-bit parity sketch per doc
+
+Hash parity between engines: Spark ``md5`` and DuckDB ``md5`` agree; the
+min over lexicographic hex strings is a valid uniform min-hash, so no
+integer conversions are needed anywhere.
+
+Scale notes: the token/shingle self-join (jaccard) is quadratic in docs
+sharing a shingle — correct as ground truth, usable only per-bucket.  At
+scale you run minhash_lsh first and verify candidates with jaccard inside
+each bucket.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 8  # rows-per-band = 2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tokens() -> F.Column:
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+
+
+def _shingles(toks: F.Column) -> F.Column:
+    """Distinct word-3-gram shingles; requires size(toks) >= 3."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+
+
+_SHINGLES_DUCK = r"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(toks) - 2),
+             i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+
+# --- exact dedup ------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY content_hash
+"""
+
+
+# --- n-gram Jaccard: top-k most-similar pairs -------------------------------
+# Ground-truth pairwise similarity on token sets.  The explode+self-join is
+# the textbook Spark shape; the groupBy(doc_a, doc_b) count is the
+# intersection size.  Top-20 pairs with deterministic tie-breaks.
+def dedup_token_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    )
+    sizes = docs.select("doc_id", F.size("toks").alias("n"))
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        jac.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("rank")
+    )
+
+
+DEDUP_TOKEN_JACCARD_TOPK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
+  FROM documents
+), sizes AS (
+  SELECT doc_id, len(toks) AS n FROM t
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+         round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT rank, doc_a, doc_b, n_inter, jaccard FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rank
+  FROM jac
+) WHERE rank <= 20 ORDER BY rank
+"""
+
+
+# --- shingle Jaccard near-dup pairs (threshold) -----------------------------
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n"))
+    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    # jaccard >= 0.2  ⟺  5*inter >= union  (integer-exact, no float threshold)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(5 * F.col("n_inter") >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_SHINGLE_JACCARD_SQL = (
+    "WITH s AS (" + _SHINGLES_DUCK + """
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_inter >= sa.n + sb.n - n_inter
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+# --- MinHash + LSH banding --------------------------------------------------
+# Signature: sig_j = min over shingles of md5(shingle || '|' || j)
+# (lexicographic min over uniform hex = uniform min-hash).  Bands of 2 rows;
+# band key = md5(sig_2k || sig_2k+1); candidates share any band key.
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{j}")))).alias(f"s{j}")
+        for j in range(N_HASHES)
+    ]
+    sig = docs.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band_idx"),
+                    F.md5(F.concat(F.col(f"s{2 * k}"), F.col(f"s{2 * k + 1}"))).alias(
+                        "band_key"
+                    ),
+                )
+                for k in range(N_BANDS)
+            ]
+        ).alias("bands"),
+    ).select("doc_id", F.explode("bands").alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# The band unpivot is generated as UNION ALL selects (one scan of sig each;
+# DuckDB CSE handles it — candidate sets are tiny either way).
+def _minhash_duck_sql2() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5(sh || '|{j}')) AS s{j}" for j in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band_idx, md5(s{2 * k} || s{2 * k + 1}) AS band_key FROM sig"
+        for k in range(N_BANDS)
+    )
+    return f"""
+WITH s AS ({_SHINGLES_DUCK}
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+), bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_duck_sql2()
+
+
+# --- SimHash (16-dim parity sketch) -----------------------------------------
+# Per dimension j: parity vote over distinct tokens of md5(tok || '|' || j)
+# first hex nibble (< '8' → +1 else -1); bit_j = 1 iff vote > 0.
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.col("tok"), F.lit(f"|{j}"))), 1, 1).isin(
+                    *"01234567"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(N_HASHES)
+    ]
+    agg = docs.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(N_HASHES)]
+    )
+    return agg.select("doc_id", bits.alias("simhash_bits")).orderBy("doc_id")
+
+
+def _simhash_duck_sql() -> str:
+    votes = ",\n         ".join(
+        "sum(CASE WHEN substring(md5(tok || '|{j}'), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v{j}".format(j=j)
+        for j in range(N_HASHES)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(N_HASHES)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(
+      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS tok
+  FROM documents
+), agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash_bits FROM agg ORDER BY doc_id
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_duck_sql()
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_token_jaccard_topk": dedup_token_jaccard_topk,
+    "dedup_shingle_jaccard": dedup_shingle_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_token_jaccard_topk": DEDUP_TOKEN_JACCARD_TOPK_SQL,
+    "dedup_shingle_jaccard": DEDUP_SHINGLE_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

@@ -1,0 +1,158 @@
+"""Text-analysis function library over the ``documents`` table.
+
+Training-data-pipeline ops: token counting, quality scoring, language
+guess, document fingerprinting.  All pure Catalyst expressions (JVM-side,
+codegen) — no Python in the hot path; each has an exact DuckDB oracle.
+
+Tokens are defined as the non-empty pieces of a ``\\s+`` split of the raw
+text — identical semantics in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tokens_col() -> F.Column:
+    return F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+
+
+# --- token counting ---------------------------------------------------------
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_col()
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_COUNT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS n_chars
+FROM t ORDER BY doc_id
+"""
+
+
+# --- quality scoring --------------------------------------------------------
+# length / punctuation / stopword ratios; ratios kept as exact integer
+# numerators+denominators plus a rounded double score so the oracle hash
+# is deterministic.
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _tokens_col()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    score = F.round(
+        n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), 4
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        score.alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains(
+            ['the','of','and','a','to','in','is','it','on','for'], lower(x)))) AS INT)
+           AS n_stopwords,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
+       round(CAST(len(list_filter(toks, x -> list_contains(
+            ['the','of','and','a','to','in','is','it','on','for'], lower(x)))) AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS stopword_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+# --- language guess (charclass + stopword heuristic) ------------------------
+# Reference analog: is_latin_letter / is_chinese_char predicates
+# /root/reference/pdf_craft/language.py:1-19 — codepoint-range language
+# evidence.  Rule: CJK chars present → 'zh'; else leading-stopword evidence
+# → 'en'; else 'other'.  Deterministic and SQL-expressible in both engines.
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_cjk = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
+    has_en = F.col("text").rlike(r"(^| )(the|and|of)( |$)")
+    guess = (
+        F.when(n_cjk > 0, F.lit("zh")).when(has_en, F.lit("en")).otherwise(F.lit("other"))
+    )
+    return docs.select(
+        "doc_id", "lang", guess.alias("lang_guess"), n_cjk.alias("n_cjk_chars")
+    ).orderBy("doc_id")
+
+
+TEXT_LANG_GUESS_SQL = r"""
+SELECT doc_id, lang,
+       CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+            WHEN regexp_matches(text, '(^| )(the|and|of)( |$)') THEN 'en'
+            ELSE 'other' END AS lang_guess,
+       CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS INT) AS n_cjk_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- document fingerprint ---------------------------------------------------
+# Deterministic content fingerprint: md5 over the sorted distinct token set
+# (a set-semantics analog of the reference's sha-256 content addressing,
+# /root/reference/pdf_craft/common/asset.py:16-34).
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_col()
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return _docs(spark, sf_dir).select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))), ' '))
+           AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_guess": text_lang_guess,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_count": TEXT_TOKEN_COUNT_SQL,
+    "text_quality_score": TEXT_QUALITY_SCORE_SQL,
+    "text_lang_guess": TEXT_LANG_GUESS_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -1,0 +1,44 @@
+"""Every queries() entry that has an oracle must match DuckDB exactly —
+this mirrors the driver's CORRECTNESS gate (rowcount + schema + values).
+
+Runs at sf0.001 by default (fast); set PARITY_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pdf_craft_spark.queries import ORACLES, QUERIES
+from tests.oracle_harness import compare, duck_run
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+ORACLE_KEYS = sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, name):
+    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_df = duck_run(SF_DIR, ORACLES[name])
+    problems = compare(spark_df, duck_df)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_all_queries_run(spark):
+    """Queries without oracles must still execute and return a DataFrame."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert set(e.oracle_sql()) <= set(e.queries())
