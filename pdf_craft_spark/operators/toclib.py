@@ -1,0 +1,358 @@
+"""F6 + J4/J5 + A3/A5/A6/A7 + W8: TOC discovery, levels, tree structuring.
+
+Behavioral spec: /root/reference/pdf_craft/toc/text.py:364-427 (match-text
+normalization), toc/toc_pages.py:39-211 (TOC-page scoring + human-like
+filter), toc/toc_levels.py:16-200 (level inference via CV splitting),
+toc/analysing.py:117-147 (level-stack tree fold).
+
+The reference streams bodies through an Aho-Corasick automaton; per
+document the title set and page bodies are small, so this implementation
+counts overlapping substring occurrences directly (same counts the
+automaton's ``iter`` produces) — inside the per-doc Arrow kernel this is a
+co-partitioned local containment join, never a shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from dataclasses import dataclass, field
+
+from pdf_craft_spark.operators.cv_split import split_by_cv
+from pdf_craft_spark.operators.model import RawPage
+from pdf_craft_spark.operators.textutil import is_latin_letter
+
+# analysing.py:22 — the TOC path strips looser '#' prefixes than F4
+_TITLE_HEAD_RE = re.compile(r"^\s*#{1,6}\s*")
+
+MAX_LEVELS = 4  # config.py:1-2
+MAX_TITLE_CV = 0.025
+_MAX_TOC_CV = 0.75
+_MAX_TOC_RATIO = 0.1
+_TOC_HEAD_RATIO = 0.18
+_TOC_SCORE_MIN_RATIO = 3.0
+_MIN_TOC_LIMIT = 3
+_MIN_LATIN_TITLE_LEN = 6
+_MIN_NON_LATIN_TITLE_LEN = 3
+
+TITLE_KINDS = ("title", "sub_title")
+
+_LINK_GLYPHS = ("‐", "‑", "‒", "–", "—", "―")
+
+# the reference's explicit multilingual punctuation inventory
+# (toc/text.py:22-361) — reproduced as data for match parity; its
+# never-matching ', ' two-char entry is dropped.
+_PUNCT = frozenset(
+    "!\"#%&'()*,-./:;?@[\\]^_`{|}~¡§«¶·»¿֊־׀׃׆׳״؉؊،؍؎؏؛؞؟٪٫٬٭"
+    "།༎༏༐༑༒༔༴༶༸྅࿐࿑࿒࿓࿔࿙࿚၊။၌၍၎၏჻፠፡።፣፤፥፦፧፨᙮។៕៖៘៙៚"
+    "᠀᠁᠂᠃᠄᠅᠆᠇᠈᠉᠊‐‑‒–—―‖‗‚‛„‟†‡•‣․‥…‧‱′″‴‵‶‷‸‹›※‼‽‾‿"
+    "⁀⁁⁂⁃⁄⁅⁆⁇⁈⁉⁊⁋⁌⁍⁎⁏⁐⁑⁒⁓⁔⁕⁖⁗⁘⁙⁚⁛⁜⁝⁞"
+    "⸀⸁⸂⸃⸄⸅⸆⸇⸈⸉⸊⸋⸌⸍⸎⸏⸐⸑⸒⸓⸔⸕⸖⸗⸘⸙⸚⸛⸜⸝⸞⸟⸠⸡⸢⸣⸤⸥⸦⸧⸨⸩⸪⸫⸬⸭⸮ⸯ⸰⸱⸲⸳⸴⸵⸶⸷⸸⸹⸺⸻⸼⸽⸾⸿"
+    "⹀⹁⹂⹃⹄⹅⹆⹇⹈⹉⹊⹋⹌⹍⹎⹏、。〈〉《》「」『』【】〔〕〖〗〘〙〚〛〜〝〞〟〰〽・"
+    "！＂＃％＆＇（）＊，．／：；？＠［＼］＾＿｀｛｜｝～｡｢｣､･"
+)
+
+
+def normalize_match_text(text: str) -> str:
+    """F6: whitespace collapse → hyphen-split rejoin → keep spaces only
+    between latin letters → strip punctuation → lowercase + de-accent."""
+    text = re.sub(r"\s+", " ", text).strip()
+
+    chars: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == " ":
+            if (
+                len(chars) >= 2
+                and chars[-1] in _LINK_GLYPHS
+                and is_latin_letter(chars[-2])
+                and i < n - 1
+                and is_latin_letter(text[i + 1])
+            ):
+                chars.pop()  # drop the hyphen, skip the space
+                i += 1
+                continue
+            keep = (
+                len(chars) > 0
+                and i < n - 1
+                and is_latin_letter(chars[-1])
+                and is_latin_letter(text[i + 1])
+            )
+            if keep:
+                chars.append(ch)
+            i += 1
+        else:
+            chars.append(ch)
+            i += 1
+
+    out: list[str] = []
+    for ch in chars:
+        if ch in _PUNCT:
+            continue
+        if not is_latin_letter(ch):
+            out.append(ch)
+            continue
+        for d in unicodedata.normalize("NFD", ch.lower()):
+            if unicodedata.category(d) != "Mn":
+                out.append(d)
+    return "".join(out)
+
+
+def _valid_title(title: str) -> bool:
+    t = title.strip()
+    if any(is_latin_letter(c) for c in t):
+        return len(t) >= _MIN_LATIN_TITLE_LEN
+    return len(t) >= _MIN_NON_LATIN_TITLE_LEN
+
+
+def count_overlapping(haystack: str, needle: str) -> int:
+    """All (overlapping) occurrences — what an Aho-Corasick iter reports."""
+    if not needle:
+        return 0
+    count = 0
+    start = 0
+    while True:
+        pos = haystack.find(needle, start)
+        if pos == -1:
+            return count
+        count += 1
+        start = pos + 1
+
+
+@dataclass
+class MatchedTitle:
+    text: str
+    score: float
+    references: list[tuple[int, int]]  # (page_index, order)
+
+
+@dataclass
+class PageRef:
+    page_index: int
+    score: float
+    matched_titles: list[MatchedTitle] = field(default_factory=list)
+
+
+def find_toc_pages(pages: list[RawPage]) -> list[PageRef]:
+    """A5/A6 + J4: score pages by how much their body text matches the
+    document's title inventory; cut at the largest score gap; keep the
+    leading consecutive run in the head of the book."""
+    # register normalized valid titles → [(page_index, order), ...]
+    title_refs: dict[str, list[tuple[int, int]]] = {}
+    for page in pages:
+        for lay in page.body:
+            if lay.kind not in TITLE_KINDS:
+                continue
+            t = normalize_match_text(_TITLE_HEAD_RE.sub("", lay.text))
+            if _valid_title(t):
+                title_refs.setdefault(t, []).append((page.index, lay.order))
+    if not title_refs:
+        return []
+
+    page_refs: list[PageRef] = []
+    for page in pages:
+        body = normalize_match_text("".join(lay.text for lay in page.body))
+        matched: list[MatchedTitle] = []
+        for title, payloads in title_refs.items():
+            cnt = count_overlapping(body, title)
+            if cnt == 0:
+                continue
+            refs = [(pi, o) for pi, o in payloads if pi != page.index]
+            if refs:
+                matched.append(
+                    MatchedTitle(text=title, score=cnt / len(refs), references=refs)
+                )
+        page_refs.append(
+            PageRef(
+                page_index=page.index,
+                score=sum(m.score for m in matched),
+                matched_titles=matched,
+            )
+        )
+
+    by_score = sorted(page_refs, key=lambda r: r.score, reverse=True)
+    max_diff = 0.0
+    cut = 0
+    for i in range(len(by_score) - 1):
+        diff = by_score[i].score - by_score[i + 1].score
+        if diff > max_diff:
+            max_diff = diff
+            cut = i + 1
+    candidates = sorted(by_score[:cut], key=lambda r: r.page_index)
+    max_content_score = by_score[cut].score if cut < len(by_score) else 0.0
+
+    # human-like filter (toc_pages.py:131-170)
+    total = len(page_refs)
+    max_pages = max(_MIN_TOC_LIMIT, int(total * _MAX_TOC_RATIO))
+    head_limit = round(total * _TOC_HEAD_RATIO)
+    candidates = [r for r in candidates if r.page_index <= head_limit]
+    if len(candidates) > max_pages:
+        candidates = candidates[:max_pages]
+    if not candidates:
+        return []
+
+    serial = [candidates[0]]
+    last = serial[0].page_index
+    for r in candidates[1:]:
+        if r.page_index == last + 1:
+            serial.append(r)
+            last = r.page_index
+        else:
+            break
+
+    serial_set = {r.page_index for r in serial}
+    for r in candidates:
+        if r.page_index not in serial_set:
+            max_content_score = max(max_content_score, r.score)
+    if serial[0].score < _TOC_SCORE_MIN_RATIO * max_content_score:
+        return []
+    return serial
+
+
+@dataclass
+class _TitleMeta:
+    toc_page_index: int
+    relative_level: int
+    collected: list[int] = field(default_factory=list)
+
+
+def _content_title_levels(
+    pages: list[RawPage],
+    disable_pages: set[int] | None = None,
+    restrict: dict | None = None,
+) -> dict[tuple[int, int], int]:
+    """A3: heights of (selected) title layouts CV-split into <=4 groups;
+    biggest font = level 0."""
+    items: list[tuple[float, tuple[int, int]]] = []
+    for page in pages:
+        if disable_pages and page.index in disable_pages:
+            continue
+        for lay in page.body:
+            if lay.kind not in TITLE_KINDS:
+                continue
+            key = (page.index, lay.order)
+            if restrict is not None and key not in restrict:
+                continue
+            items.append((float(lay.det[3] - lay.det[1]), key))
+    out: dict[tuple[int, int], int] = {}
+    groups = split_by_cv(
+        [h for h, _ in items],
+        [k for _, k in items],
+        max_cv=MAX_TITLE_CV,
+        max_groups=MAX_LEVELS,
+    )
+    for level, keys in enumerate(reversed(groups)):
+        for k in keys:
+            out[k] = level
+    return out
+
+
+def analyse_title_levels(pages: list[RawPage]) -> dict[tuple[int, int], int]:
+    return _content_title_levels(pages)
+
+
+def analyse_toc_levels(
+    pages: list[RawPage], toc_pages: list[PageRef]
+) -> dict[tuple[int, int], int]:
+    """A3 + A7 + J5: transfer relative levels from TOC-page hook layouts to
+    the referenced titles, reconciling per-page offsets by CV grouping."""
+    page_by_index = {p.index: p for p in pages}
+    ref2meta: dict[tuple[int, int], _TitleMeta] = {}
+    toc_page_indexes: set[int] = set()
+
+    for ref in toc_pages:
+        toc_page_indexes.add(ref.page_index)
+        page = page_by_index[ref.page_index]
+        hook_items: list[tuple[float, tuple[int, list[tuple[int, int]]]]] = []
+        for lay in page.body:
+            lay_text = normalize_match_text(lay.text)
+            refs_set: set[tuple[int, int]] = set()
+            for title in ref.matched_titles:
+                if title.text in lay_text:
+                    refs_set.update(title.references)
+            if not refs_set:
+                continue
+            height = float(lay.det[3] - lay.det[1])
+            hook_items.append((height, (lay.order, list(refs_set))))
+        groups = split_by_cv(
+            [h for h, _ in hook_items],
+            [p for _, p in hook_items],
+            max_groups=MAX_LEVELS,
+            max_cv=_MAX_TOC_CV,
+        )
+        groups.reverse()  # biggest font = level 0
+        for level, hooks in enumerate(groups):
+            for _, refs in sorted(hooks, key=lambda h: h[0]):
+                for key in refs:
+                    if key not in ref2meta:
+                        ref2meta[key] = _TitleMeta(
+                            toc_page_index=ref.page_index, relative_level=level
+                        )
+
+    global_levels = _content_title_levels(
+        pages, disable_pages=toc_page_indexes, restrict=ref2meta
+    )
+
+    # per-toc-page offset (A7)
+    for key in sorted(global_levels):
+        ref2meta[key].collected.append(global_levels[key])
+    page2metas: dict[int, list[_TitleMeta]] = {}
+    for meta in ref2meta.values():
+        page2metas.setdefault(meta.toc_page_index, []).append(meta)
+    avg_items: list[tuple[float, int]] = []
+    for page_index, metas in page2metas.items():
+        metas.sort(key=lambda m: m.relative_level)
+        levels = metas[0].collected
+        if levels:
+            avg_items.append((sum(levels) / len(levels), page_index))
+    offsets: dict[int, int] = {}
+    for offset, page_indexes in enumerate(
+        split_by_cv(
+            [a for a, _ in avg_items],
+            [p for _, p in avg_items],
+            max_groups=MAX_LEVELS,
+            max_cv=_MAX_TOC_CV,
+        )
+    ):
+        for pi in page_indexes:
+            offsets[pi] = offset
+
+    out: dict[tuple[int, int], int] = {}
+    for key, meta in ref2meta.items():
+        off = offsets.get(meta.toc_page_index)
+        if off is not None:
+            out[key] = meta.relative_level + off
+    return out
+
+
+@dataclass
+class TocItem:
+    id: int
+    page_index: int
+    order: int
+    level: int
+    parent_id: int | None
+
+
+def structure_toc(ref2level: dict[tuple[int, int], int]) -> list[TocItem]:
+    """W8: fold sorted (page, order) → level pairs with a level stack into
+    a forest, emitted as parent-pointer rows."""
+    items: list[TocItem] = []
+    stack: list[TocItem] = []
+    next_id = 1
+    for (page_index, order), level in sorted(ref2level.items(), key=lambda x: x[0]):
+        while stack and stack[-1].level >= level:
+            stack.pop()
+        item = TocItem(
+            id=next_id,
+            page_index=page_index,
+            order=order,
+            level=level,
+            parent_id=stack[-1].id if stack else None,
+        )
+        next_id += 1
+        items.append(item)
+        stack.append(item)
+    return items
