@@ -18,12 +18,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the end-to-end extraction dataflow's relational spine.
-
-    (Replaced by the full interleaved-span extraction pipeline query once
-    SURVEY.md §7 step 2+ lands; kept runnable at every commit.)
-    """
-    return QUERIES["a1_pricing_summary"](spark, SF0001)
+    """Flagship: the full extraction pipeline — deterministic interleaved
+    raw-span corpus → stage-1 Catalyst prep → per-doc Arrow kernel →
+    ordered output spans (the north-rule artifact)."""
+    return QUERIES["pipeline_extract_spans"](spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -18,7 +18,6 @@ from pdf_craft_spark.operators.footnotes import (
 from pdf_craft_spark.operators.jointer import joint_document_stream
 from pdf_craft_spark.operators.levels import analyse_chapter_internal_levels
 from pdf_craft_spark.operators.model import (
-    Asset,
     Chapter,
     FootnoteRef,
     OutSpan,
@@ -64,20 +63,30 @@ def prepare_layout(
     return text, clamped
 
 
-def prepare_pages(pages: list[RawPage]) -> list[RawPage]:
+def prepare_pages(pages: list[RawPage], text_ops: bool = True) -> list[RawPage]:
     """Apply prepare_layout to every layout; re-assign per-area orders
-    (the reference numbers layouts after filtering, page_extractor.py:128-134)."""
+    (the reference numbers layouts after filtering, page_extractor.py:128-134).
+
+    ``text_ops=False`` when the Spark plan's stage 1 already ran F1/F3/F4
+    JVM-side — only F2 clamping + renumbering remain.
+    """
     out: list[RawPage] = []
     for page in pages:
         new_page = RawPage(index=page.index, width=page.width, height=page.height)
         for area_src, area_dst in ((page.body, new_page.body), (page.footnotes, new_page.footnotes)):
             for lay in area_src:
-                prepped = prepare_layout(
-                    lay.kind, lay.text, lay.det, lay.media_ref, page.width, page.height
-                )
-                if prepped is None:
-                    continue
-                text, det = prepped
+                if text_ops:
+                    prepped = prepare_layout(
+                        lay.kind, lay.text, lay.det, lay.media_ref, page.width, page.height
+                    )
+                    if prepped is None:
+                        continue
+                    text, det = prepped
+                else:
+                    clamped = clamp_det(page.width, page.height, lay.det)
+                    if clamped is None:
+                        continue
+                    text, det = lay.text, clamped
                 area_dst.append(
                     RawLayout(
                         kind=lay.kind,
@@ -95,10 +104,14 @@ def extract_document(
     pages: list[RawPage],
     toc_assumed: bool = True,
     prepared: bool = False,
+    stage1_done: bool = False,
 ) -> tuple[str, list[OutSpan]]:
-    """Full pipeline for one document → (markdown, ordered output spans)."""
+    """Full pipeline for one document → (markdown, ordered output spans).
+
+    ``stage1_done``: F1/F3/F4 already applied (JVM stage 1) — skip the
+    Python re-run, keep F2 + renumbering."""
     if not prepared:
-        pages = prepare_pages(pages)
+        pages = prepare_pages(pages, text_ops=not stage1_done)
 
     # --- TOC analysis (F6/J4/A5/A6/A3/A7/W8) -------------------------------
     toc_pages = find_toc_pages(pages) if toc_assumed else []

@@ -10,7 +10,7 @@ the concatenation), but edits land in the owning segment.
 from __future__ import annotations
 
 from pdf_craft_spark.operators.latex import KIND_TEXT
-from pdf_craft_spark.operators.model import Asset, Block, Chapter, FootnoteRef, Para, Seg
+from pdf_craft_spark.operators.model import Asset, Block, Chapter, FootnoteRef, Para
 from pdf_craft_spark.operators.textutil import is_han_char
 
 _LEFT_ONLY = {",": "，", ";": "；", "?": "？", "!": "！"}

@@ -1,0 +1,224 @@
+"""The distributed extraction plan.
+
+Shape (SURVEY.md §3.3): three stages, ONE shuffle.
+
+  stage 0  corpus scan (Iceberg/parquet; here: distributed generation)
+  stage 1  NARROW vectorized prep on the nested span arrays — pure
+           Catalyst higher-order functions, whole-stage-codegen'd, no
+           Python, no shuffle:
+             F1 whitespace normalize   transform + regexp_replace/trim
+             F3 degeneration filter    filter + rlike with a Java-regex
+                                       backreference ('(.{2,5})\\1{15}')
+             F4 title '#'-strip        conditional regexp_replace
+  stage 2  the one shuffle: groupBy(doc_id) → applyInPandas per-doc
+           kernel (W1-W8, J1-J6, E1-E12, A2-A7 — operators/document.py).
+           Arrow-batched; one group == one document row.
+  stage 3  output assembly: flat span rows for downstream relational use,
+           or re-nested arrays via array_sort(collect_list(struct)) for
+           the Iceberg-style sink; per-doc metrics aggregate alongside.
+
+Skew note (100 TB): documents are independent, so the only skew unit is
+one long book (heavy-tailed page counts).  The shuffle key is doc_id —
+AQE splits oversized partitions between docs, and stage 1 runs before the
+shuffle so the bytes moved are already filtered/normalized.  A book can
+not be split across executors without breaking W2's cross-page stitching
+(sequential by construction in the reference, jointer.py:42-96).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_craft_spark.schemas import INTERLEAVED_DOC_SCHEMA, OUT_SPAN_SCHEMA
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``pdf_craft_spark`` importable on executors regardless of the
+    driver's cwd — the programmatic equivalent of ``spark-submit
+    --py-files``.  Zips the package once per process and registers it with
+    the SparkContext (idempotent per context)."""
+    sc = spark.sparkContext
+    shipped = getattr(sc, "_pdf_craft_spark_shipped", False)
+    if shipped:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(
+        "/tmp", f"pdf_craft_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "pdf_craft_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._pdf_craft_spark_shipped = True
+
+# F3 as Java regex backreferences ((?s) so '.' spans newlines): a char
+# n-gram (n in [2,5]) repeated >=16x back-to-back, or (n in [6,20]) >=8x —
+# one combined scan per span (exactly has_repetitive_ngrams' two bands,
+# textutil.py).
+_REPETITION = r"(?s)(.{2,5})\1{15}|(?s)(.{6,20})\2{7}"
+
+
+def corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic corpus: doc ids fan out across partitions,
+    each task generates its books locally (no driver-side data)."""
+    ensure_package_shipped(spark)
+    ids = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_craft_spark.corpus import generate_document, pages_to_spans
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                spans = [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in pages_to_spans(generate_document(int(doc_id), seed))
+                ]
+                rows.append({"doc_id": str(int(doc_id)), "spans": spans})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return ids.mapInPandas(gen, schema=INTERLEAVED_DOC_SCHEMA)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """Nested contract shape → flat span rows.  Flat columnar spans shuffle
+    and Arrow-transfer far better than arrays-of-structs (no per-row dict
+    materialization on the Python side)."""
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def prepare_stage1(flat: DataFrame) -> DataFrame:
+    """Stage 1: F1 → F3 → F4 on flat span rows, in the reference's
+    application order (page_extractor.py:105-123 then jointer.py:181-183)
+    — all Catalyst scalar expressions inside whole-stage codegen, narrow."""
+    title_kinds = ("title", "sub_title", "fn_title", "fn_sub_title")
+    normalized = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    flat = flat.withColumn("text", normalized)
+    # guard: a 2-char gram x16 needs >=32 chars, so shorter spans skip the
+    # (expensive) backreference regex entirely
+    flat = flat.filter(
+        (F.col("kind") == "page")
+        | (F.length("text") < 32)
+        | ~F.col("text").rlike(_REPETITION)
+    )
+    return flat.withColumn(
+        "text",
+        F.when(
+            F.col("kind").isin(*title_kinds),
+            F.regexp_replace(F.col("text"), r"^#+\s+", ""),
+        ).otherwise(F.col("text")),
+    )
+
+
+_OUT_COLS = ["doc_id", "chapter_id", "kind", "text", "media_ref", "offset"]
+
+
+def _extract_block(pdf: pd.DataFrame, stage1_done: bool) -> pd.DataFrame:
+    """Run the per-doc kernel over a block of >=1 complete documents."""
+    from pdf_craft_spark.corpus import parse_raw_spans
+    from pdf_craft_spark.operators.document import extract_document
+
+    out_rows: list[tuple] = []
+    for doc_id, g in pdf.groupby("doc_id", sort=False):
+        spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
+        pages = parse_raw_spans(spans)
+        _, out_spans = extract_document(pages, toc_assumed=True, stage1_done=stage1_done)
+        out_rows.extend(
+            (doc_id, s.chapter_id, s.kind, s.text, s.media_ref, s.offset)
+            for s in out_spans
+        )
+    return pd.DataFrame(out_rows, columns=_OUT_COLS)
+
+
+def _make_kernel(stage1_done: bool):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """mapInPandas kernel: the partition arrives doc-sorted; whole
+        Arrow batches are processed at once (pandas groupby inside), with
+        the trailing — possibly incomplete — document carried into the
+        next batch.  This amortizes Arrow/pandas per-call overhead over
+        hundreds of documents instead of paying it per group."""
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_doc = pdf["doc_id"].iloc[-1]
+            is_last = pdf["doc_id"] == last_doc
+            carry = pdf[is_last]
+            complete = pdf[~is_last]
+            if len(complete):
+                yield _extract_block(complete, stage1_done)
+        if carry is not None and len(carry):
+            yield _extract_block(carry, stage1_done)
+
+    return kernel
+
+
+def extract_spans_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
+    """Full extraction: nested contract table in, flat output spans out
+    (doc_id, chapter_id, kind, text, media_ref, offset).
+
+    The one shuffle: repartition on doc_id + partition-local sort, then a
+    streaming mapInPandas kernel (same result as groupBy.applyInPandas,
+    ~3x cheaper per document at local scale)."""
+    ensure_package_shipped(docs.sparkSession)
+    flat = explode_spans(docs)
+    if stage1:
+        flat = prepare_stage1(flat)
+    flat = flat.repartition("doc_id").sortWithinPartitions("doc_id", "offset")
+    return flat.mapInPandas(_make_kernel(stage1_done=stage1), schema=OUT_SPAN_SCHEMA)
+
+
+def to_nested_output(flat_spans: DataFrame) -> DataFrame:
+    """Stage 3: re-nest to the hinted (doc_id, spans) output shape, span
+    order restored JVM-side by array_sort on the leading offset field."""
+    return (
+        flat_spans.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(offset, kind, text, media_ref))), "
+                "x -> named_struct('kind', x.kind, 'text', x.text, "
+                "'media_ref', x.media_ref, 'offset', x.offset))"
+            ).alias("spans")
+        )
+    )
+
+
+def doc_metrics(flat_spans: DataFrame) -> DataFrame:
+    """A9: per-doc extraction metrics (spans/doc, chapters/doc, kind mix)."""
+    return (
+        flat_spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("chapter_id").alias("n_chapters"),
+            F.sum(F.when(F.col("kind") == "footnote", 1).otherwise(0)).alias("n_footnotes"),
+            F.sum(F.when(F.col("kind").isin("image", "table", "equation"), 1).otherwise(0)).alias(
+                "n_assets"
+            ),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+    )

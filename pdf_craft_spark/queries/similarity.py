@@ -38,15 +38,22 @@ _DOT = (
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    # norms are per-row: compute them once per side BEFORE the cross join
+    # (the higher-order aggregate is interpreted, not codegen'd — don't
+    # re-evaluate it per pair)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nq"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nc"),
+    )
     joined = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    nq = F.expr(_DOT.format(a="qe", b="qe"))
-    nc = F.expr(_DOT.format(a="ce", b="ce"))
-    cos = dot / F.sqrt(nq * nc)
+    cos = dot / F.sqrt(F.col("nq") * F.col("nc"))
     scored = joined.select(
         "query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim")
     )
