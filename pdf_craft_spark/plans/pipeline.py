@@ -34,37 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_craft_spark.schemas import INTERLEAVED_DOC_SCHEMA, OUT_SPAN_SCHEMA
-
-
-def ensure_package_shipped(spark: SparkSession) -> None:
-    """Make ``pdf_craft_spark`` importable on executors regardless of the
-    driver's cwd — the programmatic equivalent of ``spark-submit
-    --py-files``.  Zips the package once per process and registers it with
-    the SparkContext (idempotent per context)."""
-    sc = spark.sparkContext
-    shipped = getattr(sc, "_pdf_craft_spark_shipped", False)
-    if shipped:
-        return
-    import os
-    import zipfile
-
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = os.path.join(
-        "/tmp", f"pdf_craft_spark_pkg_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _, files in os.walk(pkg_dir):
-                for fname in files:
-                    if not fname.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fname)
-                    rel = os.path.join(
-                        "pdf_craft_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
-    sc.addPyFile(zip_path)
-    sc._pdf_craft_spark_shipped = True
+from pdf_craft_spark.shipping import ensure_package_shipped
 
 # F3 as Java regex backreferences ((?s) so '.' spans newlines): a char
 # n-gram (n in [2,5]) repeated >=16x back-to-back, or (n in [6,20]) >=8x —

@@ -13,14 +13,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pdf_craft_spark.queries import dedup, pipelineq, relational, similarity, textops
+from pdf_craft_spark.queries import (
+    dedup,
+    multimodalq,
+    pipelineq,
+    relational,
+    relational2,
+    similarity,
+    textops,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, textops, dedup, similarity, pipelineq):
+for mod in (relational, relational2, textops, dedup, similarity, multimodalq, pipelineq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

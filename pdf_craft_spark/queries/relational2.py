@@ -1,0 +1,193 @@
+"""Second wave of relational operators: the shapes Spark lacks natively
+(as-of join) plus multidimensional aggregation (rollup, pivot) and
+embedding near-dup verification."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pdf_craft_spark.queries.similarity import _DOT
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- as-of join (Spark lacks a native one) ----------------------------------
+# For every event: the key's latest order with o_orderdate <= ts, ties on
+# the date broken by max orderkey.  Implemented as the classic union +
+# last_value(ignore nulls) running window — one shuffle on the key, no
+# range explosion; at scale this beats a theta join by orders of magnitude.
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("is_event"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.lit(0).alias("is_event"),
+    )
+    u = ev.unionByName(orders)
+    w = (
+        W.partitionBy("key")
+        .orderBy("t", "is_event", F.coalesce("o_orderkey", F.lit(-1)))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id", F.col("key").alias("user_id"), "last_orderkey"
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_LATEST_ORDER_PER_EVENT_SQL = """
+WITH u AS (
+  SELECT user_id AS key, ts AS t, event_id,
+         CAST(NULL AS BIGINT) AS o_orderkey, 1 AS is_event
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS key, o_orderdate AS t, CAST(NULL AS BIGINT) AS event_id,
+         o_orderkey, 0 AS is_event
+  FROM orders
+)
+SELECT event_id, key AS user_id, last_orderkey
+FROM (
+  SELECT *,
+         last_value(o_orderkey IGNORE NULLS) OVER (
+           PARTITION BY key
+           ORDER BY t, is_event, coalesce(o_orderkey, -1)
+           ROWS UNBOUNDED PRECEDING
+         ) AS last_orderkey
+  FROM u
+)
+WHERE is_event = 1
+ORDER BY event_id
+"""
+
+
+# --- rollup ------------------------------------------------------------------
+def a1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(price).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+A1_ROLLUP_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# --- pivot -------------------------------------------------------------------
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- embedding near-dup within blocking buckets ------------------------------
+# The IVF-style verify step: candidate pairs are blocked by label (the
+# coarse quantizer stand-in), then exact cosine >= 0.35 confirms near-dups
+# (threshold sized to the synthetic embeddings: same-label q99 ~ 0.30).
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", F.expr(_DOT.format(a="embedding", b="embedding")).alias("nrm")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
+    return (
+        pairs.select("label", "vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("label", "vec_a", "vec_b")
+    )
+
+
+_DOT_DUCK64 = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_DOT_DUCK64.format(a="embedding", b="embedding")} AS nrm
+  FROM embeddings
+)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DOT_DUCK64.format(a="a.embedding", b="b.embedding")}
+             / sqrt(a.nrm * b.nrm), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_DOT_DUCK64.format(a="a.embedding", b="b.embedding")}
+            / sqrt(a.nrm * b.nrm), 6) >= 0.35
+ORDER BY label, vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "asof_latest_order_per_event": asof_latest_order_per_event,
+    "a1_rollup_revenue": a1_rollup_revenue,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "asof_latest_order_per_event": ASOF_LATEST_ORDER_PER_EVENT_SQL,
+    "a1_rollup_revenue": A1_ROLLUP_REVENUE_SQL,
+    "pivot_status_by_priority": PIVOT_STATUS_BY_PRIORITY_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+}

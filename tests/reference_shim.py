@@ -9,6 +9,8 @@ package itself never imports from the reference.
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
+import importlib.util
 import os
 import sys
 import types
