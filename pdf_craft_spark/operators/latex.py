@@ -46,6 +46,10 @@ def _find_end(text: str, start: int, closer: str, multiline: bool) -> tuple[int,
 
 def parse_latex_expressions(text: str) -> list[tuple[str, str]]:
     """Returns [(kind, content), ...]; adjacent plain text is one segment."""
+    if not text:
+        return []
+    if "$" not in text and "\\" not in text:
+        return [(KIND_TEXT, text)]  # fast path: no delimiters, no escapes
     out: list[tuple[str, str]] = []
     buf: list[str] = []
 

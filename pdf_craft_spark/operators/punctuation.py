@@ -17,9 +17,26 @@ _LEFT_ONLY = {",": "，", ";": "；", "?": "？", "!": "！"}
 _BOTH_SIDES = {":": "："}
 
 
+import re
+
+_CAND_RE = re.compile(r"[,;?!:]")
+_HAN_RE = re.compile(
+    "["
+    "㐀-䶿一-鿿豈-﫿"
+    "\U00020000-\U0002a6df\U0002a700-\U0002b73f\U0002b740-\U0002b81f"
+    "\U0002b820-\U0002ceaf\U0002ceb0-\U0002ebef"
+    "]"
+)
+
+
 def normalize_segments(texts: list[str]) -> list[str] | None:
     """Returns the rewritten texts, or None when nothing changed."""
     if not texts:
+        return None
+    # quick reject: a conversion needs an ASCII candidate AND a Han char
+    # somewhere in the block — most blocks have neither combination
+    joined = "".join(texts)
+    if _CAND_RE.search(joined) is None or _HAN_RE.search(joined) is None:
         return None
     chars: list[str] = []
     owners: list[tuple[int, int]] = []

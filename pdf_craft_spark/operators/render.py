@@ -120,9 +120,10 @@ def render_asset(asset: Asset, ref_numbers: RefNumbers | None) -> str:
         if asset.content:
             if has_content:
                 parts.append("\n\n")
-            # E9-lite: keep the (sanitized) HTML table verbatim; GFM
-            # conversion of simple tables is a later-round refinement
-            parts.append(asset.content)
+            # E9: simple tables become GFM; complex ones keep raw HTML
+            from pdf_craft_spark.operators.tables import render_table_content
+
+            parts.append(render_table_content(asset.content))
             has_content = True
     elif asset.kind == "image":
         if asset.media_ref:

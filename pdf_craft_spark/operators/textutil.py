@@ -36,8 +36,12 @@ _HAN_RANGES = (
 )
 
 
+# all alphabetic codepoints below U+0370, precomputed (hot predicate)
+_LATIN_SET = frozenset(chr(cp) for cp in range(0x0370) if chr(cp).isalpha())
+
+
 def is_latin_letter(ch: str) -> bool:
-    return ch.isalpha() and ord(ch) < 0x0370
+    return ch in _LATIN_SET
 
 
 def is_chinese_char(ch: str) -> bool:

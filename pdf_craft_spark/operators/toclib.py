@@ -53,51 +53,67 @@ _PUNCT = frozenset(
 )
 
 
+# memoized per-char final transform: punctuation → '', latin → lowercase
+# NFD with combining marks stripped, else identity (vocab-bounded cache)
+_CHAR_XFORM: dict[str, str] = {}
+
+
+def _xform(ch: str) -> str:
+    out = _CHAR_XFORM.get(ch)
+    if out is None:
+        if ch in _PUNCT:
+            out = ""
+        elif not is_latin_letter(ch):
+            out = ch
+        else:
+            out = "".join(
+                d
+                for d in unicodedata.normalize("NFD", ch.lower())
+                if unicodedata.category(d) != "Mn"
+            )
+        _CHAR_XFORM[ch] = out
+    return out
+
+
 def normalize_match_text(text: str) -> str:
     """F6: whitespace collapse → hyphen-split rejoin → keep spaces only
     between latin letters → strip punctuation → lowercase + de-accent."""
     text = re.sub(r"\s+", " ", text).strip()
 
-    chars: list[str] = []
-    i = 0
-    n = len(text)
-    while i < n:
-        ch = text[i]
-        if ch == " ":
-            if (
-                len(chars) >= 2
-                and chars[-1] in _LINK_GLYPHS
-                and is_latin_letter(chars[-2])
-                and i < n - 1
-                and is_latin_letter(text[i + 1])
-            ):
-                chars.pop()  # drop the hyphen, skip the space
+    if " " not in text:
+        chars = text  # no space rules can fire — skip the scan
+    else:
+        buf: list[str] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            ch = text[i]
+            if ch == " ":
+                if (
+                    len(buf) >= 2
+                    and buf[-1] in _LINK_GLYPHS
+                    and is_latin_letter(buf[-2])
+                    and i < n - 1
+                    and is_latin_letter(text[i + 1])
+                ):
+                    buf.pop()  # drop the hyphen, skip the space
+                    i += 1
+                    continue
+                keep = (
+                    len(buf) > 0
+                    and i < n - 1
+                    and is_latin_letter(buf[-1])
+                    and is_latin_letter(text[i + 1])
+                )
+                if keep:
+                    buf.append(ch)
                 i += 1
-                continue
-            keep = (
-                len(chars) > 0
-                and i < n - 1
-                and is_latin_letter(chars[-1])
-                and is_latin_letter(text[i + 1])
-            )
-            if keep:
-                chars.append(ch)
-            i += 1
-        else:
-            chars.append(ch)
-            i += 1
+            else:
+                buf.append(ch)
+                i += 1
+        chars = "".join(buf)
 
-    out: list[str] = []
-    for ch in chars:
-        if ch in _PUNCT:
-            continue
-        if not is_latin_letter(ch):
-            out.append(ch)
-            continue
-        for d in unicodedata.normalize("NFD", ch.lower()):
-            if unicodedata.category(d) != "Mn":
-                out.append(d)
-    return "".join(out)
+    return "".join(map(_xform, chars))
 
 
 def _valid_title(title: str) -> bool:
