@@ -31,17 +31,33 @@ CAPTION_KINDS = tuple(f"{k}_caption" for k in ASSET_KINDS)
 _TABLE_RE = re.compile(r"<table[^>]*>.*?</table>", re.IGNORECASE | re.DOTALL)
 
 
-def parse_content(text: str | None) -> list[Seg]:
-    """E1 over plain text → typed segments (empty text pieces dropped)."""
-    if not text:
-        return []
-    segs: list[Seg] = []
+def _latex_segs(text: str, segs: list[Seg]) -> None:
     for kind, content in parse_latex_expressions(text):
         if kind == KIND_TEXT:
             if content:
                 segs.append(Seg(KIND_TEXT, content))
         else:
             segs.append(Seg(kind, content))
+
+
+def parse_content(text: str | None) -> list[Seg]:
+    """E5 (HTML sanitize) + E1 (LaTeX split) over plain text → typed
+    segments.  Sanitized tags become 'html' segs carrying re-serialized
+    markup (rendered verbatim; LaTeX inside tag children stays inline —
+    the reference types it, which only changes render-time $-escaping)."""
+    if not text:
+        return []
+    segs: list[Seg] = []
+    if "<" in text:
+        from pdf_craft_spark.operators.html_sanitize import sanitize_html, serialize
+
+        for node in sanitize_html(text):
+            if isinstance(node, str):
+                _latex_segs(node, segs)
+            else:
+                segs.append(Seg("html", serialize([node])))
+    else:
+        _latex_segs(text, segs)
     return segs
 
 

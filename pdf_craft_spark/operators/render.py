@@ -35,6 +35,8 @@ RefNumbers = dict[tuple[int, int], int]
 def _render_seg(seg: Seg, ref_numbers: RefNumbers | None) -> str:
     if seg.kind == KIND_TEXT:
         return to_markdown_string(KIND_TEXT, seg.text)
+    if seg.kind == "html":
+        return seg.text  # already-sanitized markup, verbatim
     if seg.kind == "ref":
         if ref_numbers is None:
             return ""

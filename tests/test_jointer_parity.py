@@ -177,7 +177,7 @@ def _string_via_segs(text: str | None) -> str:
 
     parts = []
     for seg in parse_content(text):
-        if seg.kind == KIND_TEXT:
+        if seg.kind in (KIND_TEXT, "html"):
             parts.append(seg.text)
         else:
             parts.append(to_markdown_string(seg.kind, seg.text))
