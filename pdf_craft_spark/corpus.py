@@ -72,6 +72,16 @@ class _BookBuilder:
         self.titles = [
             f"Chapter {i + 1} {_words(rng, 3)}" for i in range(n_chapters)
         ]
+        # some books carry a running header on every content page (the
+        # boilerplate-demotion stage's target) and some have a failed page
+        # (F9 fallback)
+        running_header = (
+            f"Running head {_words(rng, 2)}" if rng.random() < 0.25 else None
+        )
+        error_page = (
+            rng.randint(2, self.n_pages) if rng.random() < 0.05 and self.n_pages >= 2 else None
+        )
+        error_has_image = rng.random() < 0.5
 
         # page 1: the TOC page (body text lines quoting every chapter title)
         toc = RawPage(index=1, width=PAGE_W, height=PAGE_H)
@@ -93,10 +103,17 @@ class _BookBuilder:
 
         carry_words: str | None = None  # forces cross-page stitch w/ hyphen
         for p in range(2, self.n_pages + 1):
+            if p == error_page:
+                page = RawPage(index=p, width=PAGE_W, height=PAGE_H)
+                page.error = _media_hash(rng) if error_has_image else ""
+                self.pages.append(page)
+                continue
             page = RawPage(index=p, width=PAGE_W, height=PAGE_H)
             two_col = rng.random() < 0.25
             ci = pending_title.get(p)
             y = 40
+            if running_header is not None:
+                self._layout(page, "text", running_header, (180, 8, 420, 20))
             if ci is not None:
                 # '#'-prefixed, as DeepSeek OCR emits (F4 must strip)
                 self._layout(page, "title", f"## {self.titles[ci]}", (100, y, 500, y + 40))
@@ -221,6 +238,19 @@ def pages_to_spans(pages: list[RawPage]) -> list[tuple[str, str | None, str | No
     rows: list[tuple[str, str | None, str | None, int]] = []
     off = 0
     for page in pages:
+        if page.error is not None:
+            # F9: a failed page travels as one page_error span; media_ref
+            # holds the full-page image hash when rasterization survived
+            rows.append(
+                (
+                    "page_error",
+                    f"{page.index},{page.width},{page.height}",
+                    page.error or None,
+                    off,
+                )
+            )
+            off += 1
+            continue
         rows.append(("page", f"{page.index},{page.width},{page.height}", None, off))
         off += 1
         for footnote, area in ((False, page.body), (True, page.footnotes)):
@@ -235,12 +265,18 @@ def pages_to_spans(pages: list[RawPage]) -> list[tuple[str, str | None, str | No
 
 def parse_raw_spans(rows: list[tuple[str, str | None, str | None, int]]) -> list[RawPage]:
     """Inverse of pages_to_spans (tolerates rows out of offset order)."""
+    from pdf_craft_spark.operators.boilerplate import fallback_page
+
     rows = sorted(rows, key=lambda r: r[3])
     pages: list[RawPage] = []
     for kind, text, mref, _off in rows:
         if kind == "page":
             idx, w, h = (int(v) for v in (text or "1,600,800").split(","))
             pages.append(RawPage(index=idx, width=w, height=h))
+            continue
+        if kind == "page_error":
+            idx, w, h = (int(v) for v in (text or "1,600,800").split(","))
+            pages.append(fallback_page(idx, mref, w, h))
             continue
         if not pages:  # layout before any page marker: implicit page 1
             pages.append(RawPage(index=1, width=PAGE_W, height=PAGE_H))

@@ -105,13 +105,21 @@ def extract_document(
     toc_assumed: bool = True,
     prepared: bool = False,
     stage1_done: bool = False,
+    boilerplate_strip: bool = False,
 ) -> tuple[str, list[OutSpan]]:
     """Full pipeline for one document → (markdown, ordered output spans).
 
     ``stage1_done``: F1/F3/F4 already applied (JVM stage 1) — skip the
-    Python re-run, keep F2 + renumbering."""
+    Python re-run, keep F2 + renumbering.
+    ``boilerplate_strip``: enable the §2.12 frequency-based repeated-line
+    demotion (off by default: the reference's model does this upstream,
+    so parity mode leaves repeated lines alone)."""
     if not prepared:
         pages = prepare_pages(pages, text_ops=not stage1_done)
+    if boilerplate_strip:
+        from pdf_craft_spark.operators.boilerplate import strip_boilerplate
+
+        pages = strip_boilerplate(pages)
 
     # --- TOC analysis (F6/J4/A5/A6/A3/A7/W8) -------------------------------
     toc_pages = find_toc_pages(pages) if toc_assumed else []

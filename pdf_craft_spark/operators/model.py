@@ -100,6 +100,9 @@ class RawPage:
     height: int
     body: list[RawLayout] = field(default_factory=list)
     footnotes: list[RawLayout] = field(default_factory=list)
+    # F9: non-None marks a failed page; '' = no rasterized image survived,
+    # else the sha-256 of the full-page image (pdf/ocr.py:230-263)
+    error: str | None = None
 
 
 @dataclass

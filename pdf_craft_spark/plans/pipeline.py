@@ -106,7 +106,7 @@ def prepare_stage1(flat: DataFrame) -> DataFrame:
 _OUT_COLS = ["doc_id", "chapter_id", "kind", "text", "media_ref", "offset"]
 
 
-def _extract_block(pdf: pd.DataFrame, stage1_done: bool) -> pd.DataFrame:
+def _extract_block(pdf: pd.DataFrame, stage1_done: bool, boilerplate: bool) -> pd.DataFrame:
     """Run the per-doc kernel over a block of >=1 complete documents."""
     from pdf_craft_spark.corpus import parse_raw_spans
     from pdf_craft_spark.operators.document import extract_document
@@ -115,7 +115,12 @@ def _extract_block(pdf: pd.DataFrame, stage1_done: bool) -> pd.DataFrame:
     for doc_id, g in pdf.groupby("doc_id", sort=False):
         spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
         pages = parse_raw_spans(spans)
-        _, out_spans = extract_document(pages, toc_assumed=True, stage1_done=stage1_done)
+        _, out_spans = extract_document(
+            pages,
+            toc_assumed=True,
+            stage1_done=stage1_done,
+            boilerplate_strip=boilerplate,
+        )
         out_rows.extend(
             (doc_id, s.chapter_id, s.kind, s.text, s.media_ref, s.offset)
             for s in out_spans
@@ -123,7 +128,7 @@ def _extract_block(pdf: pd.DataFrame, stage1_done: bool) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=_OUT_COLS)
 
 
-def _make_kernel(stage1_done: bool):
+def _make_kernel(stage1_done: bool, boilerplate: bool = False):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         """mapInPandas kernel: the partition arrives doc-sorted; whole
         Arrow batches are processed at once (pandas groupby inside), with
@@ -141,14 +146,16 @@ def _make_kernel(stage1_done: bool):
             carry = pdf[is_last]
             complete = pdf[~is_last]
             if len(complete):
-                yield _extract_block(complete, stage1_done)
+                yield _extract_block(complete, stage1_done, boilerplate)
         if carry is not None and len(carry):
-            yield _extract_block(carry, stage1_done)
+            yield _extract_block(carry, stage1_done, boilerplate)
 
     return kernel
 
 
-def extract_spans_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
+def extract_spans_df(
+    docs: DataFrame, stage1: bool = True, boilerplate: bool = False
+) -> DataFrame:
     """Full extraction: nested contract table in, flat output spans out
     (doc_id, chapter_id, kind, text, media_ref, offset).
 
@@ -160,7 +167,10 @@ def extract_spans_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
     if stage1:
         flat = prepare_stage1(flat)
     flat = flat.repartition("doc_id").sortWithinPartitions("doc_id", "offset")
-    return flat.mapInPandas(_make_kernel(stage1_done=stage1), schema=OUT_SPAN_SCHEMA)
+    return flat.mapInPandas(
+        _make_kernel(stage1_done=stage1, boilerplate=boilerplate),
+        schema=OUT_SPAN_SCHEMA,
+    )
 
 
 def to_nested_output(flat_spans: DataFrame) -> DataFrame:

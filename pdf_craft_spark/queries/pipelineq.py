@@ -60,10 +60,18 @@ def pipeline_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pipeline_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12: extraction with frequency-based repeated-line demotion on —
+    running headers recurring across a book's pages are dropped."""
+    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
+    return extract_spans_df(docs, boilerplate=True).orderBy("doc_id", "offset")
+
+
 QUERIES = {
     "pipeline_extract_spans": pipeline_extract_spans,
     "pipeline_stage1_prep": pipeline_stage1_prep,
     "pipeline_doc_metrics": pipeline_doc_metrics,
     "pipeline_nested_output": pipeline_nested_output,
+    "pipeline_boilerplate_strip": pipeline_boilerplate_strip,
 }
 ORACLES: dict = {}

@@ -11,10 +11,10 @@ from pdf_craft_spark.corpus import generate_document, pages_to_spans, parse_raw_
 from pdf_craft_spark.operators.document import extract_document
 
 GOLDEN = {
-    1: ("7f2af7b26d", 13),
-    2: ("9db7900301", 31),
-    7: ("d89b6df54f", 18),
-    42: ("c8090d6e92", 18),
+    1: ("034656d546", 17),
+    2: ("7ad04ab7b7", 28),
+    7: ("1da3070aa2", 11),
+    42: ("d31dc66b6b", 24),
 }
 
 
