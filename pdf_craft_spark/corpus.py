@@ -224,8 +224,11 @@ class _BookBuilder:
 
 def generate_document(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> list[RawPage]:
     rng = random.Random((seed << 32) ^ doc_id)
-    if heavy_tail and rng.random() < 0.05:
-        n_pages = rng.randint(40, 120)  # the long-book skew tail
+    r = rng.random()
+    if heavy_tail and r < 0.01:
+        n_pages = rng.randint(200, 500)  # the extreme long-book tail
+    elif heavy_tail and r < 0.05:
+        n_pages = rng.randint(40, 120)
     else:
         n_pages = rng.randint(4, 14)
     return _BookBuilder(rng, n_pages).build()
