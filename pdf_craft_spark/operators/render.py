@@ -117,6 +117,10 @@ def render_asset(asset: Asset, ref_numbers: RefNumbers | None) -> str:
             if has_content:
                 parts.append("\n\n")
             parts.append(to_markdown_string(KIND_BRACKET, content))
+        # the reference flags has_content from the RAW field, even when the
+        # render came out empty (layouts.py:139-144) — caption spacing
+        # depends on it
+        if asset.content:
             has_content = True
     elif asset.kind == "table":
         if asset.content:
