@@ -118,7 +118,7 @@ def dedup_token_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
     return (
-        jac.withColumn("rank", F.row_number().over(w))
+        jac.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 20)
         .select("rank", "doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("rank")

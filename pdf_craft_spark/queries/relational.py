@@ -124,7 +124,7 @@ def w7_event_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.row_number().over(w).alias("seq_no"),
+        F.row_number().over(w).cast("bigint").alias("seq_no"),
     ).orderBy("user_id", "seq_no")
 
 
@@ -174,8 +174,8 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS starts_new
   FROM events
 ), sess AS (
-  SELECT *, sum(starts_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(starts_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -193,7 +193,7 @@ def f1_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
-        F.length(norm).alias("norm_len"),
+        F.length(norm).cast("bigint").alias("norm_len"),
     ).orderBy("doc_id")
 
 
@@ -244,10 +244,10 @@ def f2_bbox_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.select(
             "p_partkey",
-            cl.alias("det_l"),
-            ct.alias("det_t"),
-            cr.alias("det_r"),
-            cb.alias("det_b"),
+            cl.cast("bigint").alias("det_l"),
+            ct.cast("bigint").alias("det_t"),
+            cr.cast("bigint").alias("det_r"),
+            cb.cast("bigint").alias("det_b"),
         )
         .filter((F.col("det_l") < F.col("det_r")) & (F.col("det_t") < F.col("det_b")))
         .orderBy("p_partkey")
@@ -304,7 +304,7 @@ def o2_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        part.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("p_brand", "rank", "p_partkey", "p_retailprice")
         .orderBy("p_brand", "rank")
@@ -327,7 +327,8 @@ def s3_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(
-            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo")
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

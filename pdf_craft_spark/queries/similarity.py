@@ -59,7 +59,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
         .orderBy("query_id", "rank")
