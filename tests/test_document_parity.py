@@ -25,7 +25,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _reference_markdown(doc_id: int, tmp: pathlib.Path) -> str:
+def _reference_markdown(doc_id: int, tmp: pathlib.Path, toc_assumed: bool = True) -> str:
     aho_shim.install()
     types_mod = load_reference_module("pdf_craft.pdf.types")
     xml_mod = load_reference_module("pdf_craft.common.xml")
@@ -46,7 +46,7 @@ def _reference_markdown(doc_id: int, tmp: pathlib.Path) -> str:
         xml_mod.save_xml(types_mod.encode(p), pages_path / f"page_{p.index}.xml")
 
     toc_info = analysing.analyse_toc(
-        pages_path, tmp / "toc.xml", toc_assumed=True, toc_llm=None
+        pages_path, tmp / "toc.xml", toc_assumed=toc_assumed, toc_llm=None
     )
     chapters_path = tmp / "chapters"
     generation.generate_chapter_files(pages_path, chapters_path, toc_info)
@@ -69,11 +69,11 @@ def _reference_markdown(doc_id: int, tmp: pathlib.Path) -> str:
     return out_md.read_text()
 
 
-def _our_markdown(doc_id: int) -> str:
+def _our_markdown(doc_id: int, toc_assumed: bool = True) -> str:
     from pdf_craft_spark.operators.document import extract_document
 
     pages = _prepared_pages(doc_id)
-    _, spans = extract_document(pages, prepared=True)
+    _, spans = extract_document(pages, prepared=True, toc_assumed=toc_assumed)
     body = [s.text for s in spans if s.kind != "footnote"]
     fns = [s.text for s in spans if s.kind == "footnote"]
     parts = body + (["---\n\n## References"] + fns if fns else [])
@@ -83,3 +83,12 @@ def _our_markdown(doc_id: int) -> str:
 @pytest.mark.parametrize("doc_id", list(range(40)))
 def test_full_document_markdown_parity(doc_id, tmp_path):
     assert _our_markdown(doc_id) == _reference_markdown(doc_id, tmp_path)
+
+
+@pytest.mark.parametrize("doc_id", list(range(10)))
+def test_full_document_parity_no_toc_path(doc_id, tmp_path):
+    """toc_assumed=False exercises the analyse_title_levels fallback:
+    chapters come from global title-height levels, no TOC-page removal."""
+    assert _our_markdown(doc_id, toc_assumed=False) == _reference_markdown(
+        doc_id, tmp_path, toc_assumed=False
+    )
