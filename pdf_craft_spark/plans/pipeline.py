@@ -188,6 +188,49 @@ def to_nested_output(flat_spans: DataFrame) -> DataFrame:
     )
 
 
+MARKDOWN_SCHEMA = "doc_id string, markdown string, n_spans int"
+
+
+def extract_markdown_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
+    """S8: the markdown-file sink as a DataFrame — one rendered markdown
+    string per document (same kernel, string output instead of spans)."""
+    ensure_package_shipped(docs.sparkSession)
+    flat = explode_spans(docs)
+    if stage1:
+        flat = prepare_stage1(flat)
+    flat = flat.repartition("doc_id").sortWithinPartitions("doc_id", "offset")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_craft_spark.corpus import parse_raw_spans
+        from pdf_craft_spark.operators.document import extract_document
+
+        carry: pd.DataFrame | None = None
+
+        def block(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for doc_id, g in pdf.groupby("doc_id", sort=False):
+                spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
+                md, out_spans = extract_document(
+                    parse_raw_spans(spans), stage1_done=stage1
+                )
+                rows.append((doc_id, md, len(out_spans)))
+            return pd.DataFrame(rows, columns=["doc_id", "markdown", "n_spans"])
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            is_last = pdf["doc_id"] == pdf["doc_id"].iloc[-1]
+            carry = pdf[is_last]
+            if len(pdf[~is_last]):
+                yield block(pdf[~is_last])
+        if carry is not None and len(carry):
+            yield block(carry)
+
+    return flat.mapInPandas(kernel, schema=MARKDOWN_SCHEMA)
+
+
 def doc_metrics(flat_spans: DataFrame) -> DataFrame:
     """A9: per-doc extraction metrics (spans/doc, chapters/doc, kind mix)."""
     return (

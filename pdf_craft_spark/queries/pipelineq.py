@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pdf_craft_spark.plans.pipeline import (
     corpus_df,
     doc_metrics,
+    extract_markdown_df,
     extract_spans_df,
     prepare_stage1,
     to_nested_output,
@@ -67,8 +68,17 @@ def pipeline_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans_df(docs, boilerplate=True).orderBy("doc_id", "offset")
 
 
+def pipeline_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: per-doc rendered markdown (the file-sink payload)."""
+    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
+    return extract_markdown_df(docs).select(
+        "doc_id", "n_spans", F.length("markdown").alias("md_len")
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "pipeline_extract_spans": pipeline_extract_spans,
+    "pipeline_markdown": pipeline_markdown,
     "pipeline_stage1_prep": pipeline_stage1_prep,
     "pipeline_doc_metrics": pipeline_doc_metrics,
     "pipeline_nested_output": pipeline_nested_output,

@@ -69,3 +69,15 @@ def test_doc_metrics(spark):
     for doc_id, row in m.items():
         assert row.n_spans == len(_local_truth(int(doc_id)))
         assert row.n_chapters >= 1
+
+
+def test_markdown_sink_matches_kernel(spark):
+    from pdf_craft_spark.plans.pipeline import extract_markdown_df
+
+    docs = corpus_df(spark, 6, SEED, partitions=2)
+    got = {r.doc_id: r.markdown for r in extract_markdown_df(docs).collect()}
+    assert len(got) == 6
+    for doc_id in got:
+        pages = parse_raw_spans(pages_to_spans(generate_document(int(doc_id), SEED)))
+        md, _ = extract_document(pages)
+        assert got[doc_id] == md, f"doc {doc_id} markdown mismatch"
