@@ -18,6 +18,7 @@ the external OCR model.  At training-data scale the engine treats media as
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +32,12 @@ try:  # pragma: no cover - not present in this image
     MEDIA_CODECS_AVAILABLE = True
 except Exception:  # ImportError; anything else means a broken install
     MEDIA_CODECS_AVAILABLE = False
+
+# Real pixel decode is an explicit opt-in (set PDF_CRAFT_SPARK_REAL_DECODE=1
+# on a cluster with the codecs installed).  A merely-importable PIL must NOT
+# change results: the deterministic stub is the default everywhere so the
+# oracle check stays engine-portable.
+REAL_DECODE = os.environ.get("PDF_CRAFT_SPARK_REAL_DECODE", "") == "1"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -48,9 +55,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
+
+FEATURE_DIM = 8
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
@@ -68,22 +77,45 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def _decode_stub(content: bytes, mime: str) -> tuple[int, int, int, list[float]]:
+    """Deterministic stub decode → (width, height, n_frames, feature vec).
+
+    Derived from ``md5(hex(content))`` through ascii codes of the hex
+    digest's characters, so a SQL oracle can recompute it exactly
+    (``ascii(substr(md5(hex(content)), i, 1))`` in both Spark and DuckDB);
+    features are ``ascii/256.0`` — dyadic rationals, bit-exact doubles in
+    every engine.  Keeps downstream shapes honest: an 8-dim 'embedding'
+    per object."""
+    h = hashlib.md5(content.hex().upper().encode("ascii")).hexdigest()
+    a = [ord(c) for c in h]  # ascii codes of the 32 hex chars
+    width = 64 + (a[0] * 16 + a[1]) % 192
+    height = 64 + (a[2] * 16 + a[3]) % 192
+    n_frames = 1 if mime.startswith("image/") else 1 + (a[4] * 16 + a[5]) % 32
+    feature = [a[6 + i] / 256.0 for i in range(FEATURE_DIM)]
+    return width, height, n_frames, feature
+
+
 def _decode_bytes(content: bytes, mime: str) -> tuple[int, int, int, list[float]]:
     """Decode one media payload → (width, height, n_frames, feature vec).
 
-    STUB: deterministic fake derived from the bytes (the real
-    implementation calls PIL / torchaudio / pyav here). Keeps downstream
-    shapes honest: an 8-dim 'embedding' per object."""
-    if MEDIA_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError(
-            "real decode path: wire PIL.Image.open(BytesIO(content)) here"
-        )
-    h = hashlib.sha256(content).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    n_frames = 1 if mime.startswith("image/") else 1 + h[2] % 32
-    feature = [round(b / 255.0, 6) for b in h[3:11]]
-    return width, height, n_frames, feature
+    Default: the deterministic stub (above).  With
+    ``PDF_CRAFT_SPARK_REAL_DECODE=1`` and a present codec, images go
+    through the real decoder (falling back to the stub per-object on
+    decode failure) — an importable PIL alone never changes behavior."""
+    if REAL_DECODE and MEDIA_CODECS_AVAILABLE and mime.startswith("image/"):
+        try:  # pragma: no cover - codecs absent in this image
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(content)) as img:
+                width, height = img.size
+                n_frames = int(getattr(img, "n_frames", 1))
+            _, _, _, feature = _decode_stub(content, mime)
+            return width, height, n_frames, feature
+        except Exception:
+            pass  # undecodable payload → deterministic fallback
+    return _decode_stub(content, mime)
 
 
 def extract_media_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:

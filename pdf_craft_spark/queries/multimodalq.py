@@ -1,17 +1,20 @@
 """Multimodal-column queries: binary payload plumbing.
 
-``media_metadata`` is JVM-side and oracle-checked (the binary payloads are
-derived engine-portably via unhex(md5(...)), so DuckDB computes identical
-blobs); decode/feature/frame ops run the Arrow kernel with the stubbed
-codec (rows-only checks)."""
+The binary payloads are derived engine-portably via unhex(md5(...)), and
+the stub decode is derived from md5(hex(content)) through ascii codes —
+so ALL three queries (metadata, decode/features, frame fan-out) are
+oracle-checked: DuckDB recomputes the exact same values in SQL while the
+Spark side actually exercises the Arrow mapInPandas kernel."""
 
 from __future__ import annotations
 
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pdf_craft_spark.functions.multimodal import (
+    FEATURE_DIM,
     extract_media_features,
     media_metadata,
     sample_frames,
@@ -27,7 +30,7 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(synth_media_table(_docs(spark, sf_dir))).orderBy("media_ref")
 
 
-MEDIA_METADATA_SQL = """
+_MEDIA_CTE = """
 WITH media AS (
   SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -36,6 +39,9 @@ WITH media AS (
          unhex(md5(text) || md5(text || '|2') || md5(text || '|3')) AS content
   FROM documents
 )
+"""
+
+MEDIA_METADATA_SQL = _MEDIA_CTE + """
 SELECT media_ref, mime,
        CAST(octet_length(content) AS INT) AS n_bytes,
        sha256(hex(content)) AS content_hash,
@@ -45,15 +51,65 @@ FROM media ORDER BY media_ref
 
 
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_media_features(synth_media_table(_docs(spark, sf_dir))).orderBy(
-        "media_ref"
-    )
+    """Arrow-kernel decode; the feature vector is flattened to scalar
+    columns f0..f7 in the output projection (arrays stay internal — the
+    driver's canonicalizer sorts scalar columns)."""
+    feats = extract_media_features(synth_media_table(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_ref",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(FEATURE_DIM)],
+    ).orderBy("media_ref")
+
+
+_FEAT_CTE = _MEDIA_CTE + """
+, feat AS (
+  SELECT media_ref, mime,
+         CAST(octet_length(content) AS INT) AS n_bytes,
+         md5(hex(content)) AS h
+  FROM media
+)
+"""
+
+MEDIA_FEATURES_SQL = _FEAT_CTE + """
+SELECT media_ref, mime, n_bytes,
+       CAST(64 + (ascii(substr(h, 1, 1)) * 16 + ascii(substr(h, 2, 1))) % 192 AS INT) AS width,
+       CAST(64 + (ascii(substr(h, 3, 1)) * 16 + ascii(substr(h, 4, 1))) % 192 AS INT) AS height,
+       CAST(CASE WHEN mime LIKE 'image/%' THEN 1
+                 ELSE 1 + (ascii(substr(h, 5, 1)) * 16 + ascii(substr(h, 6, 1))) % 32
+            END AS INT) AS n_frames,
+""" + ",\n".join(
+    f"       ascii(substr(h, {7 + i}, 1)) / 256.0 AS f{i}" for i in range(FEATURE_DIM)
+) + """
+FROM feat ORDER BY media_ref
+"""
 
 
 def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(synth_media_table(_docs(spark, sf_dir)), every_nth=8).orderBy(
-        "media_ref", "frame_index"
-    )
+    out = sample_frames(synth_media_table(_docs(spark, sf_dir)), every_nth=8)
+    return out.select(
+        "media_ref", F.col("frame_index").cast("int").alias("frame_index"), "frame_ref"
+    ).orderBy("media_ref", "frame_index")
+
+
+MEDIA_FRAME_SAMPLE_SQL = _FEAT_CTE + """
+, nf AS (
+  SELECT media_ref,
+         CASE WHEN mime LIKE 'image/%' THEN 1
+              ELSE 1 + (ascii(substr(h, 5, 1)) * 16 + ascii(substr(h, 6, 1))) % 32
+         END AS n_frames
+  FROM feat
+), fr AS (
+  SELECT media_ref, unnest(range(0, n_frames, 8)) AS fi FROM nf
+)
+SELECT media_ref, CAST(fi AS INT) AS frame_index,
+       media_ref || '#' || CAST(fi AS VARCHAR) AS frame_ref
+FROM fr ORDER BY media_ref, frame_index
+"""
 
 
 QUERIES = {
@@ -63,4 +119,6 @@ QUERIES = {
 }
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
 }
