@@ -1,14 +1,25 @@
-"""Extraction-pipeline queries (per-doc ordered kernels; rows-only driver
-checks — chapter/paragraph stitching, reading order, TOC inference and
-footnote joins are not ANSI-SQL-expressible, so no DuckDB oracle entries).
+"""Extraction-pipeline queries (per-doc ordered kernels) with GOLDEN-TABLE
+oracles.
 
-Each runs the deterministic synthetic interleaved corpus at a size scaled
-to the sf directory, through the 3-stage Spark plan in plans/pipeline.py.
+The queries run the pinned 24-document deterministic interleaved corpus
+(GOLDEN_DOCS) through the distributed 3-stage Spark plan in
+plans/pipeline.py.  The DuckDB oracle for each reads the matching golden
+parquet under golden/n24/ — materialized by scripts/make_golden.py from the
+LOCAL single-process kernel, which tests/test_document_parity.py proves
+byte-identical to the actual reference pipeline
+(/root/reference/pdf_craft/transform.py:192 → sequence/generation.py:23 →
+markdown/render/render.py:15).  So a green row here certifies: Spark
+distributed plan == reference-parity kernel, span-for-span
+(kind, text, media_ref, order) — the north-rule invariant.
+
+The corpus size is pinned (not sf-scaled) because correctness is a
+value-equality gate, not a throughput one — scale/throughput is measured
+separately in bench.py on 10k-50k-doc corpora.
 """
 
 from __future__ import annotations
 
-import re
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,39 +34,43 @@ from pdf_craft_spark.plans.pipeline import (
 )
 
 SEED = 42
+GOLDEN_DOCS = 24
+_GOLDEN_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "golden", "n24")
+)
 
 
-def _n_docs(sf_dir: str) -> int:
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.01
-    return max(8, int(2400 * sf))
+def _golden_sql(name: str, order_by: str) -> str:
+    path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
+    return f"SELECT * FROM read_parquet('{path}') ORDER BY {order_by}"
+
+
+def _corpus(spark: SparkSession) -> DataFrame:
+    return corpus_df(spark, GOLDEN_DOCS, SEED)
 
 
 def pipeline_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extraction — raw interleaved spans → ordered output
     spans (W1/W2/W3/W4/W5/W6/W7, J1/J2/J3, E1-E12, A2-A7, F1-F9)."""
-    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
-    return extract_spans_df(docs).orderBy("doc_id", "offset")
+    return extract_spans_df(_corpus(spark)).orderBy("doc_id", "offset")
 
 
 def pipeline_stage1_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 1 alone (F1/F3/F4 as codegen'd Catalyst scalar ops)."""
     from pdf_craft_spark.plans.pipeline import explode_spans
 
-    flat = prepare_stage1(explode_spans(corpus_df(spark, _n_docs(sf_dir), SEED)))
+    flat = prepare_stage1(explode_spans(_corpus(spark)))
     return flat.select("doc_id", "kind", "text", "offset").orderBy("doc_id", "offset")
 
 
 def pipeline_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: per-doc extraction metrics table."""
-    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
-    return doc_metrics(extract_spans_df(docs)).orderBy("doc_id")
+    return doc_metrics(extract_spans_df(_corpus(spark))).orderBy("doc_id")
 
 
 def pipeline_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage 3: re-nested (doc_id, spans) output contract shape."""
-    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
-    nested = to_nested_output(extract_spans_df(docs))
+    nested = to_nested_output(extract_spans_df(_corpus(spark)))
     return nested.select(
         "doc_id", F.size("spans").alias("n_spans")
     ).orderBy("doc_id")
@@ -64,15 +79,16 @@ def pipeline_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12: extraction with frequency-based repeated-line demotion on —
     running headers recurring across a book's pages are dropped."""
-    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
-    return extract_spans_df(docs, boilerplate=True).orderBy("doc_id", "offset")
+    return extract_spans_df(_corpus(spark), boilerplate=True).orderBy(
+        "doc_id", "offset"
+    )
 
 
 def pipeline_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8: per-doc rendered markdown (the file-sink payload)."""
-    docs = corpus_df(spark, _n_docs(sf_dir), SEED)
-    return extract_markdown_df(docs).select(
-        "doc_id", "n_spans", F.length("markdown").alias("md_len")
+    """S8: per-doc rendered markdown (the file-sink payload), compared
+    byte-for-byte against the reference-parity kernel's rendering."""
+    return extract_markdown_df(_corpus(spark)).select(
+        "doc_id", "markdown", "n_spans"
     ).orderBy("doc_id")
 
 
@@ -84,4 +100,15 @@ QUERIES = {
     "pipeline_nested_output": pipeline_nested_output,
     "pipeline_boilerplate_strip": pipeline_boilerplate_strip,
 }
-ORACLES: dict = {}
+ORACLES = {
+    "pipeline_extract_spans": _golden_sql(
+        "pipeline_extract_spans", 'doc_id, "offset"'
+    ),
+    "pipeline_markdown": _golden_sql("pipeline_markdown", "doc_id"),
+    "pipeline_stage1_prep": _golden_sql("pipeline_stage1_prep", 'doc_id, "offset"'),
+    "pipeline_doc_metrics": _golden_sql("pipeline_doc_metrics", "doc_id"),
+    "pipeline_nested_output": _golden_sql("pipeline_nested_output", "doc_id"),
+    "pipeline_boilerplate_strip": _golden_sql(
+        "pipeline_boilerplate_strip", 'doc_id, "offset"'
+    ),
+}

@@ -1,0 +1,59 @@
+"""The committed golden tables must equal what the local reference-parity
+kernel produces TODAY — a drift guard: any kernel change that would break
+the driver's golden-table correctness gate fails here first."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from scripts.make_golden import (
+    GOLDEN_DIR,
+    N_DOCS,
+    kernel_outputs,
+    stage1_rows,
+)
+
+
+def _committed(name: str) -> list[tuple]:
+    path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+    table = pq.read_table(path)
+    return list(zip(*(table.column(c).to_pylist() for c in table.column_names)))
+
+
+def test_golden_spans_current():
+    got = []
+    for doc_id in range(N_DOCS):
+        _, spans = kernel_outputs(doc_id, boilerplate=False)
+        got.extend(
+            (str(doc_id), s.chapter_id, s.kind, s.text, s.media_ref, s.offset)
+            for s in spans
+        )
+    assert got == _committed("pipeline_extract_spans")
+
+
+def test_golden_markdown_current():
+    got = []
+    for doc_id in range(N_DOCS):
+        md, spans = kernel_outputs(doc_id, boilerplate=False)
+        got.append((str(doc_id), md, len(spans)))
+    assert got == _committed("pipeline_markdown")
+
+
+def test_golden_stage1_current():
+    got = []
+    for doc_id in range(N_DOCS):
+        got.extend(stage1_rows(doc_id))
+    assert got == _committed("pipeline_stage1_prep")
+
+
+def test_golden_boilerplate_current():
+    got = []
+    for doc_id in range(N_DOCS):
+        _, spans = kernel_outputs(doc_id, boilerplate=True)
+        got.extend(
+            (str(doc_id), s.chapter_id, s.kind, s.text, s.media_ref, s.offset)
+            for s in spans
+        )
+    assert got == _committed("pipeline_boilerplate_strip")
