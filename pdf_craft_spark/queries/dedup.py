@@ -116,10 +116,17 @@ def dedup_token_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # top-20 via orderBy().limit() → TakeOrderedAndProject: each task keeps
+    # its local top-20 and only those reach the driver — no global
+    # single-task sort of all candidate pairs (the previous unpartitioned
+    # row_number window funneled every pair through one task).  The rank
+    # window then runs over just the 20 surviving rows.
+    top = jac.select("doc_a", "doc_b", "n_inter", "jaccard").orderBy(
+        F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(20)
     w = W.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
     return (
-        jac.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("rank", "doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("rank")
     )

@@ -108,8 +108,7 @@ def _plane_signs() -> list[list[int]]:
     return signs
 
 
-def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+def _bit_cols() -> list[F.Column]:
     signs = _plane_signs()
     bit_cols = []
     for p in range(N_PLANES):
@@ -118,8 +117,13 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, s in enumerate(signs[p])
         )
         bit_cols.append(F.when(F.expr(terms) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return bit_cols
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
     return emb.select(
-        "vec_id", F.concat(*bit_cols).alias("bucket"), "label"
+        "vec_id", F.concat(*_bit_cols()).alias("bucket"), "label"
     ).orderBy("vec_id")
 
 
@@ -139,12 +143,130 @@ def _lsh_duck_sql() -> str:
 SIM_LSH_BUCKETS_SQL = _lsh_duck_sql()
 
 
+# --- end-to-end bucketed ANN top-k -------------------------------------------
+# The 100 TB path: candidates come from an EQUI-JOIN on bucket key (with
+# multiprobe — each query also probes the 8 buckets at Hamming distance 1
+# from its own, recovering most hyperplane-boundary misses), then exact
+# cosine reranks only within the candidate set.  The plan contains no
+# CartesianProduct / BroadcastNestedLoopJoin anywhere: bucket assignment is
+# a narrow projection, candidate generation shuffles on the 8-bit bucket
+# key, rerank is per-pair scalar math.  Scale knobs: more planes and/or
+# multiple hash tables widen the bucket space as the corpus grows.
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.concat(*_bit_cols()).alias("bucket"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cbucket"),
+        F.col("norm2").alias("nc"),
+    )
+    # probe set: own bucket + each single-bit flip (Hamming radius 1)
+    flips = [F.col("bucket")] + [
+        F.concat(
+            F.substring("bucket", 1, p),
+            F.when(F.substring("bucket", p + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring("bucket", p + 2, N_PLANES - p - 1),
+        )
+        for p in range(N_PLANES)
+    ]
+    q = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm2").alias("nq"),
+            F.explode(F.array(*flips)).alias("probe"),
+        )
+    )
+    cand = q.join(c, q["probe"] == c["cbucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / F.sqrt(F.col("nq") * F.col("nc")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_topk_duck_sql() -> str:
+    signs = _plane_signs()
+    bits = []
+    for p in range(N_PLANES):
+        terms = " + ".join(
+            f"({s}.0 * CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d, s in enumerate(signs[p])
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END AS b{p}")
+    bucket = " || ".join(f"b{p}" for p in range(N_PLANES))
+    probe_selects = ["  SELECT query_id, qe, nq, bucket AS probe FROM q"]
+    for p in range(N_PLANES):
+        flipped = " || ".join(
+            f"(CASE WHEN b{i} = '1' THEN '0' ELSE '1' END)" if i == p else f"b{i}"
+            for i in range(N_PLANES)
+        )
+        probe_selects.append(
+            f"  SELECT query_id, qe, nq, {flipped} AS probe FROM q"
+        )
+    probes = "\n  UNION ALL\n".join(probe_selects)
+    norm = _DOT_DUCK.format(a="embedding", b="embedding", n=DIM)
+    dot = _DOT_DUCK.format(a="qe", b="ce", n=DIM)
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding, {", ".join(bits)}, {norm} AS norm2 FROM embeddings
+), base2 AS (
+  SELECT vec_id, embedding, {bucket} AS bucket, norm2,
+         {", ".join(f"b{p}" for p in range(N_PLANES))}
+  FROM base
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm2 AS nq,
+         bucket, {", ".join(f"b{p}" for p in range(N_PLANES))}
+  FROM base2 WHERE vec_id < {N_QUERIES}
+), probes AS (
+{probes}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, bucket AS cbucket, norm2 AS nc
+  FROM base2
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({dot} / sqrt(nq * nc), 6) AS cos_sim
+  FROM probes JOIN c ON probe = cbucket
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+SIM_LSH_TOPK_SQL = _lsh_topk_duck_sql()
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
+    "sim_lsh_topk": sim_lsh_topk,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
+    "sim_lsh_topk": SIM_LSH_TOPK_SQL,
 }
