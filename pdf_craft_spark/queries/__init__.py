@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pdf_craft_spark.queries import (
+    bookmetaq,
     dedup,
     multimodalq,
     pipelineq,
@@ -28,7 +29,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-for mod in (relational, relational2, textops, dedup, similarity, multimodalq, pipelineq):
+for mod in (
+    relational,
+    relational2,
+    textops,
+    dedup,
+    similarity,
+    multimodalq,
+    pipelineq,
+    bookmetaq,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
