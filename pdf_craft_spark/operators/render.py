@@ -213,7 +213,10 @@ def render_document(
             md_parts.append(text)
             offset += 1
 
-    # footnotes section (render.py:74-92)
+    # footnotes section (render.py:74-92); the reference opens it with a
+    # '---' divider + '## References' heading (render.py:82) — a markdown
+    # rendering artifact, so it joins md_parts but is NOT a content span
+    divider_pending = True
     for i, key in enumerate(all_keys, 1):
         ref = refs_by_key.get(key)
         if ref is None:
@@ -230,6 +233,9 @@ def render_document(
         spans.append(
             OutSpan(kind="footnote", text=text, media_ref=None, offset=offset, chapter_id=None)
         )
+        if divider_pending:
+            md_parts.append("---\n\n## References")
+            divider_pending = False
         md_parts.append(text)
         offset += 1
 

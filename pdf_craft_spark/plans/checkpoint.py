@@ -58,15 +58,23 @@ def run_with_resume(
     done = committed_doc_ids(spark, out_dir)
     todo = docs if done is None else docs.join(done, "doc_id", "left_anti")
 
-    flat = extract_spans_df(todo).withColumn(
-        "bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS))
+    # every span row carries the run that produced it — row-level lineage,
+    # and the per-run manifest delta below is a cheap parquet scan filtered
+    # on run_id (row-group stats prune old runs) instead of a re-extraction
+    flat = (
+        extract_spans_df(todo)
+        .withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)))
+        .withColumn("run_id", F.lit(run_id))
     )
     flat.write.mode("append").partitionBy("bucket").parquet(_spans_path(out_dir))
     wall = time.time() - t0
 
     out = spark.read.parquet(_spans_path(out_dir))
+    # manifest rows record THIS run's delta per bucket; wall_sec is the
+    # run-level wall clock (identical across the run's bucket rows)
     lineage = (
-        out.groupBy("bucket")
+        out.filter(F.col("run_id") == run_id)
+        .groupBy("bucket")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_spans"),

@@ -5,20 +5,57 @@ event-time semantics anywhere), so the Spark-native incremental story is
 file-arrival Structured Streaming: new parquet files of interleaved docs
 land in a directory; each micro-batch runs the SAME batch extraction plan
 via ``foreachBatch`` and appends to the same bucket-partitioned output the
-batch checkpoint (plans/checkpoint.py) uses.  Exactly-once comes from the
-streaming checkpoint (source offsets) + idempotent doc-keyed output.
+batch checkpoint (plans/checkpoint.py) uses.
+
+Delivery semantics: ``foreachBatch`` is at-least-once — a micro-batch can
+REPLAY after a failure between the parquet append and the offset commit.
+The sink is therefore made idempotent at the document level: each batch is
+left-anti-joined against the doc_ids already committed to the output
+(exactly what plans/checkpoint.run_with_resume does for batch resume), so
+a replayed batch re-writes nothing and the OBSERVED result is
+effectively-once per document.  On Iceberg the same property comes
+cheaper, from MERGE/overwrite-by-filter snapshot atomicity keyed on
+(epoch_id, doc_id).
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_craft_spark.plans.checkpoint import N_BUCKETS
+from pdf_craft_spark.plans.checkpoint import N_BUCKETS, committed_doc_ids
 from pdf_craft_spark.plans.pipeline import extract_spans_df
 from pdf_craft_spark.schemas import INTERLEAVED_DOC_SCHEMA
+
+
+def make_batch_processor(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """The foreachBatch body, exposed for direct replay testing: dedups
+    the batch against committed doc_ids, so re-processing the same batch
+    (an at-least-once replay) appends nothing."""
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = committed_doc_ids(spark, out_dir)
+        todo = (
+            batch_df
+            if done is None
+            else batch_df.join(done, "doc_id", "left_anti")
+        )
+        flat = (
+            extract_spans_df(todo)
+            .withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)))
+            .withColumn("run_id", F.lit(f"epoch_{epoch_id}"))
+        )
+        (
+            flat.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, "spans"))
+        )
+
+    return process_batch
 
 
 def start_incremental_extraction(
@@ -29,7 +66,7 @@ def start_incremental_extraction(
     max_files_per_trigger: int = 8,
 ):
     """readStream over an interleaved-docs directory → per-micro-batch
-    extraction → append to the bucket-partitioned spans dataset.
+    extraction → idempotent append to the bucket-partitioned spans dataset.
 
     Returns the StreamingQuery (caller stops it / processAllAvailable)."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
@@ -38,19 +75,8 @@ def start_incremental_extraction(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
-
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        flat = extract_spans_df(batch_df).withColumn(
-            "bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS))
-        )
-        (
-            flat.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "spans"))
-        )
-
     return (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(make_batch_processor(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

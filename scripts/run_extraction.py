@@ -30,6 +30,24 @@ import uuid
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _clear_output(spark, output: str) -> None:
+    """Remove a pre-existing output dataset through the Hadoop FileSystem
+    API, so hdfs:// and s3a:// URIs are cleared too — a fresh (non-resume)
+    run must never silently append into stale spans.  Local paths take the
+    cheap os path."""
+    if "://" not in output:
+        if os.path.isdir(output):
+            shutil.rmtree(output)
+        return
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(output)
+    fs = path.getFileSystem(hadoop_conf)
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -54,8 +72,8 @@ def main() -> None:
     if args.generate_docs:
         corpus_df(spark, args.generate_docs).write.mode("overwrite").parquet(args.input)
 
-    if not args.resume and os.path.isdir(args.output):
-        shutil.rmtree(args.output)
+    if not args.resume:
+        _clear_output(spark, args.output)
 
     docs = spark.read.parquet(args.input)
     t0 = time.time()

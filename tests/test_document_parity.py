@@ -73,11 +73,8 @@ def _our_markdown(doc_id: int, toc_assumed: bool = True) -> str:
     from pdf_craft_spark.operators.document import extract_document
 
     pages = _prepared_pages(doc_id)
-    _, spans = extract_document(pages, prepared=True, toc_assumed=toc_assumed)
-    body = [s.text for s in spans if s.kind != "footnote"]
-    fns = [s.text for s in spans if s.kind == "footnote"]
-    parts = body + (["---\n\n## References"] + fns if fns else [])
-    return "\n\n".join(parts)
+    md, _ = extract_document(pages, prepared=True, toc_assumed=toc_assumed)
+    return md  # the S8 sink string itself — byte-compared, no fixups
 
 
 @pytest.mark.parametrize("doc_id", list(range(40)))

@@ -10,11 +10,14 @@ import hashlib
 from pdf_craft_spark.corpus import generate_document, pages_to_spans, parse_raw_spans
 from pdf_craft_spark.operators.document import extract_document
 
+# updated 2026-08-16: markdown now includes the reference's
+# '---\n\n## References' divider (markdown/render/render.py:82), verified
+# byte-equal against the reference in test_document_parity.py
 GOLDEN = {
-    1: ("034656d546", 17),
-    2: ("7ad04ab7b7", 28),
-    7: ("1da3070aa2", 11),
-    42: ("d31dc66b6b", 24),
+    1: ("d7888a867c", 17),
+    2: ("e73592a3b9", 28),
+    7: ("a41e47690f", 11),
+    42: ("9df138c526", 24),
 }
 
 
