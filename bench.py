@@ -88,8 +88,13 @@ def _bench_spark(cpus: int, app: str):
     )
 
 
+# bump when the generator's output changes — stale /tmp corpora from an
+# older generator must never feed a bench run
+CORPUS_VERSION = "v2"  # v2: FIXTURES §3 tail restored (1% of docs 500-5000 pages)
+
+
 def corpus_path(n_docs: int) -> str:
-    return f"/tmp/spark_graft_bench/corpus_{SEED}_{n_docs}"
+    return f"/tmp/spark_graft_bench/corpus_{CORPUS_VERSION}_{SEED}_{n_docs}"
 
 
 def materialize_corpus(spark, n_docs: int) -> str:
@@ -142,10 +147,11 @@ def run_pipeline(spark, n_docs: int, reps: int = 3) -> dict:
     # first runs and the host shows occasional noisy-neighbor stalls, so
     # the fastest rep is the honest long-job rate (reps reported)
     wall, agg = timings[0]
-    # page counts come from the deterministic generator (cheap local calc)
-    from pdf_craft_spark.corpus import generate_document
+    # page counts come from the deterministic generator's draws alone
+    # (page_count mirrors the rng without building books — O(1) per doc)
+    from pdf_craft_spark.corpus import page_count
 
-    pages = sum(len(generate_document(i, SEED)) for i in range(n_docs))
+    pages = sum(page_count(i, SEED) for i in range(n_docs))
     return {
         "docs": int(agg["docs"]),
         "pages": pages,
@@ -182,8 +188,11 @@ def scaling_block(n_docs: int, cpus_hi: int) -> dict:
     cpus_lo = max(1, cpus_hi // 4)
     # the scaling corpus must give every core real work, or fixed task
     # overhead swamps the comparison (the very effect efficiency measures
-    # at cluster scale is compute scaling, not constant JVM costs)
-    n_docs = max(n_docs, 1600 * cpus_hi)
+    # at cluster scale is compute scaling, not constant JVM costs).  With
+    # the v2 heavy tail (1% of docs at 500-5000 pages ≈ 70% of all pages)
+    # 800 docs/cpu keeps lo-side reps under ~2 min while still carrying
+    # dozens of tail books.
+    n_docs = max(n_docs, 800 * cpus_hi)
     out = {}
     env = dict(os.environ, SPARK_GRAFT_BENCH_REPS="4")
     for label, cpus in (("lo", cpus_lo), ("hi", cpus_hi)):
@@ -254,7 +263,10 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
-    extraction = run_pipeline(spark, n_docs)
+    # the extraction headline needs enough docs that the 1%-of-docs
+    # long-book tail is a population, not one pinned task dominating the
+    # number (~100 docs/cpu ≈ 1 tail book per core)
+    extraction = run_pipeline(spark, max(n_docs, 100 * args.cpus))
     query_secs["pipeline_extract_spans"] = extraction["sec"]
     total += extraction["sec"]
     spark.stop()

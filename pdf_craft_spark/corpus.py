@@ -222,15 +222,28 @@ class _BookBuilder:
             )
 
 
-def generate_document(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> list[RawPage]:
-    rng = random.Random((seed << 32) ^ doc_id)
+def _draw_n_pages(rng: random.Random, heavy_tail: bool) -> int:
+    """Heavy-tailed page counts per FIXTURES.md §3 / the north rule's skew
+    requirement: ~1% of docs are 500-5000-page books — the single-doc
+    tail that pins one kernel task (W2 stitching is sequential per doc),
+    which salting cannot split and the bench must therefore expose."""
     r = rng.random()
     if heavy_tail and r < 0.01:
-        n_pages = rng.randint(200, 500)  # the extreme long-book tail
-    elif heavy_tail and r < 0.05:
-        n_pages = rng.randint(40, 120)
-    else:
-        n_pages = rng.randint(4, 14)
+        return rng.randint(500, 5000)  # the extreme long-book tail
+    if heavy_tail and r < 0.05:
+        return rng.randint(40, 120)
+    return rng.randint(4, 14)
+
+
+def page_count(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> int:
+    """Exact page count of generate_document(doc_id, seed) without building
+    the book — mirrors the same leading rng draws (cheap corpus stats)."""
+    return _draw_n_pages(random.Random((seed << 32) ^ doc_id), heavy_tail)
+
+
+def generate_document(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> list[RawPage]:
+    rng = random.Random((seed << 32) ^ doc_id)
+    n_pages = _draw_n_pages(rng, heavy_tail)
     return _BookBuilder(rng, n_pages).build()
 
 

@@ -100,14 +100,18 @@ def prepare_pages(pages: list[RawPage], text_ops: bool = True) -> list[RawPage]:
     return out
 
 
-def extract_document(
+def analyse_document(
     pages: list[RawPage],
     toc_assumed: bool = True,
     prepared: bool = False,
     stage1_done: bool = False,
     boilerplate_strip: bool = False,
-) -> tuple[str, list[OutSpan]]:
-    """Full pipeline for one document → (markdown, ordered output spans).
+):
+    """The sink-independent pipeline for one document → (chapters,
+    refs_by_key, toc_items).  Markdown (S8) and EPUB-record (S9) sinks
+    both consume this — mirroring the reference, where both renderers read
+    the same generated chapter files (markdown/render/render.py:15,
+    epub/render.py:43).
 
     ``stage1_done``: F1/F3/F4 already applied (JVM stage 1) — skip the
     Python re-run, keep F2 + renumbering.
@@ -197,5 +201,45 @@ def extract_document(
         normalize_punctuation_in_chapter(ch, ch_refs)
         analyse_chapter_internal_levels(ch)
 
-    # --- E11/E12 render + J6/W7 numbering ------------------------------------
+    return chapters, refs_by_key, toc_items
+
+
+def extract_document(
+    pages: list[RawPage],
+    toc_assumed: bool = True,
+    prepared: bool = False,
+    stage1_done: bool = False,
+    boilerplate_strip: bool = False,
+) -> tuple[str, list[OutSpan]]:
+    """Full pipeline for one document → (markdown, ordered output spans):
+    analyse_document + E11/E12 render + J6/W7 numbering (S8 sink)."""
+    chapters, refs_by_key, _ = analyse_document(
+        pages,
+        toc_assumed=toc_assumed,
+        prepared=prepared,
+        stage1_done=stage1_done,
+        boilerplate_strip=boilerplate_strip,
+    )
     return render_document(chapters, refs_by_key)
+
+
+def extract_epub_records(
+    pages: list[RawPage],
+    toc_assumed: bool = True,
+    prepared: bool = False,
+    stage1_done: bool = False,
+) -> tuple[list[tuple], list]:
+    """S9 sink: analyse_document + EPUB record conversion + TOC collection.
+    Returns (record rows, TocRec list) — see operators/epub_records.py."""
+    from pdf_craft_spark.operators.epub_records import (
+        collect_toc,
+        document_epub_records,
+    )
+
+    chapters, refs_by_key, toc_items = analyse_document(
+        pages, toc_assumed=toc_assumed, prepared=prepared, stage1_done=stage1_done
+    )
+    return (
+        document_epub_records(chapters, refs_by_key),
+        collect_toc(chapters, toc_items),
+    )

@@ -40,6 +40,13 @@ from pdf_craft_spark.shipping import ensure_package_shipped
 # n-gram (n in [2,5]) repeated >=16x back-to-back, or (n in [6,20]) >=8x —
 # one combined scan per span (exactly has_repetitive_ngrams' two bands,
 # textutil.py).
+#
+# Prefilter note (measured 2026-08-16, 250k spans / 146k past the length
+# guard): a sound bounded-backreference prefilter
+# ('(.)(.{0,4})(?:\1\2){3}|(.)(.{5,19})(?:\3\4){2}', 16% hit rate) made
+# the stage SLOWER (0.98s vs 0.86s vs 0.18s regex-free) — both regexes
+# fail fast per position, so the prefilter only adds a second scan.  The
+# length<32 guard below is the effective prefilter (skips ~40% of spans).
 _REPETITION = r"(?s)(.{2,5})\1{15}|(?s)(.{6,20})\2{7}"
 
 
@@ -83,7 +90,13 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 def prepare_stage1(flat: DataFrame) -> DataFrame:
     """Stage 1: F1 → F3 → F4 on flat span rows, in the reference's
     application order (page_extractor.py:105-123 then jointer.py:181-183)
-    — all Catalyst scalar expressions inside whole-stage codegen, narrow."""
+    — all Catalyst scalar expressions inside whole-stage codegen, narrow.
+
+    Parity footnote: the Python kernel's F1 also strips lone surrogates
+    (textutil.py remove_surrogates); this JVM stage does not, which is
+    unreachable here — lone surrogates are not valid UTF-8, so they cannot
+    arrive through Arrow or parquet string columns.  If a source ever
+    feeds binary-decoded text, strip them at ingest."""
     title_kinds = ("title", "sub_title", "fn_title", "fn_sub_title")
     normalized = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     flat = flat.withColumn("text", normalized)
@@ -229,6 +242,81 @@ def extract_markdown_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
             yield block(carry)
 
     return flat.mapInPandas(kernel, schema=MARKDOWN_SCHEMA)
+
+
+EPUB_RECORD_SCHEMA = (
+    "doc_id string, chapter_id int, seq int, record string, level int, "
+    "text string, latex string, media_ref string, html string, "
+    "title string, caption string, footnote_id int"
+)
+EPUB_TOC_SCHEMA = (
+    "doc_id string, toc_id int, parent_id int, pos int, title string, "
+    "has_chapter boolean"
+)
+
+
+def _epub_kernel(which: str, stage1: bool):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_craft_spark.corpus import parse_raw_spans
+        from pdf_craft_spark.operators.document import extract_epub_records
+
+        carry: pd.DataFrame | None = None
+
+        def block(pdf: pd.DataFrame) -> pd.DataFrame:
+            rec_rows: list[tuple] = []
+            toc_rows: list[tuple] = []
+            for doc_id, g in pdf.groupby("doc_id", sort=False):
+                spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
+                rows, tocs = extract_epub_records(
+                    parse_raw_spans(spans), stage1_done=stage1
+                )
+                rec_rows.extend((doc_id, *r) for r in rows)
+                toc_rows.extend(
+                    (doc_id, t.toc_id, t.parent_id, t.pos, t.title, t.has_chapter)
+                    for t in tocs
+                )
+            if which == "records":
+                return pd.DataFrame(
+                    rec_rows,
+                    columns=["doc_id", "chapter_id", "seq", "record", "level",
+                             "text", "latex", "media_ref", "html", "title",
+                             "caption", "footnote_id"],
+                )
+            return pd.DataFrame(
+                toc_rows,
+                columns=["doc_id", "toc_id", "parent_id", "pos", "title",
+                         "has_chapter"],
+            )
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            is_last = pdf["doc_id"] == pdf["doc_id"].iloc[-1]
+            carry = pdf[is_last]
+            if len(pdf[~is_last]):
+                yield block(pdf[~is_last])
+        if carry is not None and len(carry):
+            yield block(carry)
+
+    return kernel
+
+
+def extract_epub_records_df(
+    docs: DataFrame, stage1: bool = True, which: str = "records"
+) -> DataFrame:
+    """S9: the EPUB record sink as a DataFrame — flat
+    TextBlock/Formula/Image/Table/Footnote rows per document
+    (``which='records'``) or the cleaned TOC tree rows (``which='toc'``);
+    same one-shuffle plan shape as the other sinks."""
+    ensure_package_shipped(docs.sparkSession)
+    flat = explode_spans(docs)
+    if stage1:
+        flat = prepare_stage1(flat)
+    flat = flat.repartition("doc_id").sortWithinPartitions("doc_id", "offset")
+    schema = EPUB_RECORD_SCHEMA if which == "records" else EPUB_TOC_SCHEMA
+    return flat.mapInPandas(_epub_kernel(which, stage1), schema=schema)
 
 
 def doc_metrics(flat_spans: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pdf_craft_spark.plans.pipeline import (
     corpus_df,
     doc_metrics,
+    extract_epub_records_df,
     extract_markdown_df,
     extract_spans_df,
     prepare_stage1,
@@ -92,6 +93,20 @@ def pipeline_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pipeline_epub_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the EPUB record sink — flat TextBlock/Formula/Image/Table/
+    Footnote rows, parity-tested against the reference's render_epub_file
+    (tests/test_epub_parity.py)."""
+    return extract_epub_records_df(_corpus(spark)).orderBy("doc_id", "seq")
+
+
+def pipeline_epub_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the cleaned EPUB TOC tree (TocCollection semantics)."""
+    return extract_epub_records_df(_corpus(spark), which="toc").orderBy(
+        "doc_id", "toc_id"
+    )
+
+
 QUERIES = {
     "pipeline_extract_spans": pipeline_extract_spans,
     "pipeline_markdown": pipeline_markdown,
@@ -99,6 +114,8 @@ QUERIES = {
     "pipeline_doc_metrics": pipeline_doc_metrics,
     "pipeline_nested_output": pipeline_nested_output,
     "pipeline_boilerplate_strip": pipeline_boilerplate_strip,
+    "pipeline_epub_records": pipeline_epub_records,
+    "pipeline_epub_toc": pipeline_epub_toc,
 }
 ORACLES = {
     "pipeline_extract_spans": _golden_sql(
@@ -111,4 +128,6 @@ ORACLES = {
     "pipeline_boilerplate_strip": _golden_sql(
         "pipeline_boilerplate_strip", 'doc_id, "offset"'
     ),
+    "pipeline_epub_records": _golden_sql("pipeline_epub_records", "doc_id, seq"),
+    "pipeline_epub_toc": _golden_sql("pipeline_epub_toc", "doc_id, toc_id"),
 }

@@ -96,6 +96,46 @@ NESTED_SCHEMA = pa.schema([("doc_id", pa.string()), ("n_spans", pa.int32())])
 MARKDOWN_SCHEMA = pa.schema(
     [("doc_id", pa.string()), ("markdown", pa.string()), ("n_spans", pa.int32())]
 )
+EPUB_RECORD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("chapter_id", pa.int32()),
+        ("seq", pa.int32()),
+        ("record", pa.string()),
+        ("level", pa.int32()),
+        ("text", pa.string()),
+        ("latex", pa.string()),
+        ("media_ref", pa.string()),
+        ("html", pa.string()),
+        ("title", pa.string()),
+        ("caption", pa.string()),
+        ("footnote_id", pa.int32()),
+    ]
+)
+EPUB_TOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("toc_id", pa.int32()),
+        ("parent_id", pa.int32()),
+        ("pos", pa.int32()),
+        ("title", pa.string()),
+        ("has_chapter", pa.bool_()),
+    ]
+)
+
+
+def epub_rows(doc_id: int) -> tuple[list[tuple], list[tuple]]:
+    from pdf_craft_spark.operators.document import extract_epub_records
+
+    pages = parse_raw_spans(pages_to_spans(generate_document(doc_id, SEED)))
+    rows, tocs = extract_epub_records(pages)
+    return (
+        [(str(doc_id), *r) for r in rows],
+        [
+            (str(doc_id), t.toc_id, t.parent_id, t.pos, t.title, t.has_chapter)
+            for t in tocs
+        ],
+    )
 
 
 def _write(name: str, rows: list[tuple], schema: pa.Schema) -> None:
@@ -114,8 +154,13 @@ def main() -> None:
     spans_rows, boiler_rows, md_rows, metric_rows, nested_rows, s1_rows = (
         [], [], [], [], [], [],
     )
+    epub_rec_rows: list[tuple] = []
+    epub_toc_rows: list[tuple] = []
     for doc_id in range(N_DOCS):
         s1_rows.extend(stage1_rows(doc_id))
+        recs, tocs = epub_rows(doc_id)
+        epub_rec_rows.extend(recs)
+        epub_toc_rows.extend(tocs)
 
         md, spans = kernel_outputs(doc_id, boilerplate=False)
         spans_rows.extend(
@@ -148,6 +193,8 @@ def main() -> None:
     _write("pipeline_doc_metrics", metric_rows, METRICS_SCHEMA)
     _write("pipeline_nested_output", nested_rows, NESTED_SCHEMA)
     _write("pipeline_markdown", md_rows, MARKDOWN_SCHEMA)
+    _write("pipeline_epub_records", epub_rec_rows, EPUB_RECORD_SCHEMA)
+    _write("pipeline_epub_toc", epub_toc_rows, EPUB_TOC_SCHEMA)
 
 
 if __name__ == "__main__":

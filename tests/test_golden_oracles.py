@@ -11,6 +11,7 @@ import pyarrow.parquet as pq
 from scripts.make_golden import (
     GOLDEN_DIR,
     N_DOCS,
+    epub_rows,
     kernel_outputs,
     stage1_rows,
 )
@@ -46,6 +47,16 @@ def test_golden_stage1_current():
     for doc_id in range(N_DOCS):
         got.extend(stage1_rows(doc_id))
     assert got == _committed("pipeline_stage1_prep")
+
+
+def test_golden_epub_current():
+    recs, tocs = [], []
+    for doc_id in range(N_DOCS):
+        r, t = epub_rows(doc_id)
+        recs.extend(r)
+        tocs.extend(t)
+    assert recs == _committed("pipeline_epub_records")
+    assert tocs == _committed("pipeline_epub_toc")
 
 
 def test_golden_boilerplate_current():
