@@ -12,8 +12,12 @@ Four families, each a first-class training-data-pipeline op:
 - simhash:   16-bit parity sketch per doc
 
 Hash parity between engines: Spark ``md5`` and DuckDB ``md5`` agree; the
-min over lexicographic hex strings is a valid uniform min-hash, so no
-integer conversions are needed anywhere.
+min over lexicographic fixed-width hex strings is a valid uniform
+min-hash, so no integer conversions are needed anywhere.  Hash CPU is
+amortized by treating disjoint substrings of one digest as independent
+hashes (random-oracle model): minhash takes 16 x 32-bit keys from 4 md5
+evaluations per shingle, simhash takes its 16 parity bits from the 16
+leading nibbles of a single md5 per token.
 
 Scale notes: the token/shingle self-join (jaccard) is quadratic in docs
 sharing a shingle — correct as ground truth, usable only per-bucket.  At
@@ -211,9 +215,13 @@ ORDER BY doc_a, doc_b
 
 
 # --- MinHash + LSH banding --------------------------------------------------
-# Signature: sig_j = min over shingles of md5(shingle || '|' || j)
-# (lexicographic min over uniform hex = uniform min-hash).  Bands of 2 rows;
-# band key = md5(sig_2k || sig_2k+1); candidates share any band key.
+# Signature: 16 x 32-bit min-hashes from FOUR md5 evaluations per shingle:
+# disjoint 8-hex-char substrings of md5(shingle || '|' || k) are independent
+# uniform 32-bit hashes under the random-oracle model, and the lexicographic
+# min over uniform fixed-width hex strings is a valid uniform min-hash —
+# 4x less hash CPU than one md5 per signature row with the same estimator.
+# Bands of 2 rows; band key = md5(sig_2k || sig_2k+1); candidates share any
+# band key.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _docs(spark, sf_dir)
@@ -221,11 +229,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{j}")))).alias(f"s{j}")
-        for j in range(N_HASHES)
-    ]
-    sig = docs.groupBy("doc_id").agg(*aggs)
+    # md5s computed once in a projection (not inside each aggregate), so
+    # codegen evaluates 4 hashes per row, then 16 cheap substrings
+    hashed = docs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col("sh"), F.lit(f"|{k}"))).alias(f"h{k}")
+            for k in range(N_HASHES // 4)
+        ],
+    )
+    keys = hashed.select(
+        "doc_id",
+        *[
+            F.substring(f"h{k}", 8 * i + 1, 8).alias(f"k{4 * k + i}")
+            for k in range(N_HASHES // 4)
+            for i in range(4)
+        ],
+    )
+    sig = keys.groupBy("doc_id").agg(
+        *[F.min(f"k{j}").alias(f"s{j}") for j in range(N_HASHES)]
+    )
     bands = sig.select(
         "doc_id",
         F.array(
@@ -261,7 +284,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB CSE handles it — candidate sets are tiny either way).
 def _minhash_duck_sql2() -> str:
     sig_cols = ",\n         ".join(
-        f"min(md5(sh || '|{j}')) AS s{j}" for j in range(N_HASHES)
+        f"min(substr(md5(sh || '|{j // 4}'), {8 * (j % 4) + 1}, 8)) AS s{j}"
+        for j in range(N_HASHES)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {k} AS band_idx, md5(s{2 * k} || s{2 * k + 1}) AS band_key FROM sig"
@@ -289,21 +313,19 @@ DEDUP_MINHASH_LSH_SQL = _minhash_duck_sql2()
 
 
 # --- SimHash (16-dim parity sketch) -----------------------------------------
-# Per dimension j: parity vote over distinct tokens of md5(tok || '|' || j)
-# first hex nibble (< '8' → +1 else -1); bit_j = 1 iff vote > 0.
+# Per dimension j: parity vote over distinct tokens of the j-th hex nibble
+# of md5(tok) (< '8' → +1 else -1); bit_j = 1 iff vote > 0.  ONE md5 per
+# token — the 16 nibbles of a single digest are independent uniform bits
+# under the random-oracle model (previously one md5 per dimension).
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("h"))
     )
     votes = [
         F.sum(
-            F.when(
-                F.substring(F.md5(F.concat(F.col("tok"), F.lit(f"|{j}"))), 1, 1).isin(
-                    *"01234567"
-                ),
-                1,
-            ).otherwise(-1)
+            F.when(F.substring("h", j + 1, 1).isin(*"01234567"), 1).otherwise(-1)
         ).alias(f"v{j}")
         for j in range(N_HASHES)
     ]
@@ -316,8 +338,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_duck_sql() -> str:
     votes = ",\n         ".join(
-        "sum(CASE WHEN substring(md5(tok || '|{j}'), 1, 1) IN "
-        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v{j}".format(j=j)
+        "sum(CASE WHEN substring(h, {pos}, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END) AS v{j}".format(
+            pos=j + 1, j=j
+        )
         for j in range(N_HASHES)
     )
     bits = " || ".join(
@@ -325,8 +349,8 @@ def _simhash_duck_sql() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(
-      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS tok
+  SELECT doc_id, md5(unnest(list_distinct(
+      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')))) AS h
   FROM documents
 ), agg AS (
   SELECT doc_id,
