@@ -30,7 +30,11 @@ _HAN_RE = re.compile(
 
 
 def normalize_segments(texts: list[str]) -> list[str] | None:
-    """Returns the rewritten texts, or None when nothing changed."""
+    """Returns the rewritten texts, or None when nothing changed.
+
+    Only candidate positions (regex finditer over the concatenation) are
+    visited; left/right non-space context comes from small local scans of
+    the joined string — no per-char owner list materialization."""
     if not texts:
         return None
     # quick reject: a conversion needs an ASCII candidate AND a Han char
@@ -38,42 +42,50 @@ def normalize_segments(texts: list[str]) -> list[str] | None:
     joined = "".join(texts)
     if _CAND_RE.search(joined) is None or _HAN_RE.search(joined) is None:
         return None
-    chars: list[str] = []
-    owners: list[tuple[int, int]] = []
-    for si, t in enumerate(texts):
-        for ci, ch in enumerate(t):
-            chars.append(ch)
-            owners.append((si, ci))
 
-    out = [list(t) for t in texts]
-    changed = False
-    n = len(chars)
-    for idx, ch in enumerate(chars):
-        left = next(
-            (chars[j] for j in range(idx - 1, -1, -1) if not chars[j].isspace()), None
-        )
-        if left is None:
+    n = len(joined)
+    edits: dict[int, str] = {}  # global index -> replacement char
+    for m in _CAND_RE.finditer(joined):
+        idx = m.start()
+        ch = joined[idx]
+        j = idx - 1
+        while j >= 0 and joined[j].isspace():
+            j -= 1
+        if j < 0:
             continue
+        left = joined[j]
         mapped = _LEFT_ONLY.get(ch)
         if mapped is not None:
             if not is_han_char(left):
                 continue
         else:
-            mapped = _BOTH_SIDES.get(ch)
-            if mapped is None:
+            mapped = _BOTH_SIDES[ch]
+            k = idx + 1
+            while k < n and joined[k].isspace():
+                k += 1
+            if k >= n or not (is_han_char(left) and is_han_char(joined[k])):
                 continue
-            right = next(
-                (chars[j] for j in range(idx + 1, n) if not chars[j].isspace()), None
-            )
-            if right is None or not (is_han_char(left) and is_han_char(right)):
-                continue
-        si, ci = owners[idx]
-        out[si][ci] = mapped
-        changed = True
+        edits[idx] = mapped
 
-    if not changed:
+    if not edits:
         return None
-    return ["".join(cs) for cs in out]
+    # land each edit in its owning segment
+    positions = sorted(edits)
+    pi = 0
+    out: list[str] = []
+    base = 0
+    for t in texts:
+        end = base + len(t)
+        if pi < len(positions) and positions[pi] < end:
+            lst = list(t)
+            while pi < len(positions) and positions[pi] < end:
+                lst[positions[pi] - base] = edits[positions[pi]]
+                pi += 1
+            out.append("".join(lst))
+        else:
+            out.append(t)
+        base = end
+    return out
 
 
 def _normalize_block(block: Block) -> None:

@@ -56,8 +56,15 @@ def is_han_char(ch: str) -> bool:
     return any(lo <= cp <= hi for lo, hi in _HAN_RANGES)
 
 
+_SURROGATE_RE = re.compile("[\ud800-\udfff]")
+
+
 def remove_surrogates(text: str) -> str:
-    return "".join(c for c in text if not (0xD800 <= ord(c) <= 0xDFFF))
+    # fast path: lone surrogates are impossible in text decoded from valid
+    # UTF-8 (parquet/Arrow), so one C-speed scan usually suffices
+    if _SURROGATE_RE.search(text) is None:
+        return text
+    return _SURROGATE_RE.sub("", text)
 
 
 def normalize_text(text: str | None) -> str:
@@ -119,8 +126,16 @@ def has_repetitive_ngrams(
     return False
 
 
+# the two bands as one compiled backreference regex — identical semantics
+# (16 consecutive copies of a 2-5-gram, or 8 of a 6-20-gram), one C-speed
+# scan instead of the per-phase slice loop; equivalence is fuzz-checked
+# against has_repetitive_ngrams (and the JVM twin in plans/pipeline.py
+# uses the same pattern)
+_REPETITION_RE = re.compile(r"(.{2,5})\1{15}|(.{6,20})\2{7}", re.S)
+
+
 def is_degenerate_ocr_text(text: str) -> bool:
     """The reference's two-band policy (page_extractor.py:114-123)."""
-    return has_repetitive_ngrams(text, 2, 5, 16) or has_repetitive_ngrams(
-        text, 6, 20, 8
-    )
+    if len(text) < 32:  # 2-char gram x16 needs >= 32 chars
+        return False
+    return _REPETITION_RE.search(text) is not None
