@@ -30,9 +30,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+# The dot product as a literal left-associated 64-term sum: same float
+# evaluation order as a left fold (so bit-identical to DuckDB's
+# list_reduce), but a plain scalar expression — whole-stage codegen
+# compiles it, where the higher-order aggregate/zip_with form stayed
+# interpreted (the round-1 "remaining known cost").
+_DOT = " + ".join(
+    f"(CAST(element_at({{a}}, {d + 1}) AS DOUBLE)"
+    f" * CAST(element_at({{b}}, {d + 1}) AS DOUBLE))"
+    for d in range(DIM)
 )
 
 
