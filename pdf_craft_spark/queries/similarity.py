@@ -1,15 +1,15 @@
 """Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-- brute-force cosine top-k: the correctness baseline.  Query set × corpus
-  cross join with the dot product computed as a Catalyst higher-order
-  expression (``zip_with`` + ``aggregate``) — JVM-side, no Python.
-- LSH bucketing (random-hyperplane signs): the scale path — at 100 TB the
-  cross join is replaced by an equi-join on bucket key; brute force then
-  runs only within buckets.
+- brute-force cosine top-k: the correctness baseline (query set × corpus).
+- LSH bucketing + sim_lsh_topk: scale path #1 — candidates via equi-join
+  on the hyperplane bucket key with Hamming-1 multiprobe.
+- IVF + sim_ivf_topk: scale path #2 — a coarse quantizer assigns every
+  vector to its nearest centroid (the classic inverted-file layout);
+  queries probe their NPROBE nearest lists and rerank exactly within them.
 
 Float determinism vs the DuckDB oracle: every element is cast to double
-before multiply, and both engines fold the 64 products left-to-right
-(Spark ``aggregate``, DuckDB ``list_reduce``), so the doubles are
+before arithmetic, and both engines evaluate the 64-term sums in the same
+left-associated order (literal sums on both sides), so the doubles are
 bit-identical and rounding is purely cosmetic.
 """
 
@@ -265,14 +265,139 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 SIM_LSH_TOPK_SQL = _lsh_topk_duck_sql()
 
 
+# --- IVF: coarse quantizer + inverted lists -----------------------------------
+# Centroids are DETERMINISTIC SEEDS (the first N_CENTROIDS vectors) — the
+# Lloyd-iteration "fit" of real IVF is a driver-side sampling step outside
+# the oracle-checkable dataflow, so the quantizer here is seeded, not
+# trained; the DATAFLOW (assign every vector to its nearest list, probe
+# NPROBE lists per query, exact rerank within lists) is exactly IVF's.
+# Assignment is a narrow codegen projection against centroid literals
+# (collected once on the driver — the "model broadcast" of a fit step);
+# candidate generation is an equi-join on the centroid id.  Scale knobs:
+# more centroids (sqrt(N) rule) and NPROBE for the recall/cost trade.
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+def _sqdist_lit(cvals: list[float]) -> F.Column:
+    """Squared L2 distance embedding↔literal centroid, as a literal
+    left-associated 64-term sum (bit-identical order to the SQL twin)."""
+    expr = None
+    for d, v in enumerate(cvals):
+        t = F.element_at(F.col("embedding"), d + 1).cast("double") - F.lit(float(v))
+        term = t * t
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cent = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # the fit artifact: N_CENTROIDS rows on the driver, literal below
+    cent = sorted(((r.vec_id, list(r.embedding)) for r in cent))
+    dists = [
+        F.struct(_sqdist_lit(vals).alias("d"), F.lit(int(cid)).alias("c"))
+        for cid, vals in cent
+    ]
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
+        F.least(*dists)["c"].alias("cid"),  # nearest list, ties → lowest cid
+        F.slice(F.array_sort(F.array(*dists)), 1, NPROBE).alias("probes"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm2").alias("nc"),
+        "cid",
+    )
+    q = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm2").alias("nq"),
+            F.explode("probes").alias("p"),
+        )
+        .select("query_id", "qe", "nq", F.col("p.c").alias("pcid"))
+    )
+    cand = q.join(c, q["pcid"] == c["cid"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / F.sqrt(F.col("nq") * F.col("nc")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_duck_sql() -> str:
+    sq = " + ".join(
+        f"((CAST(e.embedding[{d + 1}] AS DOUBLE) - CAST(c.embedding[{d + 1}] AS DOUBLE))"
+        f" * (CAST(e.embedding[{d + 1}] AS DOUBLE) - CAST(c.embedding[{d + 1}] AS DOUBLE)))"
+        for d in range(DIM)
+    )
+    norm = _DOT_DUCK.format(a="embedding", b="embedding", n=DIM)
+    dot = _DOT_DUCK.format(a="qe", b="ce", n=DIM)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), dists AS (
+  SELECT e.vec_id, c.cid, {sq} AS d
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM dists
+), base AS (
+  SELECT vec_id, embedding, {norm} AS norm2 FROM embeddings
+), assign AS (
+  SELECT r.vec_id, r.cid FROM ranked r WHERE r.rk = 1
+), q AS (
+  SELECT b.vec_id AS query_id, b.embedding AS qe, b.norm2 AS nq, r.cid AS pcid
+  FROM base b JOIN ranked r ON r.vec_id = b.vec_id
+  WHERE b.vec_id < {N_QUERIES} AND r.rk <= {NPROBE}
+), c AS (
+  SELECT b.vec_id AS neighbor_id, b.embedding AS ce, b.norm2 AS nc, a.cid
+  FROM base b JOIN assign a ON a.vec_id = b.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round({dot} / sqrt(nq * nc), 6) AS cos_sim
+  FROM q JOIN c ON pcid = cid
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+SIM_IVF_TOPK_SQL = _ivf_duck_sql()
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLES = {
     "sim_cosine_topk": SIM_COSINE_TOPK_SQL,
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
+    "sim_ivf_topk": SIM_IVF_TOPK_SQL,
 }
