@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_buckets",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
     "a9_event_metrics",
     "s3_orders_by_month",
 ]
