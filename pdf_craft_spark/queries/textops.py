@@ -143,11 +143,116 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- PII / URL scrubbing ------------------------------------------------------
+# The documents table has no contact info, so deterministic emails/URLs are
+# injected in-query (doc_id-derived, identically in the oracle) and then
+# scrubbed.  The patterns avoid lookaround/backreferences so Java regex
+# (Spark) and RE2 (DuckDB) agree exactly.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+_PII_SYNTH = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS STRING)"
+    " || '@example.com or visit https://ex.org/d/' || CAST(doc_id AS STRING) "
+    "WHEN doc_id % 3 = 1 THEN 'mail admin.' || CAST(doc_id AS STRING)"
+    " || '+tag@sub.example.co.uk first ' || text "
+    "ELSE text END"
+)
+
+
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = F.expr(_PII_SYNTH)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(raw, F.lit(_URL_RE), 0)).alias("n_urls"),
+            scrubbed.alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SCRUB_PII_SQL = rf"""
+WITH raw AS (
+  SELECT doc_id, {_PII_SYNTH} AS r FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(r, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(r, '{_URL_RE}')) AS INT) AS n_urls,
+       regexp_replace(regexp_replace(r, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_URL_RE}', '<URL>', 'g') AS scrubbed
+FROM raw ORDER BY doc_id
+"""
+
+
+# --- global (cross-corpus) boilerplate line removal ---------------------------
+# §2.12's per-document demotion has a corpus-level sibling in training-data
+# pipelines: lines recurring across MANY documents (site chrome, license
+# headers) are boilerplate.  Docs are synthesized as two lines — a shared
+# header drawn from a 7-variant pool + the unique body — and any line
+# occurring in more than BOILER_MIN_DOCS distinct docs is stripped.
+# Plan shape: explode lines → count distinct docs per line (one shuffle on
+# the line hash) → broadcast the tiny frequent-lines set back — at 100 TB
+# the frequent set stays small by construction (it IS the repeated stuff).
+BOILER_MIN_DOCS = 10
+
+_LINES_SYNTH = (
+    "array('NOTICE: auto-generated corpus header v' || CAST(doc_id % 7 AS STRING),"
+    " text)"
+)
+
+
+def boilerplate_global_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(_LINES_SYNTH).alias("lines"))
+    lines = docs.select("doc_id", F.explode("lines").alias("line"))
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > BOILER_MIN_DOCS)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws("\n", F.array_sort(F.collect_list("line"))).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_GLOBAL_STRIP_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, unnest([
+    'NOTICE: auto-generated corpus header v' || CAST(doc_id % 7 AS STRING),
+    text]) AS line
+  FROM documents
+), freq AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) > {BOILER_MIN_DOCS}
+), kept AS (
+  SELECT l.doc_id, l.line FROM lines l
+  LEFT JOIN freq f ON l.line = f.line WHERE f.line IS NULL
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY line) AS kept_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_guess": text_lang_guess,
     "text_fingerprint": text_fingerprint,
+    "text_scrub_pii": text_scrub_pii,
+    "boilerplate_global_strip": boilerplate_global_strip,
 }
 
 ORACLES = {
@@ -155,4 +260,6 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,
     "text_lang_guess": TEXT_LANG_GUESS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_scrub_pii": TEXT_SCRUB_PII_SQL,
+    "boilerplate_global_strip": BOILERPLATE_GLOBAL_STRIP_SQL,
 }
