@@ -226,7 +226,6 @@ def scaling_block(n_docs: int, cpus_hi: int) -> dict:
     # scaling, not one noisy window.  Quiet-box reference measurements
     # for this pairing: 0.96-0.98 (BENCH.md).
     attempts = []
-    best = None
     for _ in range(3):
         lo = run_level(cpus_lo, reps=3)
         hi = run_level(cpus_hi, reps=5)
@@ -242,15 +241,21 @@ def scaling_block(n_docs: int, cpus_hi: int) -> dict:
             "efficiency": round(efficiency, 3),
         }
         attempts.append(attempt)
-        if best is None or attempt["efficiency"] > best["efficiency"]:
-            best = attempt
         if attempt["efficiency"] >= 0.85:
             break
+    # headline = the MEDIAN attempt by efficiency (upper middle for even
+    # counts — disturbances are one-sided, so of two readings the higher is
+    # closer to the undisturbed engine), never best-of-N; the selection rule
+    # rides in the record itself and every attempt is disclosed
+    ranked = sorted(attempts, key=lambda a: a["efficiency"])
+    headline = ranked[len(ranked) // 2]
     return {
         "cpus_lo": cpus_lo,
         "cpus_hi": cpus_hi,
         "n_docs": n_docs,
-        **best,
+        **headline,
+        "selection": "median-of-attempts (upper middle); min-of-reps per level",
+        "best_efficiency": ranked[-1]["efficiency"],
         "attempts": attempts,
     }
 

@@ -31,31 +31,41 @@ _SEPS = (";", ",", "&")
 
 def authors_array(author: Column) -> Column:
     """Split on the first separator present (``;`` > ``,`` > ``&``); trim
-    segments, drop empties; no separator → [trim(raw)]."""
+    segments, drop empties.  Edge semantics exactly as handler.py:78-88:
+    a separator split whose segments are all empty (e.g. ``';;'``) falls
+    back to ``[trim(raw)]``; no separator → ``[trim(raw)]``; a NULL or
+    empty-string author never enters the parse branch at all → ``[]``."""
     def split_clean(sep: str) -> Column:
         parts = F.split(author, f"[{sep}]")
         return F.filter(F.transform(parts, lambda x: F.trim(x)), lambda x: x != "")
 
-    col = F.array(F.trim(author))
+    whole = F.array(F.trim(author))
+    col = whole
     for sep in reversed(_SEPS):
-        col = F.when(F.contains(author, F.lit(sep)), split_clean(sep)).otherwise(col)
-    return col
+        cleaned = split_clean(sep)
+        col = F.when(
+            F.contains(author, F.lit(sep)),
+            F.when(F.size(cleaned) > 0, cleaned).otherwise(whole),
+        ).otherwise(col)
+    return F.when(
+        author.isNull() | (author == F.lit("")),
+        F.expr("CAST(array() AS array<string>)"),
+    ).otherwise(col)
 
 
 def modified_from_raw(moddate: Column) -> Column:
     """Parse ``[D:]YYYYMMDDHHmmSS...`` into a 'YYYY-MM-DD HH:MM:SS' string;
-    NULL when missing/short/non-digit (handler.py:95-116)."""
+    NULL when missing/short/non-digit (handler.py:95-116).  Calendar
+    validation mirrors the reference's ``datetime(...)`` constructor —
+    out-of-range fields (month 99, Feb 30, hour 24) raise ValueError there
+    and render NULL here (try_to_timestamp's strict resolver)."""
     s = F.when(
         moddate.startswith("D:"), moddate.substr(F.lit(3), F.length(moddate))
     ).otherwise(moddate)
     digits = s.substr(1, 14)
     valid = (F.length(s) >= 14) & digits.rlike(r"^[0-9]{14}$")
-    stamp = F.concat(
-        digits.substr(1, 4), F.lit("-"), digits.substr(5, 2), F.lit("-"),
-        digits.substr(7, 2), F.lit(" "), digits.substr(9, 2), F.lit(":"),
-        digits.substr(11, 2), F.lit(":"), digits.substr(13, 2),
-    )
-    return F.when(valid, stamp)
+    ts = F.try_to_timestamp(digits, F.lit("yyyyMMddHHmmss"))
+    return F.when(valid, F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))
 
 
 def book_meta(

@@ -69,7 +69,10 @@ def run_with_resume(
     flat.write.mode("append").partitionBy("bucket").parquet(_spans_path(out_dir))
     wall = time.time() - t0
 
-    out = spark.read.parquet(_spans_path(out_dir))
+    # mergeSchema: an output dir written before the run_id column existed
+    # has files without it — schema inference must union footers, not pick
+    # one, or the run_id filter below can fail / read inconsistently
+    out = spark.read.option("mergeSchema", "true").parquet(_spans_path(out_dir))
     # manifest rows record THIS run's delta per bucket; wall_sec is the
     # run-level wall clock (identical across the run's bucket rows)
     lineage = (

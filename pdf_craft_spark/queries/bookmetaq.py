@@ -31,19 +31,27 @@ _RAW_TITLE = (
     "ELSE 'Title ' || substr(md5(text), 1, 6) END"
 )
 # case 0 carries BOTH ';' and ',' — the reference picks the FIRST separator
-# in (';', ',', '&') order, so ';' must win (handler.py:80-88)
+# in (';', ',', '&') order, so ';' must win (handler.py:80-88).  Cases 3/4/
+# NULL cover the edge semantics: all-empty split → [trim(raw)] fallback,
+# empty author → [], missing author → [].
 _RAW_AUTHOR = (
-    "CASE doc_id % 4 WHEN 0 THEN 'Smith, A.; Lee, B. ;; 王芳' "
+    "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE "
+    "CASE doc_id % 6 WHEN 0 THEN 'Smith, A.; Lee, B. ;; 王芳' "
     "WHEN 1 THEN ' Smith, Alice,, Lee ' "
     "WHEN 2 THEN 'Ann & Lee & ' "
-    "ELSE '  Solo Author  ' END"
+    "WHEN 3 THEN ';;' "
+    "WHEN 4 THEN '' "
+    "ELSE '  Solo Author  ' END END"
 )
+# case 5 is digit-valid but calendar-invalid (month 99) — the reference's
+# datetime() raises ValueError and falls back; here it must render NULL
 _RAW_MODDATE = (
-    f"CASE doc_id % 5 WHEN 0 THEN 'D:' || {_STAMP} "
+    f"CASE doc_id % 6 WHEN 0 THEN 'D:' || {_STAMP} "
     f"WHEN 1 THEN {_STAMP} "
     "WHEN 2 THEN 'D:2024' "
     "WHEN 3 THEN NULL "
-    "ELSE 'D:20XX010Z0000AB' END"
+    "WHEN 4 THEN 'D:20XX010Z0000AB' "
+    "ELSE 'D:20249999999999' END"
 )
 
 
@@ -74,22 +82,29 @@ WITH raw AS (
 ), parsed AS (
   SELECT doc_id,
          coalesce(raw_title, 'doc_' || CAST(doc_id AS STRING)) AS title,
-         CASE WHEN contains(raw_author, ';') THEN {_split(';')}
-              WHEN contains(raw_author, ',') THEN {_split(',')}
-              WHEN contains(raw_author, '&') THEN {_split('&')}
+         CASE WHEN raw_author IS NULL OR raw_author = ''
+                   THEN CAST([] AS VARCHAR[])
+              WHEN contains(raw_author, ';') THEN
+                   CASE WHEN len({_split(';')}) > 0 THEN {_split(';')}
+                        ELSE [trim(raw_author)] END
+              WHEN contains(raw_author, ',') THEN
+                   CASE WHEN len({_split(',')}) > 0 THEN {_split(',')}
+                        ELSE [trim(raw_author)] END
+              WHEN contains(raw_author, '&') THEN
+                   CASE WHEN len({_split('&')}) > 0 THEN {_split('&')}
+                        ELSE [trim(raw_author)] END
               ELSE [trim(raw_author)] END AS authors,
          CASE WHEN raw_moddate LIKE 'D:%' THEN substr(raw_moddate, 3)
               ELSE raw_moddate END AS md
   FROM raw
 )
 SELECT doc_id, title,
-       array_to_string(authors, '|') AS authors_joined,
+       coalesce(array_to_string(authors, '|'), '') AS authors_joined,
        CAST(len(authors) AS INT) AS n_authors,
        CASE WHEN length(md) >= 14
                  AND regexp_matches(substr(md, 1, 14), '^[0-9]{{14}}$')
-            THEN substr(md, 1, 4) || '-' || substr(md, 5, 2) || '-'
-                 || substr(md, 7, 2) || ' ' || substr(md, 9, 2) || ':'
-                 || substr(md, 11, 2) || ':' || substr(md, 13, 2)
+            THEN strftime(try_strptime(substr(md, 1, 14), '%Y%m%d%H%M%S'),
+                          '%Y-%m-%d %H:%M:%S')
        END AS modified
 FROM parsed ORDER BY doc_id
 """

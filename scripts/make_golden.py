@@ -12,8 +12,10 @@ distributed plan vs reference-parity local kernel, value-exact.
 
 Stage-1 golden replicates plans/pipeline.prepare_stage1's JVM expressions
 with the equivalent Python regexes (corpus text is ASCII-whitespace-only,
-so Java and Python ``\\s`` agree; parity is asserted by
-tests/test_golden_oracles.py against the live Spark plan).
+so Java and Python ``\\s`` agree).  tests/test_golden_oracles.py asserts
+these Python functions match the committed parquet AND runs the live Spark
+stage-1 plan against the same parquet; the external driver oracle repeats
+the Spark-vs-golden comparison independently.
 
 Run: python scripts/make_golden.py   (idempotent, deterministic)
 """
@@ -45,10 +47,21 @@ _HEAD = re.compile(r"^#+\s+")
 
 
 def stage1_rows(doc_id: int) -> list[tuple[str, str, str, int]]:
-    """Python replica of explode_spans → prepare_stage1 (F1, F3, F4)."""
+    """Python replica of explode_spans → prepare_stage1 (F1, F3, F4).
+
+    NULL text mirrors Spark's 3-valued filter exactly: a non-page row with
+    NULL text evaluates the whole predicate to NULL (not true) and is
+    dropped; a page-kind row passes on the first disjunct with text left
+    NULL.  (Unreachable with the current generator — it never emits NULL
+    text — but the replica must not diverge from the plan's semantics.)"""
     out = []
     for kind, text, _mref, offset in pages_to_spans(generate_document(doc_id, SEED)):
-        text = _WS.sub(" ", text or "").strip()
+        if text is None:
+            if kind != "page":
+                continue
+            out.append((str(doc_id), kind, None, offset))
+            continue
+        text = _WS.sub(" ", text).strip()
         if not (
             kind == "page" or len(text) < 32 or not _REPETITION.search(text)
         ):

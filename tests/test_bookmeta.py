@@ -24,6 +24,9 @@ def test_book_meta_branches(spark):
             (4, "T4", "  Solo Author  ", None),
             (5, "T5", "A;B", "D:20XX010Z0000AB"),
             (6, "T6", "A", "D:20240116093015extra'00"),
+            (7, "T7", ";;", "D:20249999999999"),
+            (8, "T8", "", "D:20240230120000"),
+            (9, "T9", None, "D:20240116240000"),
         ],
     )
     # ';' wins over ',' (first separator in priority order)
@@ -43,3 +46,14 @@ def test_book_meta_branches(spark):
     assert out[4].modified is None  # missing
     assert out[5].modified is None  # non-digit chars in the 14-prefix
     assert out[6].modified == "2024-01-16 09:30:15"  # trailing tz junk ignored
+    # all-empty split -> [trim(raw)] fallback (handler.py:86-88)
+    assert out[7].authors_joined == ";;"
+    assert out[7].n_authors == 1
+    assert out[7].modified is None  # month 99: datetime() would raise
+    # empty/missing author never enters the parse branch -> []
+    assert out[8].authors_joined == ""
+    assert out[8].n_authors == 0
+    assert out[8].modified is None  # Feb 30: calendar-invalid
+    assert out[9].authors_joined == ""
+    assert out[9].n_authors == 0
+    assert out[9].modified is None  # hour 24: calendar-invalid
