@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_lsh_buckets",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_recall",
     "a9_event_metrics",
     "s3_orders_by_month",
 ]

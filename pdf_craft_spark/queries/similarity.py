@@ -2,10 +2,15 @@
 
 - brute-force cosine top-k: the correctness baseline (query set × corpus).
 - LSH bucketing + sim_lsh_topk: scale path #1 — candidates via equi-join
-  on the hyperplane bucket key with Hamming-1 multiprobe.
-- IVF + sim_ivf_topk: scale path #2 — a coarse quantizer assigns every
-  vector to its nearest centroid (the classic inverted-file layout);
-  queries probe their NPROBE nearest lists and rerank exactly within them.
+  on (table_id, bucket) over N_TABLES hyperplane tables with Hamming-2
+  XOR multiprobe.
+- IVF + sim_ivf_topk: scale path #2 — a sampled spherical k-means
+  quantizer (ivf_fit) assigns every vector to its nearest centroid (the
+  classic inverted-file layout); queries probe their nprobe nearest lists
+  and rerank exactly within them.
+- sim_recall: measured recall@k of both ANN paths against the brute-force
+  ground truth — the tuning target (≥0.9 @ k=5, BENCH.md) is a first-class
+  oracle-checked query, not a side report.
 
 Float determinism vs the DuckDB oracle: every element is cast to double
 before arithmetic, and both engines evaluate the 64-term sums in the same
@@ -151,56 +156,135 @@ SIM_LSH_BUCKETS_SQL = _lsh_duck_sql()
 
 
 # --- end-to-end bucketed ANN top-k -------------------------------------------
-# The 100 TB path: candidates come from an EQUI-JOIN on bucket key (with
-# multiprobe — each query also probes the 8 buckets at Hamming distance 1
-# from its own, recovering most hyperplane-boundary misses), then exact
-# cosine reranks only within the candidate set.  The plan contains no
-# CartesianProduct / BroadcastNestedLoopJoin anywhere: bucket assignment is
-# a narrow projection, candidate generation shuffles on the 8-bit bucket
-# key, rerank is per-pair scalar math.  Scale knobs: more planes and/or
-# multiple hash tables widen the bucket space as the corpus grows.
+# The 100 TB path: candidates come from an EQUI-JOIN on (table_id, bucket)
+# with N_TABLES independent hyperplane tables and Hamming-radius-2
+# multiprobe (bucket keys are ints; probing = XOR against a literal mask
+# set), then exact cosine reranks only within the deduplicated candidate
+# set.  The plan contains no CartesianProduct / BroadcastNestedLoopJoin
+# anywhere: bucket assignment is a narrow projection, candidate generation
+# shuffles on the composite bucket key, rerank is per-pair scalar math.
+# Knobs, tuned to the measured recall target (BENCH.md, ≥0.9 @k=5):
+# N_TABLES / MULTIPROBE_RADIUS raise recall, N_PLANES shrinks buckets —
+# at larger N, planes grow like log2(N) to hold bucket occupancy while the
+# table/radius pair holds the recall floor.
+N_TABLES = 8
+MULTIPROBE_RADIUS = 2
+
+
+def _table_plane_signs(tbl: int) -> list[list[int]]:
+    import hashlib
+
+    signs = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"{tbl}|{p}|{d}".encode()).hexdigest()
+            row.append(1 if h[0] in "01234567" else -1)
+        signs.append(row)
+    return signs
+
+
+def _probe_masks() -> list[int]:
+    """XOR masks for all buckets within Hamming distance MULTIPROBE_RADIUS."""
+    masks = [0]
+    masks += [1 << i for i in range(N_PLANES)]
+    if MULTIPROBE_RADIUS >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(N_PLANES)
+            for j in range(i + 1, N_PLANES)
+        ]
+    return masks
+
+
+def _bucket_int_expr(tbl: int) -> str:
+    """Bucket id for one table as an int: bit p set iff the vector lands on
+    the positive side of hyperplane p.  Each plane dot is a fold over
+    zip_with with a sign-array literal (codegen-safe; literal 64-term sums
+    are not — see _DOT)."""
+    signs = _table_plane_signs(tbl)
+    bits = []
+    for p in range(N_PLANES):
+        arr = "array(" + ", ".join(f"{float(s)!r}D" for s in signs[p]) + ")"
+        dot = (
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(x, y) -> y * CAST(x AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"IF({dot} > 0, {1 << p}, 0)")
+    return " + ".join(bits)
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     base = emb.select(
         "vec_id",
         "embedding",
-        F.concat(*_bit_cols()).alias("bucket"),
         F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
+        *[
+            F.expr(_bucket_int_expr(t)).cast("int").alias(f"bt{t}")
+            for t in range(N_TABLES)
+        ],
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        F.col("bucket").alias("cbucket"),
         F.col("norm2").alias("nc"),
-    )
-    # probe set: own bucket + each single-bit flip (Hamming radius 1)
-    flips = [F.col("bucket")] + [
-        F.concat(
-            F.substring("bucket", 1, p),
-            F.when(F.substring("bucket", p + 1, 1) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            ),
-            F.substring("bucket", p + 2, N_PLANES - p - 1),
-        )
-        for p in range(N_PLANES)
-    ]
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"bt{t}").alias("b"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "ce", "nc", F.col("tb.t").alias("ct"), F.col("tb.b").alias("cb"))
+    masks = _probe_masks()
     q = (
         base.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("norm2").alias("nq"),
-            F.explode(F.array(*flips)).alias("probe"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), F.col(f"bt{t}").alias("b"))
+                        for t in range(N_TABLES)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "nq",
+            F.col("tb.t").alias("qt"),
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+            F.col("tb.b").alias("qb"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "nq",
+            "qt",
+            F.expr("qb ^ mask").cast("int").alias("pb"),
         )
     )
-    cand = q.join(c, q["probe"] == c["cbucket"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    cand = q.join(
+        c, (q["qt"] == c["ct"]) & (q["pb"] == c["cb"])
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot / F.sqrt(F.col("nq") * F.col("nc")), 6).alias("cos_sim"),
+    # a pair found by several tables/probes scores identically — dedup by
+    # max (same value) before the top-k window
+    scored = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / F.sqrt(F.col("nq") * F.col("nc")), 6).alias("cs"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cs").alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -212,48 +296,47 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_topk_duck_sql() -> str:
-    signs = _plane_signs()
-    bits = []
-    for p in range(N_PLANES):
-        terms = " + ".join(
-            f"({s}.0 * CAST(embedding[{d + 1}] AS DOUBLE))"
-            for d, s in enumerate(signs[p])
-        )
-        bits.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END AS b{p}")
-    bucket = " || ".join(f"b{p}" for p in range(N_PLANES))
-    probe_selects = ["  SELECT query_id, qe, nq, bucket AS probe FROM q"]
-    for p in range(N_PLANES):
-        flipped = " || ".join(
-            f"(CASE WHEN b{i} = '1' THEN '0' ELSE '1' END)" if i == p else f"b{i}"
-            for i in range(N_PLANES)
-        )
-        probe_selects.append(
-            f"  SELECT query_id, qe, nq, {flipped} AS probe FROM q"
-        )
-    probes = "\n  UNION ALL\n".join(probe_selects)
+    bucket_cols = []
+    for t in range(N_TABLES):
+        signs = _table_plane_signs(t)
+        bits = []
+        for p in range(N_PLANES):
+            lst = "[" + ", ".join(repr(float(s)) for s in signs[p]) + "]"
+            dot = (
+                f"list_reduce(list_transform(range(1, {DIM} + 1), "
+                f"i -> ({lst})[i] * CAST(embedding[i] AS DOUBLE)), "
+                "(acc, v) -> acc + v)"
+            )
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+        bucket_cols.append(" + ".join(bits) + f" AS bt{t}")
+    tb_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, norm2, {t} AS t, bt{t} AS b FROM base"
+        for t in range(N_TABLES)
+    )
+    mask_rows = ", ".join(f"({m})" for m in _probe_masks())
     norm = _DOT_DUCK.format(a="embedding", b="embedding", n=DIM)
     dot = _DOT_DUCK.format(a="qe", b="ce", n=DIM)
     return f"""
 WITH base AS (
-  SELECT vec_id, embedding, {", ".join(bits)}, {norm} AS norm2 FROM embeddings
-), base2 AS (
-  SELECT vec_id, embedding, {bucket} AS bucket, norm2,
-         {", ".join(f"b{p}" for p in range(N_PLANES))}
-  FROM base
+  SELECT vec_id, embedding, {norm} AS norm2,
+         {", ".join(bucket_cols)}
+  FROM embeddings
+), tb AS (
+{tb_union}
 ), q AS (
-  SELECT vec_id AS query_id, embedding AS qe, norm2 AS nq,
-         bucket, {", ".join(f"b{p}" for p in range(N_PLANES))}
-  FROM base2 WHERE vec_id < {N_QUERIES}
-), probes AS (
-{probes}
+  SELECT vec_id AS query_id, embedding AS qe, norm2 AS nq, t AS qt,
+         xor(b, m.mask) AS pb
+  FROM tb CROSS JOIN (VALUES {mask_rows}) m(mask)
+  WHERE vec_id < {N_QUERIES}
 ), c AS (
-  SELECT vec_id AS neighbor_id, embedding AS ce, bucket AS cbucket, norm2 AS nc
-  FROM base2
+  SELECT vec_id AS neighbor_id, embedding AS ce, norm2 AS nc, t AS ct, b AS cb
+  FROM tb
 ), scored AS (
   SELECT query_id, neighbor_id,
-         round({dot} / sqrt(nq * nc), 6) AS cos_sim
-  FROM probes JOIN c ON probe = cbucket
+         max(round({dot} / sqrt(nq * nc), 6)) AS cos_sim
+  FROM q JOIN c ON qt = ct AND pb = cb
   WHERE query_id <> neighbor_id
+  GROUP BY query_id, neighbor_id
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -267,53 +350,128 @@ SIM_LSH_TOPK_SQL = _lsh_topk_duck_sql()
 
 
 # --- IVF: coarse quantizer + inverted lists -----------------------------------
-# Centroids are DETERMINISTIC SEEDS (the first N_CENTROIDS vectors) — the
-# Lloyd-iteration "fit" of real IVF is a driver-side sampling step outside
-# the oracle-checkable dataflow, so the quantizer here is seeded, not
-# trained; the DATAFLOW (assign every vector to its nearest list, probe
-# NPROBE lists per query, exact rerank within lists) is exactly IVF's.
-# Assignment is a narrow codegen projection against centroid literals
-# (collected once on the driver — the "model broadcast" of a fit step);
-# candidate generation is an equi-join on the centroid id.  Scale knobs:
-# more centroids (sqrt(N) rule) and NPROBE for the recall/cost trade.
-N_CENTROIDS = 16
-NPROBE = 2
+# The quantizer is a REAL sampled k-means fit (seeded, fixed iterations —
+# fully deterministic): up to SAMPLE_CAP vectors are taken at a fixed
+# stride in vec_id order, seeds are K evenly-spaced sample vectors, and
+# KMEANS_ITERS Lloyd iterations refine them with numpy's deterministic
+# pairwise summation.  K follows the classic ceil(sqrt(N)) capacity rule,
+# NPROBE scales with K — both grow with the corpus instead of being
+# constants.  The fit artifact is a list of literal centroid vectors (the
+# "model broadcast" of a fit step: at 100 TB the sample comes from
+# df.sample().collect(), everything downstream is unchanged); the DATAFLOW
+# (assign every vector to its nearest list via a narrow projection against
+# the literals, probe NPROBE lists per query, exact rerank within lists)
+# is exactly IVF's, with candidate generation as an equi-join on the
+# centroid id.  The DuckDB oracle embeds the SAME literal centroids, so
+# both engines run the identical quantizer.
+SAMPLE_CAP = 2048
+KMEANS_ITERS = 3
+
+# The sf the external driver's oracle comparison runs at; the static
+# ORACLES entries embed centroids fit on THIS directory.  Tests at other
+# sf values build matched oracles via oracle_overrides().
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+_FIT_CACHE: dict[str, tuple[int, int, list[tuple[int, list[float]]]]] = {}
 
 
-def _sqdist_lit(cvals: list[float]) -> F.Column:
-    """Squared L2 distance embedding↔literal centroid vector, as a left
-    fold over zip_with with an array literal — one compact expression per
-    centroid (a 64-term literal sum per centroid made the optimizer and
-    codegen choke: 39s for the whole query vs ~2s with the fold).  Fold
-    order starts at +0.0, value-identical to the SQL twin's literal
-    left-associated sum."""
-    arr = "array(" + ", ".join(f"{float(v)!r}D" for v in cvals) + ")"
-    return F.expr(
-        f"aggregate(zip_with(embedding, {arr}, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+def ivf_fit(sf_dir: str) -> tuple[int, int, list[tuple[int, list[float]]]]:
+    """Sampled k-means fit over the embeddings table → (n_vectors, nprobe,
+    [(cid, centroid)]).  Deterministic: fixed sample stride in vec_id
+    order, fixed seeds, fixed iteration count, numpy pairwise sums (no
+    threaded BLAS reductions) — the same directory always yields the same
+    literals, so Spark and the SQL oracle share one quantizer."""
+    if sf_dir in _FIT_CACHE:
+        return _FIT_CACHE[sf_dir]
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
+    order = np.argsort(np.asarray(t.column("vec_id")))
+    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
+    n = mat.shape[0]
+    # SPHERICAL k-means: the query metric is cosine, so fit/assign live on
+    # the unit sphere (L2 there is monotone in cosine); centroids are
+    # renormalized after each mean — measured +0.04..+0.12 recall over
+    # unnormalized k-means on this corpus at equal nprobe
+    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    k = max(1, math.ceil(math.sqrt(n)))
+    stride = max(1, n // SAMPLE_CAP)
+    sample = unit[::stride][:SAMPLE_CAP]
+    seeds = sample[[(i * len(sample)) // k for i in range(k)]]
+    cents = seeds.copy()
+    for _ in range(KMEANS_ITERS):
+        # (n_sample, k) squared distances via elementwise ops + axis sum
+        # (pairwise, single-threaded — deterministic across runs)
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest cid (argmin first-hit)
+        for ci in range(k):
+            members = sample[assign == ci]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[ci] = c / np.sqrt((c * c).sum())
+    # nprobe tuned to the measured ≥0.9 recall@5 target (BENCH.md): this
+    # corpus is isotropic (near-random directions), the hardest case for
+    # list pruning — clustered real embeddings reach the same recall at
+    # far smaller fractions, and the knob is the explicit trade dial
+    nprobe = max(2, math.ceil(0.65 * k))
+    fit = (n, nprobe, [(ci, [float(v) for v in cents[ci]]) for ci in range(k)])
+    _FIT_CACHE[sf_dir] = fit
+    return fit
+
+
+def _cent_struct_array(cents: list[tuple[int, list[float]]]) -> str:
+    items = ", ".join(
+        "named_struct('c', {}, 'v', array({}))".format(
+            cid, ", ".join(f"{float(x)!r}D" for x in vals)
+        )
+        for cid, vals in cents
+    )
+    return f"array({items})"
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cent = (
-        emb.filter(F.col("vec_id") < N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )  # the fit artifact: N_CENTROIDS rows on the driver, literal below
-    cent = sorted(((r.vec_id, list(r.embedding)) for r in cent))
-    dists = [
-        F.struct(_sqdist_lit(vals).alias("d"), F.lit(int(cid)).alias("c"))
-        for cid, vals in cent
-    ]
+    _n, nprobe, cents = ivf_fit(sf_dir)
+    # distances to ALL centroids as ONE nested higher-order expression over
+    # an array-of-structs literal (k separate fold expressions made the
+    # optimizer quadratic in k; one transform stays flat).  Assignment is
+    # on the UNIT vector (x/sqrt(norm2)) to match the spherical fit.  Fold
+    # order starts at +0.0, value-identical to the oracle's list_reduce.
+    dists = (
+        f"transform({_cent_struct_array(cents)}, s -> named_struct("
+        "'d', aggregate(zip_with(embedding, s.v, "
+        "(x, y) -> (CAST(x AS DOUBLE) / sqrt(norm2) - y)"
+        " * (CAST(x AS DOUBLE) / sqrt(norm2) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'c', s.c))"
+    )
     base = emb.select(
         "vec_id",
         "embedding",
         F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
-        F.least(*dists)["c"].alias("cid"),  # nearest list, ties → lowest cid
-        F.slice(F.array_sort(F.array(*dists)), 1, NPROBE).alias("probes"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "norm2",
+        F.array_sort(F.expr(dists)).alias("dsorted"),  # (d, c) lexicographic
+    ).select(
+        "vec_id",
+        "embedding",
+        "norm2",
+        F.element_at("dsorted", 1)["c"].alias("cid"),  # ties → lowest cid
+        F.slice("dsorted", 1, nprobe).alias("probes"),
     )
+    # materialize the index ONCE: the assignment expression is interpreted
+    # (higher-order functions don't codegen) and Catalyst would otherwise
+    # inline it into both join inputs and re-evaluate per candidate pair
+    # (measured 86s vs <1s for the join at sf0.1).  This is also the real
+    # IVF shape — the inverted-list assignment is a built artifact (write
+    # it as a table at prod; localCheckpoint is the local-mode equivalent).
+    base = base.localCheckpoint(eager=True)
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
@@ -348,31 +506,42 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_duck_sql() -> str:
-    sq = " + ".join(
-        f"((CAST(e.embedding[{d + 1}] AS DOUBLE) - CAST(c.embedding[{d + 1}] AS DOUBLE))"
-        f" * (CAST(e.embedding[{d + 1}] AS DOUBLE) - CAST(c.embedding[{d + 1}] AS DOUBLE)))"
-        for d in range(DIM)
+def _ivf_duck_sql(sf_dir: str) -> str:
+    """Oracle twin: the SAME literal centroids ivf_fit produced for this
+    directory, the same fold-shaped distance (list_reduce over
+    list_transform is left-associated like Spark's aggregate; squared
+    terms are non-negative so the 0.0 init is value-neutral)."""
+    _n, nprobe, cents = ivf_fit(sf_dir)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(cid, ", ".join(repr(float(x)) for x in vals))
+        for cid, vals in cents
     )
+    sq = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) / sqrt(e.norm2) - c.embedding[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) / sqrt(e.norm2) - c.embedding[i])), "
+        "(acc, v) -> acc + v)"
+    ).format(n=DIM)
     norm = _DOT_DUCK.format(a="embedding", b="embedding", n=DIM)
     dot = _DOT_DUCK.format(a="qe", b="ce", n=DIM)
     return f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+WITH cent(cid, embedding) AS (
+  VALUES
+    {cent_rows}
+), base AS (
+  SELECT vec_id, embedding, {norm} AS norm2 FROM embeddings
 ), dists AS (
   SELECT e.vec_id, c.cid, {sq} AS d
-  FROM embeddings e CROSS JOIN cent c
+  FROM base e CROSS JOIN cent c
 ), ranked AS (
   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
   FROM dists
-), base AS (
-  SELECT vec_id, embedding, {norm} AS norm2 FROM embeddings
 ), assign AS (
   SELECT r.vec_id, r.cid FROM ranked r WHERE r.rk = 1
 ), q AS (
   SELECT b.vec_id AS query_id, b.embedding AS qe, b.norm2 AS nq, r.cid AS pcid
   FROM base b JOIN ranked r ON r.vec_id = b.vec_id
-  WHERE b.vec_id < {N_QUERIES} AND r.rk <= {NPROBE}
+  WHERE b.vec_id < {N_QUERIES} AND r.rk <= {nprobe}
 ), c AS (
   SELECT b.vec_id AS neighbor_id, b.embedding AS ce, b.norm2 AS nc, a.cid
   FROM base b JOIN assign a ON a.vec_id = b.vec_id
@@ -390,7 +559,79 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 """
 
 
-SIM_IVF_TOPK_SQL = _ivf_duck_sql()
+SIM_IVF_TOPK_SQL = _ivf_duck_sql(ORACLE_SF_DIR)
+
+
+# --- ANN recall@k vs the brute-force ground truth ------------------------------
+# The quality gate the approximate paths answer to: for each query, how
+# many of the true top-k (sim_cosine_topk) does each ANN path recover?
+# This is a first-class query (and driver-oracle row), not a side report:
+# an ANN index with unmeasured recall is not shippable at 100 TB.  Target
+# (BENCH.md): mean recall ≥ 0.9 @ k=5 for both paths.
+def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    qids = gt.select("query_id").distinct()
+    parts = []
+    for method, fn in (("ivf", sim_ivf_topk), ("lsh", sim_lsh_topk)):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            approx.join(gt, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+                (
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                    / F.lit(float(TOP_K))
+                ).alias("recall_at_k"),
+            )
+        )
+    return parts[0].unionAll(parts[1]).orderBy("method", "query_id")
+
+
+def _recall_duck_sql(sf_dir: str) -> str:
+    gt_sql = SIM_COSINE_TOPK_SQL
+    lsh_sql = SIM_LSH_TOPK_SQL
+    ivf_sql = _ivf_duck_sql(sf_dir)
+    return f"""
+WITH gt AS (
+  SELECT query_id, neighbor_id FROM ({gt_sql})
+), lsh AS (
+  SELECT query_id, neighbor_id FROM ({lsh_sql})
+), ivf AS (
+  SELECT query_id, neighbor_id FROM ({ivf_sql})
+), qids AS (
+  SELECT DISTINCT query_id FROM gt
+), hits AS (
+  SELECT 'ivf' AS method, a.query_id, count(*) AS n
+  FROM ivf a JOIN gt g ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY a.query_id
+  UNION ALL
+  SELECT 'lsh' AS method, a.query_id, count(*) AS n
+  FROM lsh a JOIN gt g ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT m.method, q.query_id,
+       CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+       CAST(coalesce(h.n, 0) AS DOUBLE) / {float(TOP_K)!r} AS recall_at_k
+FROM qids q CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+LEFT JOIN hits h ON h.method = m.method AND h.query_id = q.query_id
+ORDER BY m.method, q.query_id
+"""
+
+
+def oracle_overrides(sf_dir: str) -> dict[str, str]:
+    """Oracles whose SQL embeds data-dependent fit literals — rebuild them
+    for a non-default sf directory (local tests at sf0.001/sf0.1; the
+    static ORACLES below target the driver's sf0.01)."""
+    return {
+        "sim_ivf_topk": _ivf_duck_sql(sf_dir),
+        "sim_recall": _recall_duck_sql(sf_dir),
+    }
 
 
 QUERIES = {
@@ -398,6 +639,7 @@ QUERIES = {
     "sim_lsh_buckets": sim_lsh_buckets,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_recall": sim_recall,
 }
 
 ORACLES = {
@@ -405,4 +647,5 @@ ORACLES = {
     "sim_lsh_buckets": SIM_LSH_BUCKETS_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
+    "sim_recall": _recall_duck_sql(ORACLE_SF_DIR),
 }

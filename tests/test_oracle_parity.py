@@ -12,9 +12,14 @@ import os
 import pytest
 
 from pdf_craft_spark.queries import ORACLES, QUERIES
+from pdf_craft_spark.queries.similarity import oracle_overrides
 from tests.oracle_harness import compare, duck_run
 
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+# oracles embedding data-dependent fit literals (IVF centroids) must be
+# rebuilt for the sf directory this test run targets
+ORACLES = {**ORACLES, **oracle_overrides(SF_DIR)}
 
 ORACLE_KEYS = sorted(ORACLES)
 
