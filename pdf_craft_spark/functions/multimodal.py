@@ -62,18 +62,33 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
+PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
-    """JVM-side metadata: length, content address, magic sniff.  This is
-    the content-addressing step (S6) — dedup by hash downstream.  The hash
-    is sha-256 over the (uppercase) hex encoding: byte-identical across
-    engines whose hash functions only take strings."""
+    """JVM-side metadata: length, content address, magic sniff, and REAL
+    PNG dimensions.  This is the content-addressing step (S6) — dedup by
+    hash downstream.  The hash is sha-256 over the (uppercase) hex
+    encoding: byte-identical across engines whose hash functions only take
+    strings.
+
+    PNG width/height live at fixed IHDR byte offsets (16-19 / 20-23,
+    big-endian) — no codec needed: ``conv(substring(hex(content), 33, 8),
+    16, 10)`` reads the actual bytes, NULL for non-PNG payloads."""
     hexed = F.hex(F.col("content"))
+    is_png = (F.substring(hexed, 1, 16) == PNG_SIG_HEX) & (
+        F.length("content") >= 24
+    )
+    png_w = F.conv(F.substring(hexed, 33, 8), 16, 10).cast("int")
+    png_h = F.conv(F.substring(hexed, 41, 8), 16, 10).cast("int")
     return media.select(
         "media_ref",
         "mime",
         F.length("content").alias("n_bytes"),
         F.sha2(hexed, 256).alias("content_hash"),
         F.substring(hexed, 1, 8).alias("magic"),
+        F.when(is_png, png_w).alias("png_width"),
+        F.when(is_png, png_h).alias("png_height"),
     )
 
 
@@ -95,13 +110,35 @@ def _decode_stub(content: bytes, mime: str) -> tuple[int, int, int, list[float]]
     return width, height, n_frames, feature
 
 
+_PNG_SIG = bytes.fromhex(PNG_SIG_HEX)
+
+
+def parse_png_dims(content: bytes) -> tuple[int, int] | None:
+    """REAL dimension extraction from the PNG IHDR chunk — width/height
+    are big-endian uint32 at byte offsets 16-23, directly after the
+    8-byte signature and the IHDR length+type; no codec involved (the
+    same parse PIL's PngImagePlugin does for ``.size``)."""
+    if len(content) >= 24 and content[:8] == _PNG_SIG and content[12:16] == b"IHDR":
+        import struct
+
+        w, h = struct.unpack(">II", content[16:24])
+        return int(w), int(h)
+    return None
+
+
 def _decode_bytes(content: bytes, mime: str) -> tuple[int, int, int, list[float]]:
     """Decode one media payload → (width, height, n_frames, feature vec).
 
-    Default: the deterministic stub (above).  With
-    ``PDF_CRAFT_SPARK_REAL_DECODE=1`` and a present codec, images go
-    through the real decoder (falling back to the stub per-object on
-    decode failure) — an importable PIL alone never changes behavior."""
+    PNG payloads get REAL width/height from the IHDR bytes (parse_png_dims)
+    regardless of codec availability; features stay stubbed.  Other mimes:
+    the deterministic stub.  With ``PDF_CRAFT_SPARK_REAL_DECODE=1`` and a
+    present codec, images go through the real decoder (falling back per
+    object on decode failure) — an importable PIL alone never changes
+    behavior."""
+    dims = parse_png_dims(content) if mime == "image/png" else None
+    if dims is not None and not (REAL_DECODE and MEDIA_CODECS_AVAILABLE):
+        _, _, _, feature = _decode_stub(content, mime)
+        return dims[0], dims[1], 1, feature
     if REAL_DECODE and MEDIA_CODECS_AVAILABLE and mime.startswith("image/"):
         try:  # pragma: no cover - codecs absent in this image
             import io
@@ -167,17 +204,39 @@ def sample_frames(media: DataFrame, every_nth: int = 8) -> DataFrame:
     )
 
 
-def synth_media_table(docs: DataFrame) -> DataFrame:
-    """Deterministic opaque binary payloads derived from document text —
-    engine-portable (Spark unhex(md5) == DuckDB unhex(md5)) so the binary
-    plumbing itself is oracle-checkable."""
-    payload = F.unhex(
-        F.concat(
-            F.md5(F.col("text")),
-            F.md5(F.concat(F.col("text"), F.lit("|2"))),
-            F.md5(F.concat(F.col("text"), F.lit("|3"))),
-        )
+# Synthetic payload hex, engine-portable (identical SQL in Spark/DuckDB).
+# image/png rows carry a PNG-STRUCTURED payload: real signature, real IHDR
+# length+type, real big-endian width/height bytes (md5-derived dims), real
+# bit-depth/color-type fields — so dimension extraction downstream reads
+# actual container bytes, exactly like production PNGs.  The IHDR CRC and
+# pixel data are md5-derived filler (the SQL oracle engine has no
+# crc32/zlib; fully valid zlib PNGs are exercised in tests via the Python
+# writer in tests/test_multimodal_png.py).  Other mimes stay opaque.
+def payload_hex_sql(hex2int: str) -> str:
+    """The payload-construction SQL, shared by both engines modulo their
+    hex→int idiom: Spark ``CAST(conv({h}, 16, 10) AS INT)``, DuckDB
+    ``CAST(('0x' || {h}) AS INT)`` — pass the idiom as a format string."""
+    w = "(16 + " + hex2int.format(h="substr(md5(text), 1, 3)") + " % 4080)"
+    h = "(16 + " + hex2int.format(h="substr(md5(text), 4, 3)") + " % 4080)"
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'89504E470D0A1A0A' || '0000000D' || '49484452' || "
+        f"upper(lpad(hex({w}), 8, '0')) || upper(lpad(hex({h}), 8, '0')) || "
+        "'0802000000' || upper(substr(md5(text || '|crc'), 1, 8)) || "
+        "upper(md5(text || '|2')) || upper(md5(text || '|3')) "
+        "ELSE upper(md5(text) || md5(text || '|2') || md5(text || '|3')) END"
     )
+
+
+SPARK_HEX2INT = "CAST(conv({h}, 16, 10) AS INT)"
+DUCK_HEX2INT = "CAST(('0x' || {h}) AS INT)"
+
+
+def synth_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic binary payloads derived from document text —
+    engine-portable (Spark unhex == DuckDB unhex over the same hex SQL) so
+    the binary plumbing itself is oracle-checkable; PNG rows are
+    PNG-structured (see PAYLOAD_HEX_SQL)."""
     mime = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
         .when(F.col("doc_id") % 3 == 1, F.lit("video/mp4"))
@@ -186,5 +245,5 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
         mime.alias("mime"),
-        payload.alias("content"),
+        F.unhex(F.expr(payload_hex_sql(SPARK_HEX2INT))).alias("content"),
     )

@@ -1,10 +1,13 @@
 """Multimodal-column queries: binary payload plumbing.
 
-The binary payloads are derived engine-portably via unhex(md5(...)), and
-the stub decode is derived from md5(hex(content)) through ascii codes —
-so ALL three queries (metadata, decode/features, frame fan-out) are
-oracle-checked: DuckDB recomputes the exact same values in SQL while the
-Spark side actually exercises the Arrow mapInPandas kernel."""
+The binary payloads are derived engine-portably (the same hex-building SQL
+runs in Spark and DuckDB; image/png rows are PNG-STRUCTURED — real
+signature + IHDR width/height bytes), so ALL three queries (metadata,
+decode/features, frame fan-out) are oracle-checked: DuckDB recomputes the
+exact same values in SQL — including the REAL IHDR dimension parse as a
+hex-substring read — while the Spark side actually exercises the Arrow
+mapInPandas kernel (which parses the same actual bytes with
+struct.unpack)."""
 
 from __future__ import annotations
 
@@ -14,9 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_craft_spark.functions.multimodal import (
+    DUCK_HEX2INT,
     FEATURE_DIM,
     extract_media_features,
     media_metadata,
+    payload_hex_sql,
     sample_frames,
     synth_media_table,
 )
@@ -30,22 +35,35 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(synth_media_table(_docs(spark, sf_dir))).orderBy("media_ref")
 
 
-_MEDIA_CTE = """
+_MEDIA_CTE = f"""
 WITH media AS (
   SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
               WHEN doc_id % 3 = 1 THEN 'video/mp4'
               ELSE 'audio/wav' END AS mime,
-         unhex(md5(text) || md5(text || '|2') || md5(text || '|3')) AS content
+         unhex({payload_hex_sql(DUCK_HEX2INT)}) AS content
   FROM documents
 )
 """
 
-MEDIA_METADATA_SQL = _MEDIA_CTE + """
+# the IHDR dimension parse as plain byte reads: hex chars 33-40/41-48 ==
+# bytes 17-20/21-24 — identical expression shape to the Spark side's conv()
+_PNG_SIG = "89504E470D0A1A0A"
+# BIGINT for the raw 4-byte reads (8 hex chars can exceed INT32 on non-PNG
+# payloads if ever evaluated unguarded); the guarded CASE narrows to INT
+_DUCK_PNG_W = "CAST(('0x' || substring(hex(content), 33, 8)) AS BIGINT)"
+_DUCK_PNG_H = "CAST(('0x' || substring(hex(content), 41, 8)) AS BIGINT)"
+_DUCK_IS_PNG = (
+    f"substring(hex(content), 1, 16) = '{_PNG_SIG}' AND octet_length(content) >= 24"
+)
+
+MEDIA_METADATA_SQL = _MEDIA_CTE + f"""
 SELECT media_ref, mime,
        CAST(octet_length(content) AS INT) AS n_bytes,
        sha256(hex(content)) AS content_hash,
-       substring(hex(content), 1, 8) AS magic
+       substring(hex(content), 1, 8) AS magic,
+       CAST(CASE WHEN {_DUCK_IS_PNG} THEN {_DUCK_PNG_W} END AS INT) AS png_width,
+       CAST(CASE WHEN {_DUCK_IS_PNG} THEN {_DUCK_PNG_H} END AS INT) AS png_height
 FROM media ORDER BY media_ref
 """
 
@@ -66,19 +84,24 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
-_FEAT_CTE = _MEDIA_CTE + """
+_FEAT_CTE = _MEDIA_CTE + f"""
 , feat AS (
-  SELECT media_ref, mime,
+  SELECT media_ref, mime, content,
          CAST(octet_length(content) AS INT) AS n_bytes,
-         md5(hex(content)) AS h
+         md5(hex(content)) AS h,
+         ({_DUCK_IS_PNG}) AS is_png
   FROM media
 )
 """
 
-MEDIA_FEATURES_SQL = _FEAT_CTE + """
+MEDIA_FEATURES_SQL = _FEAT_CTE + f"""
 SELECT media_ref, mime, n_bytes,
-       CAST(64 + (ascii(substr(h, 1, 1)) * 16 + ascii(substr(h, 2, 1))) % 192 AS INT) AS width,
-       CAST(64 + (ascii(substr(h, 3, 1)) * 16 + ascii(substr(h, 4, 1))) % 192 AS INT) AS height,
+       CAST(CASE WHEN is_png THEN {_DUCK_PNG_W}
+                 ELSE 64 + (ascii(substr(h, 1, 1)) * 16 + ascii(substr(h, 2, 1))) % 192
+            END AS INT) AS width,
+       CAST(CASE WHEN is_png THEN {_DUCK_PNG_H}
+                 ELSE 64 + (ascii(substr(h, 3, 1)) * 16 + ascii(substr(h, 4, 1))) % 192
+            END AS INT) AS height,
        CAST(CASE WHEN mime LIKE 'image/%' THEN 1
                  ELSE 1 + (ascii(substr(h, 5, 1)) * 16 + ascii(substr(h, 6, 1))) % 32
             END AS INT) AS n_frames,
