@@ -19,9 +19,9 @@ SF0001 = "/root/testdata/sf0.001"
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full extraction pipeline — deterministic interleaved
-    raw-span corpus (pinned 24-doc golden corpus; see queries/pipelineq.py)
+    raw-span corpus (pinned 28-doc golden corpus; see queries/pipelineq.py)
     → stage-1 Catalyst prep → per-doc Arrow kernel → ordered output spans
-    (the north-rule artifact, oracle-checked against golden/n24)."""
+    (the north-rule artifact, oracle-checked against golden/n28)."""
     return QUERIES["pipeline_extract_spans"](spark, SF0001)
 
 

@@ -93,7 +93,9 @@ def _bench_spark(cpus: int, app: str):
 
 # bump when the generator's output changes — stale /tmp corpora from an
 # older generator must never feed a bench run
-CORPUS_VERSION = "v2"  # v2: FIXTURES §3 tail restored (1% of docs 500-5000 pages)
+# v2: FIXTURES §3 tail restored (1% of docs 500-5000 pages)
+# v3: PII fragments in prose; adversarial docs 24-27 (long/CJK/HTML/PII)
+CORPUS_VERSION = "v3"
 
 
 def corpus_path(n_docs: int) -> str:

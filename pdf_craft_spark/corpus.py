@@ -49,14 +49,46 @@ def _sentence(rng: random.Random) -> str:
     return _words(rng, rng.randint(5, 12)) + rng.choice([".", ".", ".", "!", "?"])
 
 
+_PII_DOMAINS = ("example", "corpus", "dataeng", "books")
+_PII_TLDS = ("com", "org", "co.uk", "io")
+_ZH_PUNCT = "，。！？；：「」"
+
+
+def _pii_fragment(rng: random.Random) -> str:
+    """Deterministic contact-info fragments in the shapes real corpora
+    carry — plus-tagged locals, subdomains, query strings, fragments —
+    so the PII scrub operator meets corpus-shaped data, not injections."""
+    w = rng.choice(_WORDS)
+    w2 = rng.choice(_WORDS)
+    dom = rng.choice(_PII_DOMAINS)
+    tld = rng.choice(_PII_TLDS)
+    n = rng.randint(1, 999)
+    kind = rng.random()
+    if kind < 0.4:
+        return f"contact {w}.{w2}+{n}@{dom}.{tld} today"
+    if kind < 0.7:
+        return f"visit https://{dom}.{tld}/{w}/{n}?ref={w2} soon"
+    return f"mail {w}_{n}@mail.{dom}.org and http://{dom}.net/{w2}#{n}"
+
+
+_HTML_PATHOLOGICAL = (
+    'Results <table><tr><td>a &amp; b</td><td>keep <b>bold</b> x</td></tr>'
+    '<tr><td colspan="2">c &#60;d&#62;</td></tr></table> end',
+    "Data <table><tr><th>h1</th><th>h2</th></tr>"
+    "<tr><td>1 &lt; 2 &amp; 3 &gt; 2</td><td><em>em</em> tail</td></tr></table> after",
+    "T <table><tbody><tr><td>only cell</td></tr></tbody></table> <em>after</em> note",
+)
+
+
 def _media_hash(rng: random.Random) -> str:
     return hashlib.sha256(str(rng.random()).encode()).hexdigest()
 
 
 class _BookBuilder:
-    def __init__(self, rng: random.Random, n_pages: int):
+    def __init__(self, rng: random.Random, n_pages: int, flavor: str | None = None):
         self.rng = rng
         self.n_pages = n_pages
+        self.flavor = flavor  # None | "cjk" | "html" | "pii" (adversarial)
         self.pages: list[RawPage] = []
         self.titles: list[str] = []
 
@@ -69,9 +101,14 @@ class _BookBuilder:
     def build(self) -> list[RawPage]:
         rng = self.rng
         n_chapters = max(2, self.n_pages // 3)
-        self.titles = [
-            f"Chapter {i + 1} {_words(rng, 3)}" for i in range(n_chapters)
-        ]
+        if self.flavor == "cjk":
+            self.titles = [
+                f"第{i + 1}章 {_zh_text(rng, 4)}" for i in range(n_chapters)
+            ]
+        else:
+            self.titles = [
+                f"Chapter {i + 1} {_words(rng, 3)}" for i in range(n_chapters)
+            ]
         # some books carry a running header on every content page (the
         # boilerplate-demotion stage's target) and some have a failed page
         # (F9 fallback)
@@ -165,14 +202,18 @@ class _BookBuilder:
                             )
                             yy += 20
                     elif kind_roll < 0.26:
-                        rows = "".join(
-                            f"<tr><td>{_words(rng, 1)}</td><td>{rng.randint(0, 99)}</td></tr>"
-                            for _ in range(3)
-                        )
+                        if self.flavor == "html":
+                            body = rng.choice(_HTML_PATHOLOGICAL)
+                        else:
+                            rows = "".join(
+                                f"<tr><td>{_words(rng, 1)}</td><td>{rng.randint(0, 99)}</td></tr>"
+                                for _ in range(3)
+                            )
+                            body = f"Results before <table>{rows}</table> after note"
                         self._layout(
                             page,
                             "table",
-                            f"Results before <table>{rows}</table> after note",
+                            body,
                             (left, yy, right, yy + 80),
                         )
                         yy += 86
@@ -182,6 +223,17 @@ class _BookBuilder:
                         if carry_words is not None:
                             text = carry_words + " " + text
                             carry_words = None
+                        if self.flavor == "cjk":
+                            # dense CJK with full-width punctuation around a
+                            # short latin run — F6/F7/E11's hardest mix
+                            text = (
+                                _zh_text(rng, rng.randint(20, 50))
+                                + rng.choice(_ZH_PUNCT)
+                                + text[: rng.randint(5, 20)].strip()
+                                + "「"
+                                + _zh_text(rng, rng.randint(4, 10))
+                                + "」。"
+                            )
                         # sometimes inject a footnote mark + CJK clause
                         if rng.random() < 0.3 and page.index % 2 == 0:
                             gi = rng.randint(0, 3)
@@ -189,6 +241,11 @@ class _BookBuilder:
                             self._ensure_footnote(page, gi)
                         if rng.random() < 0.25:
                             text += " " + _zh_text(rng, rng.randint(6, 14)) + ","
+                        # corpus-shaped contact info: always in the pii
+                        # flavor, occasionally everywhere (the scrub
+                        # operator's natural diet)
+                        if self.flavor == "pii" or rng.random() < 0.08:
+                            text += " " + _pii_fragment(rng)
                         self._layout(page, "text", text, (left, yy, right, yy + 36))
                         yy += 44
                 # occasionally end the column mid-word (hyphen split)
@@ -235,14 +292,28 @@ def _draw_n_pages(rng: random.Random, heavy_tail: bool) -> int:
     return rng.randint(4, 14)
 
 
+# Reserved ADVERSARIAL documents (fixed ids, deterministic like all the
+# rest): a 520-page book, a CJK-dense book, pathological-HTML tables, and
+# PII-dense prose.  They sit inside the golden corpus (ids 24-27 < the
+# parity suites' ranges) so the driver's golden-oracle rows and the
+# reference byte-parity tests both run over the hard cases, not just the
+# average ones.
+_ADVERSARIAL = {24: ("long", 520), 25: ("cjk", 10), 26: ("html", 10), 27: ("pii", 10)}
+
+
 def page_count(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> int:
     """Exact page count of generate_document(doc_id, seed) without building
     the book — mirrors the same leading rng draws (cheap corpus stats)."""
+    if doc_id in _ADVERSARIAL:
+        return _ADVERSARIAL[doc_id][1]
     return _draw_n_pages(random.Random((seed << 32) ^ doc_id), heavy_tail)
 
 
 def generate_document(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> list[RawPage]:
     rng = random.Random((seed << 32) ^ doc_id)
+    if doc_id in _ADVERSARIAL:
+        flavor, n_pages = _ADVERSARIAL[doc_id]
+        return _BookBuilder(rng, n_pages, flavor=None if flavor == "long" else flavor).build()
     n_pages = _draw_n_pages(rng, heavy_tail)
     return _BookBuilder(rng, n_pages).build()
 

@@ -4,7 +4,7 @@ oracles.
 The queries run the pinned 24-document deterministic interleaved corpus
 (GOLDEN_DOCS) through the distributed 3-stage Spark plan in
 plans/pipeline.py.  The DuckDB oracle for each reads the matching golden
-parquet under golden/n24/ — materialized by scripts/make_golden.py from the
+parquet under golden/n28/ — materialized by scripts/make_golden.py from the
 LOCAL single-process kernel, which tests/test_document_parity.py proves
 byte-identical to the actual reference pipeline
 (/root/reference/pdf_craft/transform.py:192 → sequence/generation.py:23 →
@@ -35,9 +35,9 @@ from pdf_craft_spark.plans.pipeline import (
 )
 
 SEED = 42
-GOLDEN_DOCS = 24
+GOLDEN_DOCS = 28
 _GOLDEN_DIR = os.path.normpath(
-    os.path.join(os.path.dirname(__file__), "..", "..", "golden", "n24")
+    os.path.join(os.path.dirname(__file__), "..", "..", "golden", "n28")
 )
 
 

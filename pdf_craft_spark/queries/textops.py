@@ -144,49 +144,60 @@ FROM documents ORDER BY doc_id
 
 
 # --- PII / URL scrubbing ------------------------------------------------------
-# The documents table has no contact info, so deterministic emails/URLs are
-# injected in-query (doc_id-derived, identically in the oracle) and then
-# scrubbed.  The patterns avoid lookaround/backreferences so Java regex
+# Runs over the interleaved BOOK corpus, whose generator plants
+# corpus-shaped contact info (plus-tagged emails, subdomains, URLs with
+# query strings/fragments — pdf_craft_spark/corpus.py:_pii_fragment) in
+# the prose: the scrub meets natural data, not in-query injections.  The
+# DuckDB oracle applies the same expressions to the committed RAW corpus
+# (golden/n28/raw_spans.parquet — pre-extraction text, not a precomputed
+# answer).  The patterns avoid lookaround/backreferences so Java regex
 # (Spark) and RE2 (DuckDB) agree exactly.
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _URL_RE = r"https?://[^\s]+"
 
-_PII_SYNTH = (
-    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS STRING)"
-    " || '@example.com or visit https://ex.org/d/' || CAST(doc_id AS STRING) "
-    "WHEN doc_id % 3 = 1 THEN 'mail admin.' || CAST(doc_id AS STRING)"
-    " || '+tag@sub.example.co.uk first ' || text "
-    "ELSE text END"
+_GOLDEN_RAW = os.path.normpath(
+    os.path.join(
+        os.path.dirname(__file__), "..", "..", "golden", "n28", "raw_spans.parquet"
+    )
 )
 
 
 def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = F.expr(_PII_SYNTH)
+    from pdf_craft_spark.plans.pipeline import corpus_df, explode_spans
+    from pdf_craft_spark.queries.pipelineq import GOLDEN_DOCS, SEED
+
+    flat = explode_spans(corpus_df(spark, GOLDEN_DOCS, SEED))
+    raw = F.col("text")
     scrubbed = F.regexp_replace(
         F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
     )
     return (
-        _docs(spark, sf_dir)
-        .select(
+        flat.select(
             "doc_id",
+            "offset",
             F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
             F.size(F.regexp_extract_all(raw, F.lit(_URL_RE), 0)).alias("n_urls"),
             scrubbed.alias("scrubbed"),
         )
-        .orderBy("doc_id")
+        .filter((F.col("n_emails") > 0) | (F.col("n_urls") > 0))
+        .orderBy("doc_id", "offset")
     )
 
 
 TEXT_SCRUB_PII_SQL = rf"""
 WITH raw AS (
-  SELECT doc_id, {_PII_SYNTH} AS r FROM documents
+  SELECT doc_id, "offset", text AS r
+  FROM read_parquet('{_GOLDEN_RAW}')
+), scrubbed AS (
+  SELECT doc_id, "offset",
+         CAST(len(regexp_extract_all(r, '{_EMAIL_RE}')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(r, '{_URL_RE}')) AS INT) AS n_urls,
+         regexp_replace(regexp_replace(r, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_URL_RE}', '<URL>', 'g') AS scrubbed
+  FROM raw
 )
-SELECT doc_id,
-       CAST(len(regexp_extract_all(r, '{_EMAIL_RE}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(r, '{_URL_RE}')) AS INT) AS n_urls,
-       regexp_replace(regexp_replace(r, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                      '{_URL_RE}', '<URL>', 'g') AS scrubbed
-FROM raw ORDER BY doc_id
+SELECT * FROM scrubbed WHERE n_emails > 0 OR n_urls > 0
+ORDER BY doc_id, "offset"
 """
 
 

@@ -1,12 +1,12 @@
 """Materialize the golden correctness tables for the pipeline queries.
 
-The 24-document golden corpus (``GOLDEN_DOCS`` in queries/pipelineq.py) is
+The 28-document golden corpus (incl. the 4 adversarial docs 24-27) (``GOLDEN_DOCS`` in queries/pipelineq.py) is
 run through the LOCAL single-process kernel — the same code path
 ``tests/test_document_parity.py`` proves byte-identical to the actual
 reference pipeline (/root/reference/pdf_craft/transform.py:192 →
 sequence/generation.py:23 → markdown/render/render.py:15) — and the
 resulting span sequences / markdown / metrics are written as parquet under
-``golden/n24/``.  The driver's DuckDB oracle then simply reads these
+``golden/n28/``.  The driver's DuckDB oracle then simply reads these
 tables, turning the Spark pipeline queries into driver-green rows: Spark
 distributed plan vs reference-parity local kernel, value-exact.
 
@@ -34,8 +34,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pdf_craft_spark.corpus import generate_document, pages_to_spans, parse_raw_spans
 from pdf_craft_spark.operators.document import extract_document
 
-GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "golden", "n24")
-N_DOCS = 24
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "golden", "n28")
+N_DOCS = 28
 SEED = 42
 
 _TITLE_KINDS = ("title", "sub_title", "fn_title", "fn_sub_title")
@@ -92,6 +92,18 @@ STAGE1_SCHEMA = pa.schema(
         ("doc_id", pa.string()),
         ("kind", pa.string()),
         ("text", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+# the RAW interleaved corpus itself (pre-stage-1): oracles that must do
+# real SQL work over corpus text (e.g. the PII scrub) read this and apply
+# their own expressions, instead of reading a precomputed answer
+RAW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
         ("offset", pa.int32()),
     ]
 )
@@ -158,7 +170,7 @@ def _write(name: str, rows: list[tuple], schema: pa.Schema) -> None:
         schema=schema,
     )
     pq.write_table(table, os.path.join(GOLDEN_DIR, f"{name}.parquet"))
-    print(f"golden/n24/{name}.parquet: {len(rows)} rows")
+    print(f"golden/n28/{name}.parquet: {len(rows)} rows")
 
 
 def main() -> None:
@@ -169,7 +181,12 @@ def main() -> None:
     )
     epub_rec_rows: list[tuple] = []
     epub_toc_rows: list[tuple] = []
+    raw_rows: list[tuple] = []
     for doc_id in range(N_DOCS):
+        raw_rows.extend(
+            (str(doc_id), k, t, m, o)
+            for k, t, m, o in pages_to_spans(generate_document(doc_id, SEED))
+        )
         s1_rows.extend(stage1_rows(doc_id))
         recs, tocs = epub_rows(doc_id)
         epub_rec_rows.extend(recs)
@@ -200,6 +217,7 @@ def main() -> None:
             for s in bspans
         )
 
+    _write("raw_spans", raw_rows, RAW_SCHEMA)
     _write("pipeline_extract_spans", spans_rows, SPAN_SCHEMA)
     _write("pipeline_boilerplate_strip", boiler_rows, SPAN_SCHEMA)
     _write("pipeline_stage1_prep", s1_rows, STAGE1_SCHEMA)

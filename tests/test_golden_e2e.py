@@ -10,14 +10,19 @@ import hashlib
 from pdf_craft_spark.corpus import generate_document, pages_to_spans, parse_raw_spans
 from pdf_craft_spark.operators.document import extract_document
 
-# updated 2026-08-16: markdown now includes the reference's
-# '---\n\n## References' divider (markdown/render/render.py:82), verified
-# byte-equal against the reference in test_document_parity.py
+# updated 2026-08-16 (round 3): corpus v3 — PII fragments in prose and the
+# four adversarial docs 24-27 (520-page book / CJK-dense / pathological
+# HTML / PII-dense), each verified byte-equal against the reference in
+# test_document_parity.py before these snapshots were refreshed
 GOLDEN = {
-    1: ("d7888a867c", 17),
-    2: ("e73592a3b9", 28),
-    7: ("a41e47690f", 11),
-    42: ("9df138c526", 24),
+    1: ("a17682ec92", 13),
+    2: ("c1a30773a9", 33),
+    7: ("e502871d62", 21),
+    42: ("883c6eedc1", 23),
+    24: ("e0d215eec9", 1737),  # adversarial: 520-page long book
+    25: ("42b35bf858", 29),  # adversarial: CJK-dense
+    26: ("90a7c9e03e", 25),  # adversarial: pathological HTML tables
+    27: ("d8eae62b97", 24),  # adversarial: PII-dense prose
 }
 
 
