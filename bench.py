@@ -95,7 +95,8 @@ def _bench_spark(cpus: int, app: str):
 # older generator must never feed a bench run
 # v2: FIXTURES §3 tail restored (1% of docs 500-5000 pages)
 # v3: PII fragments in prose; adversarial docs 24-27 (long/CJK/HTML/PII)
-CORPUS_VERSION = "v3"
+# v4: page spans carry in/out token meters (A8)
+CORPUS_VERSION = "v4"
 
 
 def corpus_path(n_docs: int) -> str:

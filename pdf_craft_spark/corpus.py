@@ -320,8 +320,25 @@ def generate_document(doc_id: int, seed: int = 42, heavy_tail: bool = True) -> l
 
 # --- serialization to/from the hinted interleaved schema ---------------------
 
+def page_tokens(page: RawPage) -> tuple[int, int]:
+    """Deterministic per-page OCR token meters (A8): input ≈ the page
+    image's token cost (area/256, how vision models bill pixels), output ≈
+    recognized text volume (chars/4 + a fixed per-layout overhead) —
+    derived from content, so no extra rng draws and no generator churn.
+    Mirrors the reference's per-page input_tokens/output_tokens fields
+    (pdf/types.py:19-20, filled from OCR events, ocr.py:205-216)."""
+    n_in = (page.width * page.height) // 256
+    layouts = list(page.body) + list(page.footnotes)
+    n_out = sum(len(lay.text) for lay in layouts) // 4 + 16 * len(layouts)
+    return n_in, n_out
+
+
 def pages_to_spans(pages: list[RawPage]) -> list[tuple[str, str | None, str | None, int]]:
-    """→ [(kind, text, media_ref, offset)] rows of the raw spans array."""
+    """→ [(kind, text, media_ref, offset)] rows of the raw spans array.
+
+    Page-marker spans carry ``index,width,height,in_tok,out_tok`` — the
+    per-page token meters ride the contract schema's text field; failed
+    pages (page_error) emit no tokens, like the reference's SKIP events."""
     rows: list[tuple[str, str | None, str | None, int]] = []
     off = 0
     for page in pages:
@@ -338,7 +355,15 @@ def pages_to_spans(pages: list[RawPage]) -> list[tuple[str, str | None, str | No
             )
             off += 1
             continue
-        rows.append(("page", f"{page.index},{page.width},{page.height}", None, off))
+        n_in, n_out = page_tokens(page)
+        rows.append(
+            (
+                "page",
+                f"{page.index},{page.width},{page.height},{n_in},{n_out}",
+                None,
+                off,
+            )
+        )
         off += 1
         for footnote, area in ((False, page.body), (True, page.footnotes)):
             for lay in area:
@@ -358,11 +383,13 @@ def parse_raw_spans(rows: list[tuple[str, str | None, str | None, int]]) -> list
     pages: list[RawPage] = []
     for kind, text, mref, _off in rows:
         if kind == "page":
-            idx, w, h = (int(v) for v in (text or "1,600,800").split(","))
+            # 3-field (legacy) or 5-field (with token meters); the kernel
+            # only needs geometry — A8 metering reads the tokens JVM-side
+            idx, w, h = (int(v) for v in (text or "1,600,800").split(",")[:3])
             pages.append(RawPage(index=idx, width=w, height=h))
             continue
         if kind == "page_error":
-            idx, w, h = (int(v) for v in (text or "1,600,800").split(","))
+            idx, w, h = (int(v) for v in (text or "1,600,800").split(",")[:3])
             pages.append(fallback_page(idx, mref, w, h))
             continue
         if not pages:  # layout before any page marker: implicit page 1

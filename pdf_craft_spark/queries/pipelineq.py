@@ -107,6 +107,86 @@ def pipeline_epub_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A8 budget: the reference aborts OCR when the remaining token budget hits
+# zero BEFORE a page (pdf/ocr.py:140-143: remain -= in+out after each page,
+# TokenLimitError when remain <= 0).  12k tokens ≈ 5-6 synthetic pages, so
+# short docs finish and longer ones cut — both branches live in the golden
+# corpus.
+A8_MAX_TOKENS = 12_000
+
+
+def a8_token_metering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 proper: per-doc OCR token metering + budget-cut simulation.
+
+    Page spans carry real in/out token columns (corpus.page_tokens —
+    the reference's Page.input_tokens/output_tokens, pdf/types.py:19-20);
+    metering sums them per document (transform.py:241-245) and the
+    budget-cut columns report how far A8's max_tokens abort would get:
+    a page is processed iff the running spend BEFORE it is < budget."""
+    from pyspark.sql import Window
+    from pdf_craft_spark.plans.pipeline import explode_spans
+
+    flat = explode_spans(_corpus(spark)).filter(F.col("kind") == "page")
+    parts = F.split(F.col("text"), ",")
+    pages = flat.select(
+        "doc_id",
+        parts.getItem(0).cast("int").alias("page_index"),
+        parts.getItem(3).cast("long").alias("in_tok"),
+        parts.getItem(4).cast("long").alias("out_tok"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("page_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spent_before = F.coalesce(
+        F.sum(F.col("in_tok") + F.col("out_tok")).over(w), F.lit(0)
+    )
+    flagged = pages.withColumn(
+        "within", (spent_before < A8_MAX_TOKENS).cast("int")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("in_tok").alias("input_tokens"),
+            F.sum("out_tok").alias("output_tokens"),
+            F.sum("within").alias("pages_within_budget"),
+            F.min(
+                F.when(F.col("within") == 0, F.col("page_index"))
+            ).alias("cut_page_index"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_A8_RAW = os.path.join(_GOLDEN_DIR, "raw_spans.parquet")
+
+A8_TOKEN_METERING_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         CAST(string_split(text, ',')[1] AS INT) AS page_index,
+         CAST(string_split(text, ',')[4] AS BIGINT) AS in_tok,
+         CAST(string_split(text, ',')[5] AS BIGINT) AS out_tok
+  FROM read_parquet('{_A8_RAW}') WHERE kind = 'page'
+), flagged AS (
+  SELECT doc_id, page_index, in_tok, out_tok,
+         CASE WHEN coalesce(sum(in_tok + out_tok) OVER (
+                PARTITION BY doc_id ORDER BY page_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              < {A8_MAX_TOKENS} THEN 1 ELSE 0 END AS within
+  FROM pages
+)
+SELECT doc_id,
+       count(*) AS n_pages,
+       sum(in_tok) AS input_tokens,
+       sum(out_tok) AS output_tokens,
+       sum(within) AS pages_within_budget,
+       min(CASE WHEN within = 0 THEN page_index END) AS cut_page_index
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pipeline_extract_spans": pipeline_extract_spans,
     "pipeline_markdown": pipeline_markdown,
@@ -116,6 +196,7 @@ QUERIES = {
     "pipeline_boilerplate_strip": pipeline_boilerplate_strip,
     "pipeline_epub_records": pipeline_epub_records,
     "pipeline_epub_toc": pipeline_epub_toc,
+    "a8_token_metering": a8_token_metering,
 }
 ORACLES = {
     "pipeline_extract_spans": _golden_sql(
@@ -130,4 +211,5 @@ ORACLES = {
     ),
     "pipeline_epub_records": _golden_sql("pipeline_epub_records", "doc_id, seq"),
     "pipeline_epub_toc": _golden_sql("pipeline_epub_toc", "doc_id, toc_id"),
+    "a8_token_metering": A8_TOKEN_METERING_SQL,
 }
