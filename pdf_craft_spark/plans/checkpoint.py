@@ -4,9 +4,10 @@ Behavioral spec: the reference's resume markers — skip page if its XML
 exists, skip doc if 'done' exists (/root/reference/pdf_craft/pdf/ocr.py:
 92-95,129-136,218-219).  Spark-native equivalent:
 
-- output spans land in a bucket-partitioned parquet dataset (bucket =
-  pmod(hash(doc_id), n_buckets)); on Iceberg this is a partitioned table
-  with snapshot-atomic commits.
+- output spans land through a TABLE-FORMAT SINK (plans/sinks.py): here a
+  bucket-partitioned parquet dataset (bucket = pmod(hash(doc_id),
+  n_buckets)); on Iceberg the same partition transform with
+  snapshot-atomic commits — the resume logic below is sink-agnostic.
 - resume = LEFT ANTI join of the input docs against the doc_ids already
   committed — only uncommitted documents are recomputed.
 - every run appends a manifest row per bucket (run_id, bucket, n_docs,
@@ -16,31 +17,19 @@ exists, skip doc if 'done' exists (/root/reference/pdf_craft/pdf/ocr.py:
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_craft_spark.plans.pipeline import extract_spans_df
+from pdf_craft_spark.plans.sinks import ParquetBucketSink
 
 N_BUCKETS = 16
 
 
-def _spans_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "spans")
-
-
-def _manifest_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "manifest")
-
-
 def committed_doc_ids(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    path = _spans_path(out_dir)
-    try:
-        return spark.read.parquet(path).select("doc_id").distinct()
-    except Exception:
-        return None  # first run: nothing committed yet
+    return ParquetBucketSink(out_dir, N_BUCKETS).committed_doc_ids(spark)
 
 
 def run_with_resume(
@@ -48,31 +37,30 @@ def run_with_resume(
     docs: DataFrame,
     out_dir: str,
     run_id: str,
+    sink=None,
 ) -> dict:
-    """Extract `docs`, skipping documents already committed in out_dir.
+    """Extract `docs`, skipping documents already committed in the sink.
 
     Returns run stats; output is appended bucket-partitioned, and the
-    manifest gains one row per touched bucket.
+    manifest gains one row per touched bucket.  ``sink`` defaults to the
+    parquet sink rooted at out_dir; pass an IcebergSink for a catalog
+    table (plans/sinks.py documents the 1:1 mapping).
     """
+    if sink is None:
+        sink = ParquetBucketSink(out_dir, N_BUCKETS)
     t0 = time.time()
-    done = committed_doc_ids(spark, out_dir)
+    done = sink.committed_doc_ids(spark)
     todo = docs if done is None else docs.join(done, "doc_id", "left_anti")
 
     # every span row carries the run that produced it — row-level lineage,
-    # and the per-run manifest delta below is a cheap parquet scan filtered
-    # on run_id (row-group stats prune old runs) instead of a re-extraction
-    flat = (
-        extract_spans_df(todo)
-        .withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)))
-        .withColumn("run_id", F.lit(run_id))
-    )
-    flat.write.mode("append").partitionBy("bucket").parquet(_spans_path(out_dir))
+    # and the per-run manifest delta below is a cheap scan filtered on
+    # run_id (row-group stats / snapshot metadata prune old runs) instead
+    # of a re-extraction
+    flat = extract_spans_df(todo).withColumn("run_id", F.lit(run_id))
+    sink.append_spans(flat)
     wall = time.time() - t0
 
-    # mergeSchema: an output dir written before the run_id column existed
-    # has files without it — schema inference must union footers, not pick
-    # one, or the run_id filter below can fail / read inconsistently
-    out = spark.read.option("mergeSchema", "true").parquet(_spans_path(out_dir))
+    out = sink.read_spans(spark)
     # manifest rows record THIS run's delta per bucket; wall_sec is the
     # run-level wall clock (identical across the run's bucket rows)
     lineage = (
@@ -86,7 +74,7 @@ def run_with_resume(
         .withColumn("wall_sec", F.lit(round(wall, 3)))
         .withColumn("status", F.lit("committed"))
     )
-    lineage.write.mode("append").parquet(_manifest_path(out_dir))
+    sink.append_manifest(lineage)
 
     stats_row = out.agg(
         F.countDistinct("doc_id").alias("docs"), F.count(F.lit(1)).alias("spans")

@@ -31,6 +31,30 @@ def test_resume_skips_committed(spark, tmp_path):
     assert manifest.filter(manifest.status == "committed").count() >= 2
 
 
+def test_resume_into_pre_run_id_output(spark, tmp_path):
+    """An output dir written before the run_id column existed (schema
+    drift) must resume cleanly: the sink's mergeSchema read unions the
+    footers and the lineage delta filter sees NULL run_id on old files."""
+    from pyspark.sql import functions as F
+
+    from pdf_craft_spark.plans.pipeline import extract_spans_df
+    from pdf_craft_spark.plans.sinks import ParquetBucketSink
+
+    out_dir = str(tmp_path / "out")
+    legacy = extract_spans_df(corpus_df(spark, 2, partitions=2)).withColumn(
+        "bucket", F.pmod(F.hash("doc_id"), F.lit(16))
+    )
+    legacy.write.mode("append").partitionBy("bucket").parquet(f"{out_dir}/spans")
+
+    stats = run_with_resume(spark, corpus_df(spark, 4, partitions=2), out_dir, "r2")
+    assert stats["total_docs_committed"] == 4
+    out = ParquetBucketSink(out_dir).read_spans(spark)
+    assert out.select("doc_id", "offset").distinct().count() == out.count()
+    # legacy rows surface with NULL run_id; new rows carry r2
+    assert out.filter(F.col("run_id").isNull()).count() > 0
+    assert out.filter(F.col("run_id") == "r2").count() > 0
+
+
 def test_noop_rerun(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     run_with_resume(spark, corpus_df(spark, 3, partitions=2), out_dir, uuid.uuid4().hex)
