@@ -250,12 +250,49 @@ def _split_head_body_tail(items: list) -> tuple[list, list, list]:
     return head, items[len(head) : len(items) - len(tail)], tail
 
 
+def page_serial_items(
+    page_index: int, raw_layouts: list[RawLayout]
+) -> list[tuple[list, list, list]]:
+    """The PAGE-LOCAL half of the jointer: W1 reading-order serials +
+    J1 asset↔caption joining + E1/E3/E4 content normalization for ONE
+    page, as (head, body, tail) triples per serial.  Pure function of the
+    page — no cross-page state — so it can run anywhere: inside the
+    per-doc task (default) or in a page-parallel pre-stage.
+
+    Pre-stage decision (measured, 2,076-page book, plans/pipeline.py):
+    this half costs ~0.10ms/page (split_reading_serials 0.15s +
+    join_asset_layouts 0.06s of a 0.66s kernel) — shipping its output
+    (Para trees with typed segs/marks) through an extra Arrow schema +
+    (doc,page)-keyed exchange costs more than it saves, so the default
+    plan keeps it in-task; the seam exists for corpora whose page-local
+    work dominates (heavy tables/equations per page)."""
+    dets = [lay.det for lay in raw_layouts]
+    return [
+        _split_head_body_tail(
+            join_asset_layouts(page_index, [raw_layouts[i] for i in serial])
+        )
+        for serial in split_reading_serials(dets)
+    ]
+
+
 def joint_document_stream(pages: list[tuple[int, list[RawLayout]]]) -> list:
     """W2: the full jointer over one layout stream (body OR footnotes).
 
-    ``pages``: (page_index, layouts) in page order; each page is split into
-    reading serials (W1) first.  Returns the ordered [Para | Asset] list.
+    ``pages``: (page_index, layouts) in page order.  Two phases: the
+    page-local half (page_serial_items) then the SEQUENTIAL cross-page
+    stitch below (W2/W3/W4 — order-dependent by construction,
+    reference jointer.py:42-96).  Returns the ordered [Para | Asset] list.
     """
+    return stitch_document_stream(
+        (page_index, page_serial_items(page_index, raw_layouts))
+        for page_index, raw_layouts in pages
+    )
+
+
+def stitch_document_stream(pages_items) -> list:
+    """The sequential half: merge candidate paragraphs across serial/page
+    boundaries (W2 mergeability, W3 checks, W4 hyphen rejoin) over
+    pre-split (head, body, tail) serial triples."""
     out: list = []
     held_para: Para | None = None
     held_assets: list = []
@@ -269,12 +306,8 @@ def joint_document_stream(pages: list[tuple[int, list[RawLayout]]]) -> list:
             held_para = None
             held_assets = []
 
-    for page_index, raw_layouts in pages:
-        dets = [lay.det for lay in raw_layouts]
-        for serial in split_reading_serials(dets):
-            items = join_asset_layouts(page_index, [raw_layouts[i] for i in serial])
-            head, body, tail = _split_head_body_tail(items)
-
+    for _page_index, serial_triples in pages_items:
+        for head, body, tail in serial_triples:
             if not body:
                 if held_para is not None:
                     held_assets.extend(head)
