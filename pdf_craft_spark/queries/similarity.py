@@ -226,6 +226,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(N_TABLES)
         ],
     )
+    # materialize the bucket index once (same reasoning as the IVF
+    # assignment below: the 64 interpreted sign-folds would otherwise be
+    # re-evaluated through both join inputs; measured 2.27s → 1.55s at
+    # sf0.1, results identical).  At prod this is the written hash-table
+    # index.
+    base = base.localCheckpoint(eager=True)
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
