@@ -21,6 +21,7 @@ from pdf_craft_spark.queries import (
     relational,
     relational2,
     similarity,
+    streamingq,
     textops,
 )
 
@@ -38,6 +39,7 @@ for mod in (
     multimodalq,
     pipelineq,
     bookmetaq,
+    streamingq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
