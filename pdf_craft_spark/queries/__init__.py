@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pdf_craft_spark.queries import (
     bookmetaq,
+    checkpointq,
     dedup,
     multimodalq,
     pipelineq,
@@ -40,6 +41,7 @@ for mod in (
     pipelineq,
     bookmetaq,
     streamingq,
+    checkpointq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

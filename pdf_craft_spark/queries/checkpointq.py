@@ -1,0 +1,54 @@
+"""Driver-visible S4/S7/S10 row: checkpointed resume, value-checked.
+
+Runs the REAL resumable sink twice — first 6 documents, then the same 6
+plus 6 more (the second run's left-anti join must skip the committed
+half) — and returns the final committed span set.  The oracle is the
+golden extraction table for those 12 documents: equality proves the
+resume path loses nothing, duplicates nothing, and writes byte-identical
+spans through the sink seam (plans/sinks.ParquetBucketSink)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_craft_spark.queries.pipelineq import _GOLDEN_DIR
+
+N_FIRST = 6
+N_TOTAL = 12
+
+
+def checkpoint_resume_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.plans.checkpoint import run_with_resume
+    from pdf_craft_spark.plans.pipeline import corpus_df
+    from pdf_craft_spark.plans.sinks import ParquetBucketSink
+
+    out_dir = tempfile.mkdtemp(prefix="resume_q_")
+    try:
+        run_with_resume(spark, corpus_df(spark, N_FIRST), out_dir, "run1")
+        run_with_resume(spark, corpus_df(spark, N_TOTAL), out_dir, "run2")
+        out = ParquetBucketSink(out_dir).read_spans(spark)
+        final = out.select(
+            "doc_id", "chapter_id", "kind", "text", "media_ref", "offset"
+        ).orderBy("doc_id", "offset")
+        rows = final.collect()  # materialize before the tmp dir vanishes
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_GOLDEN_SPANS = os.path.join(_GOLDEN_DIR, "pipeline_extract_spans.parquet")
+
+CHECKPOINT_RESUME_SPANS_SQL = f"""
+SELECT doc_id, chapter_id, kind, text, media_ref, "offset"
+FROM read_parquet('{_GOLDEN_SPANS}')
+WHERE CAST(doc_id AS INT) < {N_TOTAL}
+ORDER BY doc_id, "offset"
+"""
+
+QUERIES = {"checkpoint_resume_spans": checkpoint_resume_spans}
+ORACLES = {"checkpoint_resume_spans": CHECKPOINT_RESUME_SPANS_SQL}
