@@ -102,6 +102,9 @@ def running_doc_totals(events: DataFrame) -> DataFrame:
     every document that received events — the streaming twin of
     doc_metrics' batch aggregate, with state carried by the engine's
     state store instead of a shuffle-wide re-aggregation."""
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
     return events.groupBy("doc_id").applyInPandasWithState(
         _doc_totals_fn,
         outputStructType=DOC_TOTALS_SCHEMA,
