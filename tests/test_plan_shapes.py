@@ -1,0 +1,50 @@
+"""Physical-plan shape guards: the scale properties PLANS.md documents are
+asserted here so a future edit cannot silently regress them.
+
+- ANN candidate generation stays an equi-join (no CartesianProduct /
+  BroadcastNestedLoopJoin anywhere in either plan);
+- the relational family keeps predicate pushdown + column pruning at the
+  parquet scan;
+- the extraction plan keeps exactly ONE data exchange (the doc_id
+  shuffle) between scan and kernel.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", ["sim_lsh_topk", "sim_ivf_topk"])
+def test_ann_plans_have_no_cartesian(spark, name):
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # candidates come from an equi-join
+
+
+def test_a1_scan_pushdown_and_pruning(spark):
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["a1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the 4-column money math must not drag the wide
+    # comment/name columns through the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_extraction_has_exactly_one_exchange(spark):
+    from pdf_craft_spark.plans.pipeline import corpus_df, extract_spans_df
+
+    plan = _executed_plan(extract_spans_df(corpus_df(spark, 4)))
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == 1, f"expected the single doc_id shuffle, got:\n{plan}"
+    assert "hashpartitioning(doc_id" in plan
