@@ -178,11 +178,70 @@ ORDER BY label, vec_a, vec_b
 """
 
 
+# --- explicit skew salting ----------------------------------------------------
+# The north rule names salting as a required technique; this is it run for
+# real, not argued: a synthetic 90%-hot join key over lineitem joins a
+# tiny rate dimension.  The fact side adds salt = pmod(hash(l_orderkey),
+# N_SALT); the dim side EXPLODES N_SALT copies; the join key becomes
+# (skew_key, salt), splitting the hot key's rows across N_SALT reducers
+# instead of one.  Result values are identical to the unsalted join (the
+# DuckDB oracle does the plain join), sums ride DECIMAL(18,2) so the
+# float result is order-independent.  At 100 TB the same pattern applies
+# wherever AQE's skew-split can't help (e.g. aggregation keys).
+N_SALT = 8
+
+_SKEW_KEY = (
+    "CASE WHEN l_orderkey % 100 < 90 THEN 'hot' "
+    "ELSE 'k' || CAST(l_orderkey % 7 AS STRING) END"
+)
+_RATE_KEYS = ["hot"] + [f"k{i}" for i in range(7)]
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(_SKEW_KEY).alias("skew_key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.pmod(F.hash("l_orderkey"), F.lit(N_SALT)).alias("salt"),
+    )
+    rates = spark.createDataFrame(
+        [(k, i + 2) for i, k in enumerate(_RATE_KEYS)], "skew_key string, rate int"
+    )
+    salted_rates = rates.select(
+        "skew_key", "rate", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)])).alias("salt")
+    )
+    joined = li.join(F.broadcast(salted_rates), ["skew_key", "salt"])
+    return (
+        joined.groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("price") * F.col("rate"))).cast("double").alias("weighted_price"),
+        )
+        .orderBy("skew_key")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = f"""
+WITH li AS (
+  SELECT {_SKEW_KEY.replace("AS STRING", "AS VARCHAR")} AS skew_key,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+), rates(skew_key, rate) AS (
+  VALUES {", ".join(f"('{k}', {i + 2})" for i, k in enumerate(_RATE_KEYS))}
+)
+SELECT li.skew_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price * rate) AS DOUBLE) AS weighted_price
+FROM li JOIN rates ON li.skew_key = rates.skew_key
+GROUP BY li.skew_key ORDER BY li.skew_key
+"""
+
+
 QUERIES = {
     "asof_latest_order_per_event": asof_latest_order_per_event,
     "a1_rollup_revenue": a1_rollup_revenue,
     "pivot_status_by_priority": pivot_status_by_priority,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "skew_salted_join": skew_salted_join,
 }
 
 ORACLES = {
@@ -190,4 +249,5 @@ ORACLES = {
     "a1_rollup_revenue": A1_ROLLUP_REVENUE_SQL,
     "pivot_status_by_priority": PIVOT_STATUS_BY_PRIORITY_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "skew_salted_join": SKEW_SALTED_JOIN_SQL,
 }
