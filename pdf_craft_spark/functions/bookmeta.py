@@ -58,14 +58,28 @@ def modified_from_raw(moddate: Column) -> Column:
     NULL when missing/short/non-digit (handler.py:95-116).  Calendar
     validation mirrors the reference's ``datetime(...)`` constructor —
     out-of-range fields (month 99, Feb 30, hour 24) raise ValueError there
-    and render NULL here (try_to_timestamp's strict resolver)."""
+    and render NULL here (try_to_timestamp's strict resolver).
+
+    try_to_timestamp is used ONLY as the validity predicate; the rendered
+    string is sliced straight from the digits.  Formatting the parsed
+    timestamp instead would be session-timezone-sensitive: a wall time
+    falling in a DST gap shifts under date_format while the reference's
+    naive datetime() keeps it verbatim."""
     s = F.when(
         moddate.startswith("D:"), moddate.substr(F.lit(3), F.length(moddate))
     ).otherwise(moddate)
     digits = s.substr(1, 14)
-    valid = (F.length(s) >= 14) & digits.rlike(r"^[0-9]{14}$")
-    ts = F.try_to_timestamp(digits, F.lit("yyyyMMddHHmmss"))
-    return F.when(valid, F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+    valid = (
+        (F.length(s) >= 14)
+        & digits.rlike(r"^[0-9]{14}$")
+        & F.try_to_timestamp(digits, F.lit("yyyyMMddHHmmss")).isNotNull()
+    )
+    stamp = F.concat(
+        digits.substr(1, 4), F.lit("-"), digits.substr(5, 2), F.lit("-"),
+        digits.substr(7, 2), F.lit(" "), digits.substr(9, 2), F.lit(":"),
+        digits.substr(11, 2), F.lit(":"), digits.substr(13, 2),
+    )
+    return F.when(valid, stamp)
 
 
 def book_meta(

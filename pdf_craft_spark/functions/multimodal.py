@@ -63,6 +63,7 @@ FEATURE_DIM = 8
 
 
 PNG_SIG_HEX = "89504E470D0A1A0A"
+IHDR_TAG_HEX = "49484452"  # b'IHDR' at bytes 13-16 (hex chars 25-32)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
@@ -76,8 +77,13 @@ def media_metadata(media: DataFrame) -> DataFrame:
     big-endian) — no codec needed: ``conv(substring(hex(content), 33, 8),
     16, 10)`` reads the actual bytes, NULL for non-PNG payloads."""
     hexed = F.hex(F.col("content"))
-    is_png = (F.substring(hexed, 1, 16) == PNG_SIG_HEX) & (
-        F.length("content") >= 24
+    # signature AND the IHDR chunk tag at bytes 13-16 — mirrors the Arrow
+    # kernel's parse_png_dims exactly, so both extraction surfaces agree
+    # on signature-without-IHDR payloads (truncated/CgBI/corrupt files)
+    is_png = (
+        (F.substring(hexed, 1, 16) == PNG_SIG_HEX)
+        & (F.substring(hexed, 25, 8) == IHDR_TAG_HEX)
+        & (F.length("content") >= 24)
     )
     png_w = F.conv(F.substring(hexed, 33, 8), 16, 10).cast("int")
     png_h = F.conv(F.substring(hexed, 41, 8), 16, 10).cast("int")

@@ -53,13 +53,22 @@ class ParquetBucketSink:
     def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
         """Doc ids already durable, or None on first run.
 
+        Only PATH_NOT_FOUND means "first run" — any other read failure
+        (storage hiccup, permissions, corrupt footer) must PROPAGATE:
+        treating it as first-run would skip the left-anti join and append
+        duplicates of everything already committed.
+
         Iceberg: ``SELECT DISTINCT doc_id FROM cat.db.spans`` — snapshot
         isolation makes 'committed' exact instead of directory-listing
         approximate; no None case (an empty table is just empty)."""
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(self._spans_path()).select("doc_id").distinct()
-        except Exception:
-            return None  # first run: nothing committed yet
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc):
+                return None  # first run: nothing committed yet
+            raise
 
     def append_spans(self, flat: DataFrame) -> None:
         """Append span rows bucket-partitioned; Spark's commit protocol
@@ -155,9 +164,14 @@ class IcebergSink:
         return spark.table(self.table)
 
     def append_manifest(self, lineage: DataFrame) -> None:
+        # only a MISSING table falls back to create(); any other append
+        # failure (commit conflict, schema drift) must propagate rather
+        # than be masked by a confusing TABLE_ALREADY_EXISTS from create()
         try:
             lineage.writeTo(self.manifest_table).append()
-        except Exception:
+        except Exception as exc:
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                raise
             lineage.writeTo(self.manifest_table).create()
 
     def read_manifest(self, spark: SparkSession) -> DataFrame:

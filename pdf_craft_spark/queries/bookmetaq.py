@@ -103,8 +103,10 @@ SELECT doc_id, title,
        CAST(len(authors) AS INT) AS n_authors,
        CASE WHEN length(md) >= 14
                  AND regexp_matches(substr(md, 1, 14), '^[0-9]{{14}}$')
-            THEN strftime(try_strptime(substr(md, 1, 14), '%Y%m%d%H%M%S'),
-                          '%Y-%m-%d %H:%M:%S')
+                 AND try_strptime(substr(md, 1, 14), '%Y%m%d%H%M%S') IS NOT NULL
+            THEN substr(md, 1, 4) || '-' || substr(md, 5, 2) || '-'
+                 || substr(md, 7, 2) || ' ' || substr(md, 9, 2) || ':'
+                 || substr(md, 11, 2) || ':' || substr(md, 13, 2)
        END AS modified
 FROM parsed ORDER BY doc_id
 """

@@ -54,7 +54,9 @@ _PNG_SIG = "89504E470D0A1A0A"
 _DUCK_PNG_W = "CAST(('0x' || substring(hex(content), 33, 8)) AS BIGINT)"
 _DUCK_PNG_H = "CAST(('0x' || substring(hex(content), 41, 8)) AS BIGINT)"
 _DUCK_IS_PNG = (
-    f"substring(hex(content), 1, 16) = '{_PNG_SIG}' AND octet_length(content) >= 24"
+    f"substring(hex(content), 1, 16) = '{_PNG_SIG}' "
+    "AND substring(hex(content), 25, 8) = '49484452' "
+    "AND octet_length(content) >= 24"
 )
 
 MEDIA_METADATA_SQL = _MEDIA_CTE + f"""

@@ -178,10 +178,10 @@ WITH pages AS (
   FROM pages
 )
 SELECT doc_id,
-       count(*) AS n_pages,
-       sum(in_tok) AS input_tokens,
-       sum(out_tok) AS output_tokens,
-       sum(within) AS pages_within_budget,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(in_tok) AS BIGINT) AS input_tokens,
+       CAST(sum(out_tok) AS BIGINT) AS output_tokens,
+       CAST(sum(within) AS BIGINT) AS pages_within_budget,
        min(CASE WHEN within = 0 THEN page_index END) AS cut_page_index
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """

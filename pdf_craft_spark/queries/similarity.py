@@ -107,14 +107,17 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 # Hyperplane p, dim d sign taken from md5 parity (engine-portable, seedless):
 # r[p][d] = +1 if first hex nibble of md5('p|d') < '8' else -1.
 # bucket bit p = 1 iff sum_d r[p][d] * v[d] > 0.
-def _plane_signs() -> list[list[int]]:
+def _plane_signs(prefix: str = "") -> list[list[int]]:
+    """Hyperplane sign matrix from md5 parity; ``prefix`` namespaces
+    independent tables (sim_lsh_topk) while the bare call keeps
+    sim_lsh_buckets' original single-table planes."""
     import hashlib
 
     signs = []
     for p in range(N_PLANES):
         row = []
         for d in range(DIM):
-            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{prefix}{p}|{d}".encode()).hexdigest()
             row.append(1 if h[0] in "01234567" else -1)
         signs.append(row)
     return signs
@@ -172,16 +175,7 @@ MULTIPROBE_RADIUS = 2
 
 
 def _table_plane_signs(tbl: int) -> list[list[int]]:
-    import hashlib
-
-    signs = []
-    for p in range(N_PLANES):
-        row = []
-        for d in range(DIM):
-            h = hashlib.md5(f"{tbl}|{p}|{d}".encode()).hexdigest()
-            row.append(1 if h[0] in "01234567" else -1)
-        signs.append(row)
-    return signs
+    return _plane_signs(f"{tbl}|")
 
 
 def _probe_masks() -> list[int]:
@@ -574,8 +568,10 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 
 try:
     SIM_IVF_TOPK_SQL = _ivf_duck_sql(ORACLE_SF_DIR)
-except Exception:  # pragma: no cover - testdata always present here
-    SIM_IVF_TOPK_SQL = None  # degrade to rows-only driver checks
+except (FileNotFoundError, OSError):  # pragma: no cover - testdata present here
+    # ONLY a missing fit directory degrades to rows-only driver checks;
+    # any other fit failure is a real bug and must surface at import
+    SIM_IVF_TOPK_SQL = None
 
 
 # --- ANN recall@k vs the brute-force ground truth ------------------------------

@@ -65,6 +65,9 @@ def test_parse_png_dims_roundtrip():
 def test_media_metadata_jvm_png_dims(spark):
     rows = [(f"p{i}", "image/png", make_png(w, h)) for i, (w, h) in enumerate(SIZES)]
     rows.append(("x0", "audio/wav", b"\x01\x02\x03\x04" * 10))
+    # PNG signature but no IHDR chunk (truncated/CgBI-style): both paths
+    # must refuse to read "dimensions" from the wrong bytes
+    rows.append(("x1", "image/png", b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x04CgBI" + b"\x00" * 16))
     df = spark.createDataFrame(
         rows, "media_ref string, mime string, content binary"
     )
@@ -74,6 +77,9 @@ def test_media_metadata_jvm_png_dims(spark):
         assert (r.png_width, r.png_height) == (w, h)
         assert r.magic == "89504E47"
     assert out["x0"].png_width is None and out["x0"].png_height is None
+    assert out["x1"].png_width is None and out["x1"].png_height is None
+    # the kernel agrees on the same bytes (no IHDR -> no dimension parse)
+    assert parse_png_dims(rows[-1][2]) is None
 
 
 def test_real_decode_path_uses_ihdr_when_codec_absent():
