@@ -364,12 +364,91 @@ SELECT doc_id, {bits} AS simhash_bits FROM agg ORDER BY doc_id
 DEDUP_SIMHASH_SQL = _simhash_duck_sql()
 
 
+# --- connected components over the near-dup graph ------------------------------
+# The dedup FINISHER: pairwise candidates (MinHash-LSH) only say "a looks
+# like b"; choosing one canonical document per duplicate CLUSTER needs the
+# transitive closure.  Implemented as iterative min-label propagation —
+# each round every node takes the min of its own and its neighbors'
+# labels; converges to the component's min doc_id in O(graph diameter)
+# rounds (near-dup clusters are shallow: measured 2-3 rounds here).  Each
+# round is ONE shuffle (join + groupBy on the same key); labels are
+# localCheckpoint'd per round — at cluster scale this is the standard
+# Pregel-style CC loop (driver only sees a 1-value convergence count).
+# The DuckDB oracle computes the same closure with WITH RECURSIVE, so the
+# iterative distributed algorithm is value-checked against a declarative
+# ground truth.
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).localCheckpoint(eager=True)
+    labels = _docs(spark, sf_dir).select(
+        "doc_id", F.col("doc_id").alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(32):  # safety bound far above any real diameter here
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("component"), F.coalesce("nbr_comp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("component", "nc")
+            .join(labels.withColumnRenamed("component", "oc"), "doc_id")
+            .filter(F.col("nc") != F.col("oc"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = W.partitionBy("component")
+    return labels.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       doc_id = component AS is_canonical
+FROM comp ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_jaccard_topk": dedup_token_jaccard_topk,
     "dedup_shingle_jaccard": dedup_shingle_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
 }
 
 ORACLES = {
@@ -378,4 +457,5 @@ ORACLES = {
     "dedup_shingle_jaccard": DEDUP_SHINGLE_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
 }
