@@ -115,18 +115,18 @@ def pipeline_epub_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
 A8_MAX_TOKENS = 12_000
 
 
-def a8_token_metering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 proper: per-doc OCR token metering + budget-cut simulation.
+def _page_token_flags(docs: DataFrame) -> DataFrame:
+    """Per-page token meters + A8 budget flag.
 
     Page spans carry real in/out token columns (corpus.page_tokens —
     the reference's Page.input_tokens/output_tokens, pdf/types.py:19-20);
-    metering sums them per document (transform.py:241-245) and the
-    budget-cut columns report how far A8's max_tokens abort would get:
-    a page is processed iff the running spend BEFORE it is < budget."""
+    ``within`` = 1 iff the running spend BEFORE the page is < budget, the
+    reference's pre-page check (pdf/ocr.py:140-143: ``remain_tokens <= 0``
+    raises TokenLimitError before rendering the next page)."""
     from pyspark.sql import Window
     from pdf_craft_spark.plans.pipeline import explode_spans
 
-    flat = explode_spans(_corpus(spark)).filter(F.col("kind") == "page")
+    flat = explode_spans(docs).filter(F.col("kind") == "page")
     parts = F.split(F.col("text"), ",")
     pages = flat.select(
         "doc_id",
@@ -142,9 +142,17 @@ def a8_token_metering(spark: SparkSession, sf_dir: str) -> DataFrame:
     spent_before = F.coalesce(
         F.sum(F.col("in_tok") + F.col("out_tok")).over(w), F.lit(0)
     )
-    flagged = pages.withColumn(
-        "within", (spent_before < A8_MAX_TOKENS).cast("int")
-    )
+    return pages.withColumn("within", (spent_before < A8_MAX_TOKENS).cast("int"))
+
+
+def a8_token_metering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 proper: per-doc OCR token metering + budget-cut simulation.
+
+    Metering sums the per-page token columns per document
+    (transform.py:241-245) and the budget-cut columns report how far A8's
+    max_tokens abort would get: a page is processed iff the running spend
+    BEFORE it is < budget."""
+    flagged = _page_token_flags(_corpus(spark))
     return (
         flagged.groupBy("doc_id")
         .agg(
@@ -158,6 +166,49 @@ def a8_token_metering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def a8_budget_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 budget abort, doc-level semantics: the reference raises
+    TokenLimitError BEFORE the page that would exceed max_tokens
+    (pdf/ocr.py:140-143), the whole transform fails, and error.py:52 maps it
+    to InterruptedKind.TOKEN_LIMIT_EXCEEDED carrying the tokens metered so
+    far (error.py:44-61).
+
+    Distributed shape: the abort set is decided from the cheap page-marker
+    scan and pruned via a broadcast anti-join BEFORE the expensive per-doc
+    extraction kernel — over-budget docs never reach the kernel stage (the
+    whole point of a budget at 100 TB), and each yields one doc_error span
+    carrying the abort metering."""
+    docs = _corpus(spark)
+    per_doc = _page_token_flags(docs).groupBy("doc_id").agg(
+        F.min("within").alias("ok"),
+        F.sum(F.when(F.col("within") == 1, F.col("in_tok"))).alias("in_at_abort"),
+        F.sum(F.when(F.col("within") == 1, F.col("out_tok"))).alias("out_at_abort"),
+        F.sum("within").alias("pages_done"),
+    )
+    aborted = per_doc.filter(F.col("ok") == 0)
+    survivors = docs.join(
+        F.broadcast(aborted.select("doc_id")), "doc_id", "left_anti"
+    )
+    spans = extract_spans_df(survivors)
+    err = aborted.select(
+        "doc_id",
+        F.lit(0).alias("chapter_id"),
+        F.lit("doc_error").alias("kind"),
+        F.concat(
+            F.lit("[[aborted: TOKEN_LIMIT_EXCEEDED after "),
+            F.col("pages_done").cast("string"),
+            F.lit(" pages, in="),
+            F.col("in_at_abort").cast("string"),
+            F.lit(", out="),
+            F.col("out_at_abort").cast("string"),
+            F.lit("]]"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return spans.unionByName(err).orderBy("doc_id", "offset")
 
 
 _A8_RAW = os.path.join(_GOLDEN_DIR, "raw_spans.parquet")
@@ -186,6 +237,44 @@ SELECT doc_id,
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
+_A8_GOLDEN_SPANS = os.path.join(_GOLDEN_DIR, "pipeline_extract_spans.parquet")
+
+A8_BUDGET_ABORT_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         CAST(string_split(text, ',')[1] AS INT) AS page_index,
+         CAST(string_split(text, ',')[4] AS BIGINT) AS in_tok,
+         CAST(string_split(text, ',')[5] AS BIGINT) AS out_tok
+  FROM read_parquet('{_A8_RAW}') WHERE kind = 'page'
+), flagged AS (
+  SELECT doc_id, page_index, in_tok, out_tok,
+         CASE WHEN coalesce(sum(in_tok + out_tok) OVER (
+                PARTITION BY doc_id ORDER BY page_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              < {A8_MAX_TOKENS} THEN 1 ELSE 0 END AS within
+  FROM pages
+), per_doc AS (
+  SELECT doc_id, min(within) AS ok,
+         CAST(sum(CASE WHEN within = 1 THEN in_tok END) AS BIGINT) AS in_at_abort,
+         CAST(sum(CASE WHEN within = 1 THEN out_tok END) AS BIGINT) AS out_at_abort,
+         CAST(sum(within) AS BIGINT) AS pages_done
+  FROM flagged GROUP BY doc_id
+), aborted AS (
+  SELECT * FROM per_doc WHERE ok = 0
+)
+SELECT g.doc_id, g.chapter_id, g.kind, g.text, g.media_ref, g."offset"
+FROM read_parquet('{_A8_GOLDEN_SPANS}') g
+WHERE g.doc_id NOT IN (SELECT doc_id FROM aborted)
+UNION ALL
+SELECT doc_id, 0 AS chapter_id, 'doc_error' AS kind,
+       '[[aborted: TOKEN_LIMIT_EXCEEDED after ' || pages_done
+         || ' pages, in=' || in_at_abort || ', out=' || out_at_abort
+         || ']]' AS text,
+       NULL AS media_ref, 0 AS "offset"
+FROM aborted
+ORDER BY doc_id, "offset"
+"""
+
 
 QUERIES = {
     "pipeline_extract_spans": pipeline_extract_spans,
@@ -197,6 +286,7 @@ QUERIES = {
     "pipeline_epub_records": pipeline_epub_records,
     "pipeline_epub_toc": pipeline_epub_toc,
     "a8_token_metering": a8_token_metering,
+    "a8_budget_abort": a8_budget_abort,
 }
 ORACLES = {
     "pipeline_extract_spans": _golden_sql(
@@ -212,4 +302,5 @@ ORACLES = {
     "pipeline_epub_records": _golden_sql("pipeline_epub_records", "doc_id, seq"),
     "pipeline_epub_toc": _golden_sql("pipeline_epub_toc", "doc_id, toc_id"),
     "a8_token_metering": A8_TOKEN_METERING_SQL,
+    "a8_budget_abort": A8_BUDGET_ABORT_SQL,
 }
