@@ -96,7 +96,7 @@ def _bench_spark(cpus: int, app: str):
 # v2: FIXTURES §3 tail restored (1% of docs 500-5000 pages)
 # v3: PII fragments in prose; adversarial docs 24-27 (long/CJK/HTML/PII)
 # v4: page spans carry in/out token meters (A8)
-CORPUS_VERSION = "v4"
+CORPUS_VERSION = "v5"  # v5: page markers gained the conf_milli field (A9)
 
 
 def corpus_path(n_docs: int) -> str:

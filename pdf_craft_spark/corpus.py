@@ -333,12 +333,25 @@ def page_tokens(page: RawPage) -> tuple[int, int]:
     return n_in, n_out
 
 
+def page_confidence(page: RawPage) -> int:
+    """Deterministic per-page OCR confidence in milli-units (600-999).
+
+    Real OCR models emit a recognition confidence per page/region; the
+    synthetic corpus derives one from content (like the token meters — no
+    extra rng draws, no generator churn).  Stored as an integer so the
+    histogram query stays in exact integer arithmetic end-to-end
+    (bucket = conf_milli // 100 == floor(confidence * 10))."""
+    _, n_out = page_tokens(page)
+    return 600 + (n_out * 7919 + page.index * 131) % 400
+
+
 def pages_to_spans(pages: list[RawPage]) -> list[tuple[str, str | None, str | None, int]]:
     """→ [(kind, text, media_ref, offset)] rows of the raw spans array.
 
-    Page-marker spans carry ``index,width,height,in_tok,out_tok`` — the
-    per-page token meters ride the contract schema's text field; failed
-    pages (page_error) emit no tokens, like the reference's SKIP events."""
+    Page-marker spans carry ``index,width,height,in_tok,out_tok,conf_milli``
+    — the per-page token meters (A8) and OCR confidence (A9 histograms)
+    ride the contract schema's text field; failed pages (page_error) emit
+    no tokens and no confidence, like the reference's SKIP events."""
     rows: list[tuple[str, str | None, str | None, int]] = []
     off = 0
     for page in pages:
@@ -356,10 +369,11 @@ def pages_to_spans(pages: list[RawPage]) -> list[tuple[str, str | None, str | No
             off += 1
             continue
         n_in, n_out = page_tokens(page)
+        conf = page_confidence(page)
         rows.append(
             (
                 "page",
-                f"{page.index},{page.width},{page.height},{n_in},{n_out}",
+                f"{page.index},{page.width},{page.height},{n_in},{n_out},{conf}",
                 None,
                 off,
             )
@@ -383,8 +397,9 @@ def parse_raw_spans(rows: list[tuple[str, str | None, str | None, int]]) -> list
     pages: list[RawPage] = []
     for kind, text, mref, _off in rows:
         if kind == "page":
-            # 3-field (legacy) or 5-field (with token meters); the kernel
-            # only needs geometry — A8 metering reads the tokens JVM-side
+            # 3-field (legacy), 5-field (token meters) or 6-field (+ conf);
+            # the kernel only needs geometry — A8 metering and A9 confidence
+            # read the trailing fields JVM-side
             idx, w, h = (int(v) for v in (text or "1,600,800").split(",")[:3])
             pages.append(RawPage(index=idx, width=w, height=h))
             continue

@@ -211,6 +211,37 @@ def a8_budget_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.unionByName(err).orderBy("doc_id", "offset")
 
 
+def a9_confidence_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 metrics completion: the north-rule's OCR confidence histogram.
+
+    The reference's OCR events carry per-page recognition state
+    (pdf/ocr.py:22-39); the corpus's page markers carry a deterministic
+    confidence in milli-units (corpus.page_confidence).  The histogram is
+    the classic width_bucket-by-0.1 groupBy, kept in exact integer
+    arithmetic (bucket = conf_milli // 100) so the oracle comparison has
+    no float surface.  One partial-agg shuffle over 10 buckets max —
+    trivially scale-safe."""
+    from pdf_craft_spark.plans.pipeline import explode_spans
+
+    flat = (
+        explode_spans(_corpus(spark))
+        .filter(F.col("kind") == "page")
+        .select(
+            F.split(F.col("text"), ",").getItem(5).cast("long").alias("conf_milli")
+        )
+    )
+    return (
+        flat.groupBy(F.floor(F.col("conf_milli") / 100).alias("conf_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("conf_milli").alias("sum_conf_milli"),
+            F.min("conf_milli").alias("min_conf_milli"),
+            F.max("conf_milli").alias("max_conf_milli"),
+        )
+        .orderBy("conf_bucket")
+    )
+
+
 _A8_RAW = os.path.join(_GOLDEN_DIR, "raw_spans.parquet")
 
 A8_TOKEN_METERING_SQL = f"""
@@ -275,6 +306,19 @@ FROM aborted
 ORDER BY doc_id, "offset"
 """
 
+A9_CONFIDENCE_HISTOGRAM_SQL = f"""
+WITH pages AS (
+  SELECT CAST(string_split(text, ',')[6] AS BIGINT) AS conf_milli
+  FROM read_parquet('{_A8_RAW}') WHERE kind = 'page'
+)
+SELECT conf_milli // 100 AS conf_bucket,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(conf_milli) AS BIGINT) AS sum_conf_milli,
+       min(conf_milli) AS min_conf_milli,
+       max(conf_milli) AS max_conf_milli
+FROM pages GROUP BY conf_bucket ORDER BY conf_bucket
+"""
+
 
 QUERIES = {
     "pipeline_extract_spans": pipeline_extract_spans,
@@ -287,6 +331,7 @@ QUERIES = {
     "pipeline_epub_toc": pipeline_epub_toc,
     "a8_token_metering": a8_token_metering,
     "a8_budget_abort": a8_budget_abort,
+    "a9_confidence_histogram": a9_confidence_histogram,
 }
 ORACLES = {
     "pipeline_extract_spans": _golden_sql(
@@ -303,4 +348,5 @@ ORACLES = {
     "pipeline_epub_toc": _golden_sql("pipeline_epub_toc", "doc_id, toc_id"),
     "a8_token_metering": A8_TOKEN_METERING_SQL,
     "a8_budget_abort": A8_BUDGET_ABORT_SQL,
+    "a9_confidence_histogram": A9_CONFIDENCE_HISTOGRAM_SQL,
 }
