@@ -48,3 +48,15 @@ def test_extraction_has_exactly_one_exchange(spark):
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges == 1, f"expected the single doc_id shuffle, got:\n{plan}"
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_budget_abort_prunes_via_broadcast_anti_join(spark):
+    """a8_budget_abort must decide the abort set from the cheap marker scan
+    and prune docs BEFORE the kernel: a broadcast LeftAnti join feeding the
+    extraction side, never a shuffled join of the full corpus."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["a8_budget_abort"](spark, SF_DIR))
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
