@@ -261,6 +261,48 @@ def scaling_block(n_docs: int, cpus_hi: int) -> dict:
         "selection": "median-of-attempts (upper middle); min-of-reps per level",
         "best_efficiency": ranked[-1]["efficiency"],
         "attempts": attempts,
+        "host_control": host_control(cpus_lo, cpus_hi),
+    }
+
+
+def host_control(procs_lo: int, procs_hi: int, n_docs: int = 1200) -> dict:
+    """The host's own scaling ceiling, measured in the same window.
+
+    Runs the identical extraction kernel under a bare multiprocessing.Pool
+    (scripts/mp_control.py — zero Spark) at the same two parallelism
+    levels.  The kernel is Python string-heavy; on a shared box, memory-bus
+    contention and neighbor load cap how ANY scheduler scales it.  An
+    engine efficiency at-or-above this ceiling means the distributed plan
+    adds no scaling penalty of its own; on a real cluster 4N executors add
+    machines (separate buses), so the cluster-size criterion tracks the
+    engine number, not the shared-bus ceiling.  Embedded in the record so
+    every scaling JSON self-documents the box state it was measured in."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "mp_control.py")
+
+    def run(procs: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, script, str(procs), str(n_docs), "2"],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    try:
+        lo, hi = run(procs_lo), run(procs_hi)
+    except Exception as exc:  # the control must never sink the bench run
+        return {"error": str(exc)[:200]}
+    ceiling = (lo["sec"] / hi["sec"]) / (procs_hi / procs_lo)
+    return {
+        "what": "identical kernel via multiprocessing.Pool, no Spark — the "
+        "host's scaling ceiling for this workload class in this window",
+        "procs_lo": procs_lo,
+        "sec_lo": lo["sec"],
+        "rep_secs_lo": lo["rep_secs"],
+        "procs_hi": procs_hi,
+        "sec_hi": hi["sec"],
+        "rep_secs_hi": hi["rep_secs"],
+        "efficiency": round(ceiling, 3),
     }
 
 
