@@ -1,12 +1,16 @@
-"""Driver-visible streaming query: the stateful per-doc accumulator run
-as a REAL Structured Streaming job (file source, two micro-batches,
-memory sink), whose final state must equal the plain batch aggregate —
-stream ≡ batch as a DuckDB-checkable oracle row, not just a pytest claim.
+"""Driver-visible streaming queries — REAL Structured Streaming jobs
+(file source, multiple micro-batches, memory sink) whose results must
+hash-match a DuckDB batch truth, so streaming semantics are oracle rows,
+not just pytest claims:
 
-The event feed is derived deterministically from the documents table
-(one event per doc per i in [0, doc_id % 4], n_chars = length(text) + i),
-split into two files so maxFilesPerTrigger=1 forces TWO micro-batches and
-the state store genuinely carries totals across a batch boundary."""
+- ``streaming_doc_totals``: the stateful per-doc accumulator
+  (applyInPandasWithState) across two micro-batches; final state ≡ the
+  plain batch aggregate.
+- ``streaming_windowed_metrics``: watermarked tumbling windows across
+  three batches; the emitted set ≡ an oracle that spells out the
+  tolerate/drop watermark literals.
+
+Event feeds are derived deterministically from the documents table."""
 
 from __future__ import annotations
 
@@ -101,5 +105,139 @@ SELECT doc_id,
 FROM ev GROUP BY doc_id ORDER BY doc_id
 """
 
-QUERIES = {"streaming_doc_totals": streaming_doc_totals}
-ORACLES = {"streaming_doc_totals": STREAMING_DOC_TOTALS_SQL}
+def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window metrics as a REAL streaming job, with
+    the late-data contract driver-checked.
+
+    Spark's late-data contract: a late row is ACCEPTED while the watermark
+    has not yet passed its window's END (the window is still open), and
+    DROPPED once it has.  Three file batches, each fully processed (with
+    its trailing no-data watermark-advance batch) before the next file is
+    written — the watermark lags one trigger behind the data, so
+    back-to-back queued files would see stale watermarks; interleaving
+    processAllAvailable() with the writes pins the progression:
+      b0  on-time events at 12:00+ (doc_id % 30) minutes   (max 12:29)
+      b1  late rows at 12:09:30 for window [12:00,12:10): the watermark
+          is 12:09:00 (= 12:29 - 20 min) < 12:10 → window still open →
+          tolerated; plus fresh rows at 12:50+ that then advance the
+          watermark to 12:34 (> 12:30: all three windows close and emit)
+      b2  late rows at 12:03:00 for the now-closed [12:00,12:10) →
+          DROPPED (any survivor would emit a duplicate window row and
+          break the oracle's row count).
+    The DuckDB oracle rebuilds the exact survivor set with the watermark
+    literals spelled out — if the drop/tolerate semantics drift, the
+    window counts change and the value hash breaks."""
+    from pdf_craft_spark.streaming.eventtime import windowed_extraction_metrics
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("id_num"),
+        F.length("text").alias("n_chars"),
+        (F.col("doc_id") % 30).cast("int").alias("m"),
+    )
+    base = F.to_timestamp(F.lit("2026-01-01 12:00:00"))
+    kind = F.lit("text").alias("kind")
+
+    def ev(df, t):
+        return df.select("doc_id", kind, "n_chars", t.alias("event_time"))
+
+    b0 = ev(docs, F.timestamp_add("MINUTE", F.col("m"), base))
+    late_ok = ev(
+        docs.filter(F.col("id_num") % 5 == 0), F.timestamp_add("SECOND", F.lit(570), base)
+    )
+    late_drop = ev(
+        docs.filter(F.col("id_num") % 11 == 0), F.timestamp_add("MINUTE", F.lit(3), base)
+    )
+    fresh = ev(
+        docs.filter(F.col("id_num") % 3 == 0),
+        F.timestamp_add("MINUTE", F.col("m") % 5 + 50, base),
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_win_")
+    input_dir = os.path.join(work, "in")
+    name = f"winm_{uuid.uuid4().hex[:10]}"
+    try:
+        b0.coalesce(1).write.parquet(os.path.join(input_dir, "b0"))
+        stream = (
+            spark.readStream.schema(
+                "doc_id string, kind string, n_chars long, event_time timestamp"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(input_dir)
+        )
+        q = (
+            windowed_extraction_metrics(stream, "10 minutes", "20 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            late_ok.unionByName(fresh).coalesce(1).write.parquet(
+                os.path.join(input_dir, "b1")
+            )
+            q.processAllAvailable()
+            late_drop.coalesce(1).write.parquet(os.path.join(input_dir, "b2"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # string-format the window bounds so session-timezone handling
+        # cancels on the round trip (to_timestamp -> date_format), and drop
+        # the HLL estimate (not DuckDB-reproducible; checked in pytest)
+        final = spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_spans",
+            "n_chars",
+        ).orderBy("window_start")
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_WINDOWED_METRICS_SQL = """
+WITH d AS (
+  SELECT doc_id, length(text) AS n_chars, doc_id % 30 AS m FROM documents
+), b0 AS (
+  SELECT n_chars, TIMESTAMP '2026-01-01 12:00:00'
+         + to_minutes(CAST(m AS BIGINT)) AS t FROM d
+), late_ok AS (
+  -- arrive in batch 2 while watermark (12:09:00 = 12:29 - 20 min) has
+  -- not yet passed window end 12:10: window still open -> kept
+  SELECT n_chars, TIMESTAMP '2026-01-01 12:09:30' AS t
+  FROM d WHERE doc_id % 5 = 0
+  -- rows at 12:03:00 (doc_id % 11 = 0) arrive in batch 3 AFTER the
+  -- watermark reached 12:34 and closed [12:00,12:10): dropped
+), fresh AS (
+  SELECT n_chars, TIMESTAMP '2026-01-01 12:50:00'
+         + to_minutes(CAST(m % 5 AS BIGINT)) AS t
+  FROM d WHERE doc_id % 3 = 0
+), surv AS (
+  SELECT * FROM b0 UNION ALL SELECT * FROM late_ok UNION ALL SELECT * FROM fresh
+), win AS (
+  SELECT time_bucket(INTERVAL '10 minutes', t) AS ws, n_chars FROM surv
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM win
+-- append mode emits only windows the final watermark passed
+-- (12:54 fresh max - 20 min = 12:34); the [12:50,13:00) window stays open
+WHERE ws + INTERVAL '10 minutes' <= TIMESTAMP '2026-01-01 12:34:00'
+GROUP BY ws ORDER BY ws
+"""
+
+
+QUERIES = {
+    "streaming_doc_totals": streaming_doc_totals,
+    "streaming_windowed_metrics": streaming_windowed_metrics,
+}
+ORACLES = {
+    "streaming_doc_totals": STREAMING_DOC_TOTALS_SQL,
+    "streaming_windowed_metrics": STREAMING_WINDOWED_METRICS_SQL,
+}
