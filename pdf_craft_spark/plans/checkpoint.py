@@ -5,9 +5,10 @@ exists, skip doc if 'done' exists (/root/reference/pdf_craft/pdf/ocr.py:
 92-95,129-136,218-219).  Spark-native equivalent:
 
 - output spans land through a TABLE-FORMAT SINK (plans/sinks.py): here a
-  bucket-partitioned parquet dataset (bucket = pmod(hash(doc_id),
-  n_buckets)); on Iceberg the same partition transform with
-  snapshot-atomic commits — the resume logic below is sink-agnostic.
+  bucket-partitioned parquet dataset (bucket = sinks.bucket_expr — an
+  md5-derived id any engine can recompute); on Iceberg the native
+  bucket(n, doc_id) transform with snapshot-atomic commits — the resume
+  logic below is sink-agnostic.
 - resume = LEFT ANTI join of the input docs against the doc_ids already
   committed — only uncommitted documents are recomputed.
 - every run appends a manifest row per bucket (run_id, bucket, n_docs,

@@ -30,11 +30,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def bucket_expr(n_buckets: int):
+    """Engine-agnostic bucket id: pmod(int(md5(doc_id)[:6] base 16), n).
+
+    Content-derived and reproducible in ANY engine (DuckDB recomputes it
+    as ``CAST('0x' || substr(md5(doc_id),1,6) AS BIGINT) % n``), which
+    makes the per-bucket lineage manifest externally value-checkable —
+    the driver's `lineage_manifest` oracle row depends on this.  At prod
+    on Iceberg the native ``bucket(n, doc_id)`` transform (Murmur3) is
+    the drop-in equivalent: swapping hash functions only changes physical
+    placement, never resume semantics (resume anti-joins on doc_id, not
+    bucket)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 6), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
 class ParquetBucketSink:
     """Bucket-partitioned parquet with job-commit atomicity.
 
-    Iceberg mapping per method in the docstrings; the bucket column here
-    (pmod(hash(doc_id), n)) is exactly Iceberg's ``bucket(n, doc_id)``
+    Iceberg mapping per method in the docstrings; the bucket column
+    (``bucket_expr``) plays the role of Iceberg's ``bucket(n, doc_id)``
     partition transform, so the layout carries over 1:1.
     """
 
@@ -80,9 +97,7 @@ class ParquetBucketSink:
         if dedup-on-write were ever needed:
         ``MERGE INTO spans t USING delta s ON t.doc_id = s.doc_id AND
         t.offset = s.offset WHEN NOT MATCHED THEN INSERT *``."""
-        flat = flat.withColumn(
-            "bucket", F.pmod(F.hash("doc_id"), F.lit(self.n_buckets))
-        )
+        flat = flat.withColumn("bucket", bucket_expr(self.n_buckets))
         flat.write.mode("append").partitionBy("bucket").parquet(self._spans_path())
 
     def read_spans(self, spark: SparkSession) -> DataFrame:
@@ -143,9 +158,7 @@ class IcebergSink:
         # an explicit bucket column (identical hash to the parquet sink)
         # keeps the manifest's per-bucket lineage sink-agnostic; the table
         # is ALSO physically partitioned by it
-        return flat.withColumn(
-            "bucket", F.pmod(F.hash("doc_id"), F.lit(self.n_buckets))
-        )
+        return flat.withColumn("bucket", bucket_expr(self.n_buckets))
 
     def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
         if not self._exists:

@@ -50,5 +50,56 @@ WHERE CAST(doc_id AS INT) < {N_TOTAL}
 ORDER BY doc_id, "offset"
 """
 
-QUERIES = {"checkpoint_resume_spans": checkpoint_resume_spans}
-ORACLES = {"checkpoint_resume_spans": CHECKPOINT_RESUME_SPANS_SQL}
+def lineage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's "per-partition lineage + metrics", value-checked.
+
+    Same two-run resume as checkpoint_resume_spans, but returns the
+    MANIFEST: one row per (run, bucket) with doc/span counts.  The bucket
+    id is engine-agnostic (sinks.bucket_expr: md5-derived), so the DuckDB
+    oracle recomputes the full lineage — which docs run 2's anti-join
+    left to which run, how they bucket, and how many spans each bucket
+    committed — from the golden extraction table alone.  wall_sec is
+    wall-clock (nondeterministic) and excluded from the projection."""
+    from pdf_craft_spark.plans.checkpoint import run_with_resume
+    from pdf_craft_spark.plans.pipeline import corpus_df
+    from pdf_craft_spark.plans.sinks import ParquetBucketSink
+
+    out_dir = tempfile.mkdtemp(prefix="lineage_q_")
+    try:
+        run_with_resume(spark, corpus_df(spark, N_FIRST), out_dir, "run1")
+        run_with_resume(spark, corpus_df(spark, N_TOTAL), out_dir, "run2")
+        manifest = ParquetBucketSink(out_dir).read_manifest(spark)
+        final = manifest.select(
+            "run_id", "bucket", "n_docs", "n_spans", "status"
+        ).orderBy("run_id", "bucket")
+        rows = final.collect()  # materialize before the tmp dir vanishes
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+LINEAGE_MANIFEST_SQL = f"""
+WITH spans AS (
+  SELECT CASE WHEN CAST(doc_id AS INT) < {N_FIRST} THEN 'run1' ELSE 'run2' END
+           AS run_id,
+         CAST('0x' || substr(md5(doc_id), 1, 6) AS BIGINT) % 16 AS bucket,
+         doc_id
+  FROM read_parquet('{_GOLDEN_SPANS}')
+  WHERE CAST(doc_id AS INT) < {N_TOTAL}
+)
+SELECT run_id, bucket,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       'committed' AS status
+FROM spans GROUP BY run_id, bucket ORDER BY run_id, bucket
+"""
+
+
+QUERIES = {
+    "checkpoint_resume_spans": checkpoint_resume_spans,
+    "lineage_manifest": lineage_manifest,
+}
+ORACLES = {
+    "checkpoint_resume_spans": CHECKPOINT_RESUME_SPANS_SQL,
+    "lineage_manifest": LINEAGE_MANIFEST_SQL,
+}
