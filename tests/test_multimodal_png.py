@@ -23,6 +23,8 @@ from pdf_craft_spark.functions.multimodal import (
     _decode_bytes,
     media_metadata,
     parse_png_dims,
+    resize_media,
+    thumb_dims,
 )
 
 
@@ -88,3 +90,27 @@ def test_real_decode_path_uses_ihdr_when_codec_absent():
     png = make_png(123, 77)
     w, h, nf, _ = _decode_bytes(png, "image/png")
     assert (w, h, nf) == (123, 77, 1)
+
+
+def test_thumb_dims_fit_math():
+    assert thumb_dims(100, 200) == (100, 200)  # inside the box: pass-through
+    assert thumb_dims(256, 256) == (256, 256)
+    assert thumb_dims(800, 400) == (256, 128)
+    assert thumb_dims(400, 800) == (128, 256)
+    assert thumb_dims(257, 1) == (256, 1)  # floor never reaches 0
+    assert thumb_dims(1, 10000) == (1, 256)
+    assert thumb_dims(512, 512) == (256, 256)  # w >= h tie takes the w branch
+
+
+def test_resize_media_reads_real_dims_and_writes_parsable_thumbs(spark):
+    rows = [
+        ("big", "image/png", make_png(800, 400)),
+        ("small", "image/png", make_png(60, 40)),
+        ("aud", "audio/wav", b"\x01\x02" * 16),  # non-image: excluded
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, mime string, content binary")
+    out = {r.media_ref: r for r in resize_media(df).collect()}
+    assert set(out) == {"big#thumb256", "small#thumb256"}
+    # the produced container carries the REAL fit targets in its IHDR
+    assert parse_png_dims(bytes(out["big#thumb256"].content)) == (256, 128)
+    assert parse_png_dims(bytes(out["small#thumb256"].content)) == (60, 40)
