@@ -55,6 +55,50 @@ FROM t ORDER BY doc_id
 """
 
 
+# --- BPE-ish token counting -------------------------------------------------
+# GPT-2-style pre-tokenizer: contraction suffixes, space-prefixed letter /
+# digit / symbol runs.  Written LOOKAHEAD-FREE (the original's \s+(?!\S)
+# tail is dropped, whitespace-run tokens are simply not counted) so Java
+# regex (Spark) and RE2 (DuckDB) produce the identical split — verified
+# token-for-token on mixed ASCII/CJK/contraction inputs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-boundary token meter — the count an LLM-billing estimate
+    needs, next to the whitespace count (text_token_count)."""
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(bpe).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+            F.size(_tokens_col()).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKEN_BPE_SQL = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, $$"""
+    + BPE_PATTERN
+    + r"""$$) AS bpe,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(bpe)) AS INT) AS n_bpe_distinct,
+       CAST(len(ws) AS INT) AS n_ws_tokens
+FROM t ORDER BY doc_id
+"""
+)
+
+
 # --- quality scoring --------------------------------------------------------
 # length / punctuation / stopword ratios; ratios kept as exact integer
 # numerators+denominators plus a rounded double score so the oracle hash
@@ -259,6 +303,7 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_token_bpe": text_token_bpe,
     "text_quality_score": text_quality_score,
     "text_lang_guess": text_lang_guess,
     "text_fingerprint": text_fingerprint,
@@ -268,6 +313,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
+    "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_quality_score": TEXT_QUALITY_SCORE_SQL,
     "text_lang_guess": TEXT_LANG_GUESS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
