@@ -16,29 +16,50 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_craft_spark.plans.checkpoint import N_BUCKETS
 from pdf_craft_spark.queries.pipelineq import _GOLDEN_DIR
 
 N_FIRST = 6
 N_TOTAL = 12
 
+# both queries below need the same two-run resume; one execution per Spark
+# application serves both (the driver sweep runs them in one session), with
+# only the collected rows kept — the tmp sink dir is gone by return time
+_RESUME_CACHE: dict[str, tuple] = {}
 
-def checkpoint_resume_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _two_run_resume(spark: SparkSession):
+    """Run the 6-doc then 12-doc resume once; return materialized
+    (spans_rows, spans_schema, manifest_rows, manifest_schema)."""
     from pdf_craft_spark.plans.checkpoint import run_with_resume
     from pdf_craft_spark.plans.pipeline import corpus_df
     from pdf_craft_spark.plans.sinks import ParquetBucketSink
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _RESUME_CACHE:
+        return _RESUME_CACHE[app_id]
 
     out_dir = tempfile.mkdtemp(prefix="resume_q_")
     try:
         run_with_resume(spark, corpus_df(spark, N_FIRST), out_dir, "run1")
         run_with_resume(spark, corpus_df(spark, N_TOTAL), out_dir, "run2")
-        out = ParquetBucketSink(out_dir).read_spans(spark)
-        final = out.select(
+        sink = ParquetBucketSink(out_dir)
+        spans = sink.read_spans(spark).select(
             "doc_id", "chapter_id", "kind", "text", "media_ref", "offset"
         ).orderBy("doc_id", "offset")
-        rows = final.collect()  # materialize before the tmp dir vanishes
-        return spark.createDataFrame(rows, final.schema)
+        manifest = sink.read_manifest(spark).select(
+            "run_id", "bucket", "n_docs", "n_spans", "status"
+        ).orderBy("run_id", "bucket")
+        result = (spans.collect(), spans.schema, manifest.collect(), manifest.schema)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+    _RESUME_CACHE[app_id] = result
+    return result
+
+
+def checkpoint_resume_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, schema, _m_rows, _m_schema = _two_run_resume(spark)
+    return spark.createDataFrame(rows, schema)
 
 
 _GOLDEN_SPANS = os.path.join(_GOLDEN_DIR, "pipeline_extract_spans.parquet")
@@ -60,29 +81,15 @@ def lineage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     left to which run, how they bucket, and how many spans each bucket
     committed — from the golden extraction table alone.  wall_sec is
     wall-clock (nondeterministic) and excluded from the projection."""
-    from pdf_craft_spark.plans.checkpoint import run_with_resume
-    from pdf_craft_spark.plans.pipeline import corpus_df
-    from pdf_craft_spark.plans.sinks import ParquetBucketSink
-
-    out_dir = tempfile.mkdtemp(prefix="lineage_q_")
-    try:
-        run_with_resume(spark, corpus_df(spark, N_FIRST), out_dir, "run1")
-        run_with_resume(spark, corpus_df(spark, N_TOTAL), out_dir, "run2")
-        manifest = ParquetBucketSink(out_dir).read_manifest(spark)
-        final = manifest.select(
-            "run_id", "bucket", "n_docs", "n_spans", "status"
-        ).orderBy("run_id", "bucket")
-        rows = final.collect()  # materialize before the tmp dir vanishes
-        return spark.createDataFrame(rows, final.schema)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    _rows, _schema, m_rows, m_schema = _two_run_resume(spark)
+    return spark.createDataFrame(m_rows, m_schema)
 
 
 LINEAGE_MANIFEST_SQL = f"""
 WITH spans AS (
   SELECT CASE WHEN CAST(doc_id AS INT) < {N_FIRST} THEN 'run1' ELSE 'run2' END
            AS run_id,
-         CAST('0x' || substr(md5(doc_id), 1, 6) AS BIGINT) % 16 AS bucket,
+         CAST('0x' || substr(md5(doc_id), 1, 6) AS BIGINT) % {N_BUCKETS} AS bucket,
          doc_id
   FROM read_parquet('{_GOLDEN_SPANS}')
   WHERE CAST(doc_id AS INT) < {N_TOTAL}

@@ -156,10 +156,20 @@ _T = THUMB_MAX_DIM
 
 MEDIA_RESIZE_SQL = _MEDIA_CTE + f"""
 , src AS (
+  -- same filter as the kernel (any image/*) with the same stub-dims
+  -- fallback for image payloads without a parsable PNG container
+  -- (_decode_bytes); the current synth table only emits image/png, so
+  -- the fallback branch is dormant but keeps the surfaces equivalent
   SELECT media_ref, hex(content) AS sh,
-         {_DUCK_PNG_W} AS w,
-         {_DUCK_PNG_H} AS h
-  FROM media WHERE mime = 'image/png'
+         CASE WHEN {_DUCK_IS_PNG} THEN {_DUCK_PNG_W}
+              ELSE 64 + (ascii(substr(md5(hex(content)), 1, 1)) * 16
+                         + ascii(substr(md5(hex(content)), 2, 1))) % 192
+         END AS w,
+         CASE WHEN {_DUCK_IS_PNG} THEN {_DUCK_PNG_H}
+              ELSE 64 + (ascii(substr(md5(hex(content)), 3, 1)) * 16
+                         + ascii(substr(md5(hex(content)), 4, 1))) % 192
+         END AS h
+  FROM media WHERE mime LIKE 'image/%'
 ), dims AS (
   -- thumb_dims: pass-through inside the box, else aspect-preserving
   -- floor-division fit (branch-for-branch the Python kernel's math)

@@ -126,9 +126,24 @@ def streaming_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
           break the oracle's row count).
     The DuckDB oracle rebuilds the exact survivor set with the watermark
     literals spelled out — if the drop/tolerate semantics drift, the
-    window counts change and the value hash breaks."""
+    window counts change and the value hash breaks.
+
+    Session timezone is pinned to UTC for the query's duration: Spark's
+    tumbling windows align to the UTC epoch, so under a session tz whose
+    offset is not a multiple of 10 minutes (e.g. +05:45) the local-time
+    round trip would land events in windows the naive DuckDB
+    time_bucket never produces."""
     from pdf_craft_spark.streaming.eventtime import windowed_extraction_metrics
 
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _windowed_metrics_utc(spark, sf_dir, windowed_extraction_metrics)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def _windowed_metrics_utc(spark, sf_dir, windowed_extraction_metrics) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("doc_id").alias("id_num"),

@@ -60,8 +60,10 @@ FROM t ORDER BY doc_id
 # digit / symbol runs.  Written LOOKAHEAD-FREE (the original's \s+(?!\S)
 # tail is dropped, whitespace-run tokens are simply not counted) so Java
 # regex (Spark) and RE2 (DuckDB) produce the identical split — verified
-# token-for-token on mixed ASCII/CJK/contraction inputs.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+# token-for-token on mixed ASCII/CJK/contraction inputs.  \x0b is listed
+# explicitly: Java's \s includes vertical tab, RE2's does not, so without
+# it a U+000B in the text would join a symbol run on one engine only.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\x0b\p{L}\p{N}]+"
 
 
 def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,16 +44,15 @@ def make_batch_processor(out_dir: str) -> Callable[[DataFrame, int], None]:
             if done is None
             else batch_df.join(done, "doc_id", "left_anti")
         )
-        flat = (
-            extract_spans_df(todo)
-            .withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(N_BUCKETS)))
-            .withColumn("run_id", F.lit(f"epoch_{epoch_id}"))
+        # write through the SAME sink as batch resume: one bucketing scheme
+        # (sinks.bucket_expr) per dataset, so external lineage recompute
+        # and mixed batch/stream output dirs stay consistent
+        from pdf_craft_spark.plans.sinks import ParquetBucketSink
+
+        flat = extract_spans_df(todo).withColumn(
+            "run_id", F.lit(f"epoch_{epoch_id}")
         )
-        (
-            flat.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "spans"))
-        )
+        ParquetBucketSink(out_dir, N_BUCKETS).append_spans(flat)
 
     return process_batch
 
