@@ -265,6 +265,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.explode("bands").alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+    # materialize the band index ONCE before the self-join: Catalyst
+    # inlines the whole shingle -> 4xmd5 -> min-agg pipeline into BOTH
+    # join inputs otherwise (verified: 2 scans, 0 ReusedExchange) — the
+    # same trap as the ANN index joins in similarity.py.  Measured at
+    # sf0.1/8 cores: locally NEUTRAL (interleaved A/B, 2.4-2.8s both
+    # ways — the min-agg shrinks the recomputed side to ~1s of hash CPU,
+    # which the checkpoint barrier cancels), but at corpus scale the
+    # inlined twin means scanning and shingle-hashing the WHOLE table
+    # twice, so the written-index shape wins; at prod this is the
+    # persisted LSH index table
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
