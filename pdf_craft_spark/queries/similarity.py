@@ -581,6 +581,14 @@ except (FileNotFoundError, OSError):  # pragma: no cover - testdata present here
 # an ANN index with unmeasured recall is not shippable at 100 TB.  Target
 # (BENCH.md): mean recall ≥ 0.9 @ k=5 for both paths.
 def sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gt feeds four join inputs (two hit-joins + the qids spine in both
+    # parts) and Catalyst inlines the brute-force cross join into each.
+    # Deliberately left INLINE: measured at sf0.1/8 cores, eager
+    # localCheckpoint (6.0-7.8s) and cache()+collect (5.6-6.4s) both LOSE
+    # to plain inlining (4.4-4.7s) — the recomputed subtrees overlap
+    # inside two jobs, while a materialization barrier serializes the
+    # DAG.  At corpus scale an evaluation harness would read gt from a
+    # written table anyway, so the inline form is also the honest shape.
     gt = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     qids = gt.select("query_id").distinct()
     parts = []
