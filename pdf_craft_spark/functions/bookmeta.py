@@ -17,8 +17,9 @@ transform.py:263-278):
 
 All JVM-side scalar expressions — no Python, whole-stage codegen.  The
 ``modified`` timestamp is emitted as a ``YYYY-MM-DD HH:MM:SS`` string so
-results are independent of session timezone (parquet TIMESTAMP_NTZ
-pitfalls; see .claude/skills/verify).
+results are independent of session timezone (parquet timestamps load as
+TIMESTAMP_NTZ, and tz-sensitive renderings would break oracle parity
+whenever the session tz is not UTC).
 """
 
 from __future__ import annotations
