@@ -50,6 +50,17 @@ def test_extraction_has_exactly_one_exchange(spark):
     assert "hashpartitioning(doc_id" in plan
 
 
+def test_minhash_band_index_is_materialized(spark):
+    """The LSH band self-join must read the materialized index on BOTH
+    sides — a parquet scan in the final plan means Catalyst re-inlined
+    the shingle→hash→agg pipeline into a join input (2x corpus scan at
+    scale)."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["dedup_minhash_lsh"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+
+
 def test_budget_abort_prunes_via_broadcast_anti_join(spark):
     """a8_budget_abort must decide the abort set from the cheap marker scan
     and prune docs BEFORE the kernel: a broadcast LeftAnti join feeding the
