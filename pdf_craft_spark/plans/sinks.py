@@ -169,9 +169,18 @@ class IcebergSink:
         flat = self._with_bucket(flat)
         if self._exists:
             flat.writeTo(self.table).append()  # one atomic snapshot
-        else:
+            return
+        # the cached _exists probe can be stale (table created concurrently
+        # or externally after the constructor ran): treat ALREADY_EXISTS
+        # from create() as "someone else won the race" and retry as an
+        # append — symmetric with append_manifest's race handling
+        try:
             flat.writeTo(self.table).partitionedBy(F.col("bucket")).create()
-            self._exists = True
+        except Exception as exc:
+            if "ALREADY_EXISTS" not in str(exc):
+                raise
+            flat.writeTo(self.table).append()
+        self._exists = True
 
     def read_spans(self, spark: SparkSession) -> DataFrame:
         return spark.table(self.table)

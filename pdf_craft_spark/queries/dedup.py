@@ -89,16 +89,67 @@ FROM documents GROUP BY 1 ORDER BY content_hash
 """
 
 
+# Document-frequency cutoff for the jaccard ground-truth self-joins: a
+# key (token / shingle) occurring in more than max(2, ceil(DF_CUTOFF_FRAC
+# * n_docs)) documents is dropped from BOTH documents' sets before the
+# self-join, identically in Spark and the DuckDB oracle (jaccard is then
+# over the filtered sets on both sides).  Plan note — the fan-out bound:
+# without the cutoff a stop-word-grade token ("the", df ≈ n_docs) alone
+# drives the equi-join toward all-pairs, O(n_docs²) candidate rows; with
+# it every join key contributes at most cutoff² = (DF_CUTOFF_FRAC·n)²
+# pairs, i.e. per-key fan-out is capped at 1% of all-pairs at the 0.10
+# default and hot natural-language keys simply vanish from the join.  The
+# hot set itself is tiny by construction (only keys above the cutoff), so
+# it ships as a broadcast anti-join — no extra shuffle on the big side.
+DF_CUTOFF_FRAC = 0.10
+
+
+def _df_cutoff(tok: DataFrame, docs: DataFrame, key: str) -> DataFrame:
+    """Drop rows whose `key` exceeds the document-frequency cutoff.
+
+    `tok` must hold one row per (doc_id, key) with keys already distinct
+    per document, so count(*) per key IS its document frequency."""
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    hot = (
+        tok.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df")
+            > F.greatest(F.lit(2).cast("long"), F.ceil(F.lit(DF_CUTOFF_FRAC) * F.col("nd")))
+        )
+        .select(key)
+    )
+    return tok.join(F.broadcast(hot), key, "left_anti")
+
+
+# DuckDB twin of _df_cutoff: {src} rows (doc_id, {key}); emits the filtered
+# rows.  Spelled once so both jaccard oracles share the exact arithmetic.
+def _df_cutoff_duck(src: str, key: str) -> str:
+    return f"""
+cut AS (
+  SELECT greatest(CAST(2 AS BIGINT), CAST(ceil({DF_CUTOFF_FRAC!r} * count(*)) AS BIGINT)) AS c
+  FROM documents
+), hot AS (
+  SELECT {key} FROM (SELECT {key}, count(*) AS df FROM {src} GROUP BY 1)
+  WHERE df > (SELECT c FROM cut)
+), {src}_f AS (
+  SELECT {src}.* FROM {src} ANTI JOIN hot USING ({key})
+)"""
+
+
 # --- n-gram Jaccard: top-k most-similar pairs -------------------------------
 # Ground-truth pairwise similarity on token sets.  The explode+self-join is
 # the textbook Spark shape; the groupBy(doc_a, doc_b) count is the
 # intersection size.  Top-20 pairs with deterministic tie-breaks.
 def dedup_token_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    all_docs = _docs(spark, sf_dir)
+    docs = all_docs.select("doc_id", F.array_distinct(_tokens()).alias("toks"))
+    tok = _df_cutoff(
+        docs.select("doc_id", F.explode("toks").alias("tok")), all_docs, "tok"
     )
-    sizes = docs.select("doc_id", F.size("toks").alias("n"))
-    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    # set sizes AFTER the cutoff: jaccard is over the filtered sets
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
@@ -136,18 +187,21 @@ def dedup_token_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_TOKEN_JACCARD_TOPK_SQL = r"""
+DEDUP_TOKEN_JACCARD_TOPK_SQL = (
+    r"""
 WITH t AS (
   SELECT doc_id,
          list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
   FROM documents
-), sizes AS (
-  SELECT doc_id, len(toks) AS n FROM t
 ), tok AS (
   SELECT doc_id, unnest(toks) AS tok FROM t
+), """
+    + _df_cutoff_duck("tok", "tok")
+    + r""", sizes AS (
+  SELECT doc_id, count(*) AS n FROM tok_f GROUP BY 1
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  FROM tok_f a JOIN tok_f b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), jac AS (
   SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
@@ -161,18 +215,22 @@ SELECT rank, doc_a, doc_b, n_inter, jaccard FROM (
   FROM jac
 ) WHERE rank <= 20 ORDER BY rank
 """
+)
 
 
 # --- shingle Jaccard near-dup pairs (threshold) -----------------------------
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_docs = _docs(spark, sf_dir)
     docs = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _tokens().alias("toks"))
+        all_docs.select("doc_id", _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
     )
-    sizes = docs.select("doc_id", F.size("shingles").alias("n"))
-    sh = docs.select("doc_id", F.explode("shingles").alias("sh"))
+    sh = _df_cutoff(
+        docs.select("doc_id", F.explode("shingles").alias("sh")), all_docs, "sh"
+    )
+    # set sizes AFTER the cutoff: jaccard is over the filtered sets
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -194,13 +252,15 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SHINGLE_JACCARD_SQL = (
     "WITH s AS (" + _SHINGLES_DUCK + """
-), sizes AS (
-  SELECT doc_id, len(shingles) AS n FROM s
 ), sh AS (
   SELECT doc_id, unnest(shingles) AS sh FROM s
+), """
+    + _df_cutoff_duck("sh", "sh")
+    + """, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh_f GROUP BY 1
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh_f a JOIN sh_f b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
@@ -423,6 +483,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a component with diameter > the safety bound would otherwise
+        # return silently wrong (partially-propagated) labels; make
+        # non-convergence an explicit failure instead
+        raise RuntimeError(
+            f"dedup_components: min-label propagation did not converge "
+            f"within 32 rounds ({changed} labels still changing)"
+        )
     w = W.partitionBy("component")
     return labels.select(
         "doc_id",

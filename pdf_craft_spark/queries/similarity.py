@@ -381,33 +381,81 @@ ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 _FIT_CACHE: dict[str, tuple[int, int, list[tuple[int, list[float]]]]] = {}
 
 
+def _fit_sample(sf_dir: str) -> tuple[int, "object"]:
+    """The fit's ONLY data access: (total_rows, sample matrix ≤SAMPLE_CAP).
+
+    The sample rule is a deterministic vec_id stride — rows with
+    ``vec_id % stride == 0`` (stride = n // SAMPLE_CAP), lowest vec_ids
+    first — identical on both code paths:
+
+    - With an active SparkSession the sample is computed DISTRIBUTED: a
+      2-column pruned scan + filter, collecting only ≤SAMPLE_CAP rows to
+      the driver.  This is the 100 TB path — the driver never holds more
+      than the sample.
+    - Without Spark (the DuckDB-only oracle builders / import-time SQL
+      generation) pyarrow streams the file batch-by-batch and keeps only
+      matching rows, so driver memory stays O(SAMPLE_CAP) there too; n
+      comes from parquet metadata, not a data read.
+    """
+    import numpy as np
+
+    from pyspark.sql import SparkSession
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        df = spark.read.parquet(path).select("vec_id", "embedding")
+        n = df.count()
+        stride = max(1, n // SAMPLE_CAP)
+        rows = (
+            df.filter(F.col("vec_id") % stride == 0)
+            .orderBy("vec_id")
+            .limit(SAMPLE_CAP)
+            .collect()
+        )
+        mat = np.asarray([r.embedding for r in rows], dtype=np.float64)
+        return n, mat
+    import pyarrow.dataset as ds
+
+    dset = ds.dataset(path)
+    n = dset.count_rows()  # row-group metadata only
+    stride = max(1, n // SAMPLE_CAP)
+    ids: list = []
+    chunks: list = []
+    for batch in dset.to_batches(columns=["vec_id", "embedding"]):
+        v = np.asarray(batch.column("vec_id"))
+        m = (v % stride) == 0
+        if m.any():
+            ids.append(v[m])
+            chunks.append(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)[m]
+            )
+    allid = np.concatenate(ids)
+    mat = np.concatenate(chunks)[np.argsort(allid)][:SAMPLE_CAP]
+    return n, mat
+
+
 def ivf_fit(sf_dir: str) -> tuple[int, int, list[tuple[int, list[float]]]]:
     """Sampled k-means fit over the embeddings table → (n_vectors, nprobe,
-    [(cid, centroid)]).  Deterministic: fixed sample stride in vec_id
-    order, fixed seeds, fixed iteration count, numpy pairwise sums (no
-    threaded BLAS reductions) — the same directory always yields the same
-    literals, so Spark and the SQL oracle share one quantizer."""
+    [(cid, centroid)]).  Deterministic: fixed vec_id-stride sample
+    (see _fit_sample — distributed under Spark, streamed otherwise; for
+    dense 0..n-1 vec_ids both reproduce the historical positional stride
+    bit-for-bit), fixed seeds, fixed iteration count, numpy pairwise sums
+    (no threaded BLAS reductions) — the same directory always yields the
+    same literals, so Spark and the SQL oracle share one quantizer."""
     if sf_dir in _FIT_CACHE:
         return _FIT_CACHE[sf_dir]
     import math
 
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    order = np.argsort(np.asarray(t.column("vec_id")))
-    mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)[order]
-    n = mat.shape[0]
+    n, mat = _fit_sample(sf_dir)
     # SPHERICAL k-means: the query metric is cosine, so fit/assign live on
     # the unit sphere (L2 there is monotone in cosine); centroids are
     # renormalized after each mean — measured +0.04..+0.12 recall over
     # unnormalized k-means on this corpus at equal nprobe
-    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    sample = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
     k = max(1, math.ceil(math.sqrt(n)))
-    stride = max(1, n // SAMPLE_CAP)
-    sample = unit[::stride][:SAMPLE_CAP]
     seeds = sample[[(i * len(sample)) // k for i in range(k)]]
     cents = seeds.copy()
     for _ in range(KMEANS_ITERS):

@@ -220,19 +220,45 @@ WITH d AS (
 ), b0 AS (
   SELECT n_chars, TIMESTAMP '2026-01-01 12:00:00'
          + to_minutes(CAST(m AS BIGINT)) AS t FROM d
+-- watermark after batch 1 = max batch-1 event time - 20 min (derived, not
+-- hardcoded: with dense doc_ids max(m)=29 this is 12:09, but a sparser
+-- corpus moves it and the oracle must move with Spark)
+), wm1 AS (
+  SELECT TIMESTAMP '2026-01-01 12:00:00' + to_minutes(CAST(max(m) AS BIGINT))
+         - INTERVAL '20 minutes' AS wm FROM d
+-- final watermark = max event time across all batches - 20 min; only the
+-- fresh batch (12:50 + m%5) can advance it past wm1, and the late rows
+-- (12:09:30 / 12:03) never do
+), wm2 AS (
+  SELECT greatest(
+           (SELECT wm FROM wm1),
+           coalesce(
+             (SELECT TIMESTAMP '2026-01-01 12:50:00'
+                     + to_minutes(CAST(max(m % 5) AS BIGINT))
+                     - INTERVAL '20 minutes'
+              FROM d WHERE doc_id % 3 = 0),
+             (SELECT wm FROM wm1))) AS wm
 ), late_ok AS (
-  -- arrive in batch 2 while watermark (12:09:00 = 12:29 - 20 min) has
-  -- not yet passed window end 12:10: window still open -> kept
+  -- arrive in batch 2: kept iff their window's end (12:10) is still ahead
+  -- of the batch-1 watermark (Spark drops a late row only once the
+  -- watermark passes its WINDOW END, not its event time)
   SELECT n_chars, TIMESTAMP '2026-01-01 12:09:30' AS t
   FROM d WHERE doc_id % 5 = 0
-  -- rows at 12:03:00 (doc_id % 11 = 0) arrive in batch 3 AFTER the
-  -- watermark reached 12:34 and closed [12:00,12:10): dropped
+    AND TIMESTAMP '2026-01-01 12:10:00' > (SELECT wm FROM wm1)
+), late_drop AS (
+  -- arrive in batch 3 at 12:03: dropped iff the batch-2 watermark already
+  -- closed [12:00,12:10) — with dense ids wm2=12:34 so this is empty, but
+  -- the condition (not an assumption) is what matches Spark
+  SELECT n_chars, TIMESTAMP '2026-01-01 12:03:00' AS t
+  FROM d WHERE doc_id % 11 = 0
+    AND TIMESTAMP '2026-01-01 12:10:00' > (SELECT wm FROM wm2)
 ), fresh AS (
   SELECT n_chars, TIMESTAMP '2026-01-01 12:50:00'
          + to_minutes(CAST(m % 5 AS BIGINT)) AS t
   FROM d WHERE doc_id % 3 = 0
 ), surv AS (
-  SELECT * FROM b0 UNION ALL SELECT * FROM late_ok UNION ALL SELECT * FROM fresh
+  SELECT * FROM b0 UNION ALL SELECT * FROM late_ok
+  UNION ALL SELECT * FROM late_drop UNION ALL SELECT * FROM fresh
 ), win AS (
   SELECT time_bucket(INTERVAL '10 minutes', t) AS ws, n_chars FROM surv
 )
@@ -242,8 +268,7 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM win
 -- append mode emits only windows the final watermark passed
--- (12:54 fresh max - 20 min = 12:34); the [12:50,13:00) window stays open
-WHERE ws + INTERVAL '10 minutes' <= TIMESTAMP '2026-01-01 12:34:00'
+WHERE ws + INTERVAL '10 minutes' <= (SELECT wm FROM wm2)
 GROUP BY ws ORDER BY ws
 """
 

@@ -18,8 +18,13 @@ from tests.oracle_harness import compare, duck_run
 SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 # oracles embedding data-dependent fit literals (IVF centroids) must be
-# rebuilt for the sf directory this test run targets
-ORACLES = {**ORACLES, **oracle_overrides(SF_DIR)}
+# rebuilt for the sf directory this test run targets.  A missing testdata
+# directory degrades to the static oracles (similarity itself degrades to
+# rows-only at import) instead of failing pytest collection.
+try:
+    ORACLES = {**ORACLES, **oracle_overrides(SF_DIR)}
+except FileNotFoundError:
+    pass
 
 ORACLE_KEYS = sorted(ORACLES)
 
