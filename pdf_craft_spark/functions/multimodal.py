@@ -8,11 +8,12 @@ the external OCR model.  At training-data scale the engine treats media as
 - metadata extraction (size, content hash, magic sniff) — pure Catalyst,
   JVM-side, oracle-checkable;
 - decode / resize / frame-sample — Arrow-batched kernels over
-  ``mapInPandas``.  The actual codecs (PIL/ffmpeg) are NOT in this image,
-  so the pixel work is STUBBED behind ``MEDIA_CODECS_AVAILABLE`` with a
-  deterministic fake that preserves the real schema, batch shape, and
-  partitioning — swap ``_decode_bytes`` for the real decoder on a cluster
-  with the libs installed.
+  ``mapInPandas``.  RGB PNG pixel work is REAL by default, pure stdlib
+  (functions/png.py: zlib inflate/deflate + unfilter/filter) — decode,
+  pixel statistics, nearest-neighbor thumbnails.  Exotic image layouts
+  fall back to PIL behind ``MEDIA_CODECS_AVAILABLE`` (not in this image)
+  and then to a deterministic stub that preserves the real schema, batch
+  shape, and partitioning.
 """
 
 from __future__ import annotations
@@ -135,16 +136,21 @@ def parse_png_dims(content: bytes) -> tuple[int, int] | None:
 def _decode_bytes(content: bytes, mime: str) -> tuple[int, int, int, list[float]]:
     """Decode one media payload → (width, height, n_frames, feature vec).
 
-    PNG payloads get REAL width/height from the IHDR bytes (parse_png_dims)
-    regardless of codec availability; features stay stubbed.  Other mimes:
-    the deterministic stub.  With ``PDF_CRAFT_SPARK_REAL_DECODE=1`` and a
-    present codec, images go through the real decoder (falling back per
-    object on decode failure) — an importable PIL alone never changes
-    behavior."""
+    PNG payloads go through the REAL pure-stdlib pixel decode first
+    (functions/png.py: zlib inflate + unfilter) — dims and features are
+    then actual pixel statistics, by default, with no optional codec.
+    PNGs the stdlib decoder can't handle (exotic layouts) fall back to
+    PIL when ``PDF_CRAFT_SPARK_REAL_DECODE=1`` and a codec is present,
+    then to REAL IHDR dims (parse_png_dims) + stub features, then to the
+    full stub — an importable PIL alone never changes behavior."""
+    if mime == "image/png":
+        from pdf_craft_spark.functions.png import decode_png_rgb, rgb_features
+
+        arr = decode_png_rgb(content)
+        if arr is not None:
+            hgt, wdt = arr.shape[:2]
+            return wdt, hgt, 1, rgb_features(arr)
     dims = parse_png_dims(content) if mime == "image/png" else None
-    if dims is not None and not (REAL_DECODE and MEDIA_CODECS_AVAILABLE):
-        _, _, _, feature = _decode_stub(content, mime)
-        return dims[0], dims[1], 1, feature
     if REAL_DECODE and MEDIA_CODECS_AVAILABLE and mime.startswith("image/"):
         try:  # pragma: no cover - codecs absent in this image
             import io
@@ -157,7 +163,10 @@ def _decode_bytes(content: bytes, mime: str) -> tuple[int, int, int, list[float]
             _, _, _, feature = _decode_stub(content, mime)
             return width, height, n_frames, feature
         except Exception:
-            pass  # undecodable payload → deterministic fallback
+            pass  # undecodable even for PIL → IHDR dims, then stub
+    if dims is not None:
+        _, _, _, feature = _decode_stub(content, mime)
+        return dims[0], dims[1], 1, feature
     return _decode_stub(content, mime)
 
 
@@ -231,20 +240,36 @@ def resize_media(media: DataFrame, max_dim: int = THUMB_MAX_DIM) -> DataFrame:
     shape of the reference's content-addressed store (common/asset.py:
     16-34: assets are written once, addressed by content).
 
-    Target dimensions are REAL work (IHDR parse + integer fit); only the
-    pixel resample is stubbed (codecs absent in this image — with
-    PDF_CRAFT_SPARK_REAL_DECODE=1 and PIL present, images resample for
-    real and are re-encoded).  Narrow op: rows independent, no shuffle."""
+    For RGB PNGs this is REAL pixel work, pure stdlib: decode (zlib
+    inflate + unfilter), nearest-neighbor resample via floor-division
+    index maps, re-encode as a valid-zlib PNG (functions/png.py) — the
+    oracle rebuilds the identical bytes in SQL.  Exotic layouts fall back
+    to PIL (PDF_CRAFT_SPARK_REAL_DECODE=1 + codec present) and then to
+    the IHDR-dims container stub.  Narrow op: rows independent, no
+    shuffle."""
     from pdf_craft_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(media.sparkSession)
     images = media.filter(F.col("mime").startswith("image/"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_craft_spark.functions.png import (
+            decode_png_rgb,
+            encode_png_rgb,
+            resample_nearest,
+        )
+
         for pdf in batches:
             rows = []
             for ref, mime, content in zip(pdf["media_ref"], pdf["mime"], pdf["content"]):
                 content = bytes(content)
+                arr = decode_png_rgb(content) if mime == "image/png" else None
+                if arr is not None:
+                    hgt, w = arr.shape[:2]
+                    tw, th = thumb_dims(w, hgt, max_dim)
+                    thumb = encode_png_rgb(resample_nearest(arr, tw, th))
+                    rows.append((f"{ref}#thumb{max_dim}", "image/png", thumb))
+                    continue
                 w, hgt, _nf, _feat = _decode_bytes(content, mime)
                 tw, th = thumb_dims(w, hgt, max_dim)
                 if REAL_DECODE and MEDIA_CODECS_AVAILABLE:
@@ -284,46 +309,179 @@ def sample_frames(media: DataFrame, every_nth: int = 8) -> DataFrame:
     )
 
 
-# Synthetic payload hex, engine-portable (identical SQL in Spark/DuckDB).
-# image/png rows carry a PNG-STRUCTURED payload: real signature, real IHDR
-# length+type, real big-endian width/height bytes (md5-derived dims), real
-# bit-depth/color-type fields — so dimension extraction downstream reads
-# actual container bytes, exactly like production PNGs.  The IHDR CRC and
-# pixel data are md5-derived filler (the SQL oracle engine has no
-# crc32/zlib; fully valid zlib PNGs are exercised in tests via the Python
-# writer in tests/test_multimodal_png.py).  Other mimes stay opaque.
-def payload_hex_sql(hex2int: str) -> str:
-    """The payload-construction SQL, shared by both engines modulo their
-    hex→int idiom: Spark ``CAST(conv({h}, 16, 10) AS INT)``, DuckDB
-    ``CAST(('0x' || {h}) AS INT)`` — pass the idiom as a format string."""
-    w = "(16 + " + hex2int.format(h="substr(md5(text), 1, 3)") + " % 4080)"
-    h = "(16 + " + hex2int.format(h="substr(md5(text), 4, 3)") + " % 4080)"
-    return (
-        "CASE WHEN doc_id % 3 = 0 THEN "
-        "'89504E470D0A1A0A' || '0000000D' || '49484452' || "
-        f"upper(lpad(hex({w}), 8, '0')) || upper(lpad(hex({h}), 8, '0')) || "
-        "'0802000000' || upper(substr(md5(text || '|crc'), 1, 8)) || "
-        "upper(md5(text || '|2')) || upper(md5(text || '|3')) "
-        "ELSE upper(md5(text) || md5(text || '|2') || md5(text || '|3')) END"
-    )
-
+# --- synthetic payload construction -----------------------------------------
+# Engine-portable (identical recipe rendered per engine): image/png rows
+# carry a fully VALID non-interlaced 8-bit RGB PNG — real signature/IHDR,
+# md5-derived pixel bytes packed as filter-0 scanlines into ONE stored-mode
+# deflate block with a REAL adler32 — so the Arrow kernels genuinely
+# zlib-decode the payloads while the DuckDB oracle rebuilds every byte in
+# SQL (stored deflate = header + raw bytes; adler32 = two modular sums).
+# Only the chunk CRC32 fields are md5 filler: CRC32's bitwise polynomial
+# has no SQL spelling, and decode ignores chunk CRCs (functions/png.py).
+# Other mimes stay opaque md5 bytes.
+_IDIOMS: dict[str, dict[str, str]] = {
+    "spark": {
+        "hex2long": "CAST(conv({h}, 16, 10) AS BIGINT)",
+        "seq": "sequence(CAST({a} AS BIGINT), CAST({b} AS BIGINT))",
+        "tf": "transform({arr}, {v} -> {body})",
+        "join": "array_join({arr}, '')",
+        "lsum": "aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)",
+        "lmin": "array_min({arr})",
+        "lmax": "array_max({arr})",
+        "idiv": "({a} div {b})",
+    },
+    "duck": {
+        "hex2long": "CAST(('0x' || {h}) AS BIGINT)",
+        "seq": "generate_series(CAST({a} AS BIGINT), CAST({b} AS BIGINT))",
+        "tf": "list_transform({arr}, {v} -> {body})",
+        "join": "list_aggregate({arr}, 'string_agg', '')",
+        "lsum": "list_sum({arr})",
+        "lmin": "list_aggregate({arr}, 'min')",
+        "lmax": "list_aggregate({arr}, 'max')",
+        "idiv": "({a} // {b})",
+    },
+}
 
 SPARK_HEX2INT = "CAST(conv({h}, 16, 10) AS INT)"
 DUCK_HEX2INT = "CAST(('0x' || {h}) AS INT)"
 
 
+def png_stream_layers(
+    engine: str, pix: str, w: str, h: str, crc_seed: str, prefix: str
+) -> list[tuple[str, str]]:
+    """(column, expr) layers turning pixel-hex column `pix` (dims `w`/`h`)
+    into a complete PNG hex string column ``{prefix}png``.
+
+    The byte layout matches functions/png.py's encode_png_rgb exactly:
+    sig · IHDR(w,h,8,2,0,0,0) · IDAT[ 0x7801 · stored-block(LEN/NLEN le) ·
+    filter-0 scanlines · adler32(be) ] · IEND.  ``crc_seed`` is the string
+    expression the md5 CRC filler derives from ('text' for source
+    payloads, the thumb's own pixel hex for thumbnails)."""
+    e = _IDIOMS[engine]
+    p = prefix
+    raw = e["join"].format(
+        arr=e["tf"].format(
+            arr=e["seq"].format(a="1", b=h),
+            v="r",
+            body=(
+                f"'00' || substr({pix}, CAST((r-1)*6*{w} + 1 AS INT), "
+                f"CAST(6*{w} AS INT))"
+            ),
+        )
+    )
+    byte_i = e["hex2long"].format(h=f"substr({p}raw, CAST(2*i - 1 AS INT), 2)")
+    sumb = e["lsum"].format(
+        arr=e["tf"].format(arr=e["seq"].format(a="1", b=f"{p}nb"), v="i", body=byte_i)
+    )
+    sumw = e["lsum"].format(
+        arr=e["tf"].format(
+            arr=e["seq"].format(a="1", b=f"{p}nb"),
+            v="i",
+            body=f"({p}nb - i + 1) * {byte_i}",
+        )
+    )
+    nb = f"{p}nb"
+    png = (
+        "'89504E470D0A1A0A'"
+        # IHDR: length 13, tag, dims, bit depth 8 / color 2 / no interlace
+        f" || '0000000D49484452' || lpad(hex({w}), 8, '0') || "
+        f"lpad(hex({h}), 8, '0') || '0802000000' || "
+        f"upper(substr(md5({crc_seed} || '|{p}crc'), 1, 8))"
+        # IDAT: len = 2 (zlib hdr) + 5 (stored hdr) + nb + 4 (adler)
+        f" || lpad(hex({nb} + 11), 8, '0') || '49444154' || '780101' || "
+        f"lpad(hex({nb} % 256), 2, '0') || "
+        f"lpad(hex({e['idiv'].format(a=nb, b='256')}), 2, '0') || "
+        f"lpad(hex((65535 - {nb}) % 256), 2, '0') || "
+        f"lpad(hex({e['idiv'].format(a=f'(65535 - {nb})', b='256')}), 2, '0') || "
+        f"{p}raw || "
+        f"lpad(hex(({nb} + {p}sumw) % 65521), 4, '0') || "
+        f"lpad(hex((1 + {p}sumb) % 65521), 4, '0') || "
+        f"upper(substr(md5({crc_seed} || '|{p}icrc'), 1, 8))"
+        # IEND with its one constant (real) CRC
+        " || '0000000049454E44AE426082'"
+    )
+    return [
+        (f"{p}raw", raw),
+        (f"{p}nb", f"{h} * (3*{w} + 1)"),
+        (f"{p}sumb", sumb),
+        (f"{p}sumw", sumw),
+        (f"{p}png", png),
+    ]
+
+
+def media_payload_layers(engine: str) -> list[tuple[str, str]]:
+    """Ordered (column, expr) layers building the synthetic payload hex
+    from (doc_id, text): dims 4..23 from md5(text), pixel bytes from an
+    md5 stream, then the full PNG via png_stream_layers.  The final
+    column is ``payload_hex``."""
+    e = _IDIOMS[engine]
+    wexpr = "4 + " + e["hex2long"].format(h="substr(md5(text), 1, 2)") + " % 20"
+    hexpr = "4 + " + e["hex2long"].format(h="substr(md5(text), 3, 2)") + " % 20"
+    pix = (
+        "substr("
+        + e["join"].format(
+            arr=e["tf"].format(
+                arr=e["seq"].format(
+                    a="0", b=e["idiv"].format(a="(6*w*h - 1)", b="32")
+                ),
+                v="i",
+                body="upper(md5(text || '|px' || CAST(i AS STRING)))",
+            )
+        )
+        + ", 1, CAST(6*w*h AS INT))"
+    )
+    layers = [("w", wexpr), ("h", hexpr), ("pix", pix)]
+    layers += png_stream_layers(engine, "pix", "w", "h", "text", "s")
+    layers.append(
+        (
+            "payload_hex",
+            "CASE WHEN doc_id % 3 = 0 THEN spng "
+            "ELSE upper(md5(text) || md5(text || '|2') || md5(text || '|3')) END",
+        )
+    )
+    return layers
+
+
+_MIME_CASE = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+    "WHEN doc_id % 3 = 1 THEN 'video/mp4' ELSE 'audio/wav' END"
+)
+
+
+def duck_media_cte() -> str:
+    """The DuckDB oracle's WITH-chain twin of synth_media_table: layered
+    CTEs (one per payload layer) ending in a ``media`` CTE that also
+    exposes the generation intermediates (w, h, pix, gen_png) so
+    downstream oracles can recompute pixel statistics without a SQL PNG
+    decoder — the Spark side is what proves the bytes decode."""
+    parts = ["WITH m0 AS (\n  SELECT doc_id, text FROM documents\n)"]
+    prev = "m0"
+    for k, (name, expr) in enumerate(media_payload_layers("duck")):
+        cur = f"m{k + 1}"
+        parts.append(f", {cur} AS (\n  SELECT *, ({expr}) AS {name} FROM {prev}\n)")
+        prev = cur
+    parts.append(
+        ", media AS (\n"
+        "  SELECT 'm' || CAST(doc_id AS STRING) AS media_ref,\n"
+        f"         {_MIME_CASE} AS mime,\n"
+        "         unhex(payload_hex) AS content,\n"
+        "         doc_id % 3 = 0 AS gen_png, w, h, pix\n"
+        f"  FROM {prev}\n)"
+    )
+    return "".join(parts)
+
+
 def synth_media_table(docs: DataFrame) -> DataFrame:
     """Deterministic binary payloads derived from document text —
-    engine-portable (Spark unhex == DuckDB unhex over the same hex SQL) so
-    the binary plumbing itself is oracle-checkable; PNG rows are
-    PNG-structured (see PAYLOAD_HEX_SQL)."""
-    mime = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("video/mp4"))
-        .otherwise(F.lit("audio/wav"))
-    )
-    return docs.select(
+    engine-portable (Spark unhex == DuckDB unhex over the same layered
+    recipe, media_payload_layers) so the binary plumbing itself is
+    oracle-checkable; PNG rows are fully valid zlib PNGs (module
+    comment above)."""
+    df = docs.select("doc_id", "text")
+    for name, expr in media_payload_layers("spark"):
+        df = df.selectExpr("*", f"({expr}) AS {name}")
+    return df.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_ref"),
-        mime.alias("mime"),
-        F.unhex(F.expr(payload_hex_sql(SPARK_HEX2INT))).alias("content"),
+        F.expr(_MIME_CASE).alias("mime"),
+        F.unhex(F.col("payload_hex")).alias("content"),
     )

@@ -94,9 +94,13 @@ def prepare_stage1(flat: DataFrame) -> DataFrame:
 
     Parity footnote: the Python kernel's F1 also strips lone surrogates
     (textutil.py remove_surrogates); this JVM stage does not, which is
-    unreachable here — lone surrogates are not valid UTF-8, so they cannot
-    arrive through Arrow or parquet string columns.  If a source ever
-    feeds binary-decoded text, strip them at ingest."""
+    unreachable here — lone surrogates cannot survive into a JVM string
+    column: pyarrow/parquet ingest rejects them and the pickle
+    createDataFrame path replaces them with U+FFFD, and on post-boundary
+    values both surfaces agree (proved by fuzz in
+    tests/test_surrogate_boundary.py, which pushes surrogate-bearing
+    strings through the boundary and compares this stage against
+    normalize_text)."""
     title_kinds = ("title", "sub_title", "fn_title", "fn_sub_title")
     normalized = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     flat = flat.withColumn("text", normalized)

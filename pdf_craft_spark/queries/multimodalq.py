@@ -1,13 +1,15 @@
-"""Multimodal-column queries: binary payload plumbing.
+"""Multimodal-column queries: binary payload plumbing with REAL pixel work.
 
-The binary payloads are derived engine-portably (the same hex-building SQL
-runs in Spark and DuckDB; image/png rows are PNG-STRUCTURED — real
-signature + IHDR width/height bytes), so ALL three queries (metadata,
-decode/features, frame fan-out) are oracle-checked: DuckDB recomputes the
-exact same values in SQL — including the REAL IHDR dimension parse as a
-hex-substring read — while the Spark side actually exercises the Arrow
-mapInPandas kernel (which parses the same actual bytes with
-struct.unpack)."""
+The binary payloads are derived engine-portably (the same layered recipe
+renders to Spark and DuckDB SQL; image/png rows are fully VALID zlib
+PNGs — see functions/multimodal.py), so ALL four queries (metadata,
+decode/features, frame fan-out, resize) are oracle-checked.  The split of
+labor that makes the check meaningful: the Spark side actually DECODES
+the bytes (functions/png.py: zlib inflate + unfilter in the Arrow
+kernel) and computes pixel statistics / thumbnails from the pixel array,
+while DuckDB recomputes the same values from the generation recipe's
+intermediates (pixel hex, dims) — agreement proves the decode path reads
+back exactly the pixels that went in."""
 
 from __future__ import annotations
 
@@ -17,12 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_craft_spark.functions.multimodal import (
-    DUCK_HEX2INT,
     FEATURE_DIM,
-    THUMB_MAX_DIM,
+    duck_media_cte,
     extract_media_features,
     media_metadata,
-    payload_hex_sql,
+    png_stream_layers,
     resize_media,
     sample_frames,
     synth_media_table,
@@ -37,16 +38,7 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(synth_media_table(_docs(spark, sf_dir))).orderBy("media_ref")
 
 
-_MEDIA_CTE = f"""
-WITH media AS (
-  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'video/mp4'
-              ELSE 'audio/wav' END AS mime,
-         unhex({payload_hex_sql(DUCK_HEX2INT)}) AS content
-  FROM documents
-)
-"""
+_MEDIA_CTE = duck_media_cte()
 
 # the IHDR dimension parse as plain byte reads: hex chars 33-40/41-48 ==
 # bytes 17-20/21-24 — identical expression shape to the Spark side's conv()
@@ -90,29 +82,69 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEAT_CTE = _MEDIA_CTE + f"""
 , feat AS (
-  SELECT media_ref, mime, content,
+  SELECT media_ref, mime, content, gen_png, w, h, pix,
          CAST(octet_length(content) AS INT) AS n_bytes,
-         md5(hex(content)) AS h,
+         md5(hex(content)) AS dig,
          ({_DUCK_IS_PNG}) AS is_png
   FROM media
 )
 """
 
-MEDIA_FEATURES_SQL = _FEAT_CTE + f"""
-SELECT media_ref, mime, n_bytes,
+# Real pixel statistics, recomputed from the generation recipe's pixel hex
+# (the Spark kernel computes the SAME numbers from the zlib-decoded array):
+# per-channel integer sums, global min/max, first/last byte — one double
+# division per mean, bit-identical across engines.
+_PSTAT_CTE = """
+, px AS (
+  SELECT media_ref, w, h,
+         list_transform(generate_series(CAST(1 AS BIGINT), CAST(3*w*h AS BIGINT)),
+             i -> CAST(('0x' || substr(pix, CAST(2*i - 1 AS INT), 2)) AS BIGINT)) AS bs
+  FROM feat WHERE gen_png
+), pstat AS (
+  SELECT media_ref, w, h,
+         list_sum(list_transform(generate_series(CAST(0 AS BIGINT), CAST(w*h - 1 AS BIGINT)),
+             j -> bs[CAST(3*j + 1 AS INT)])) AS sum_r,
+         list_sum(list_transform(generate_series(CAST(0 AS BIGINT), CAST(w*h - 1 AS BIGINT)),
+             j -> bs[CAST(3*j + 2 AS INT)])) AS sum_g,
+         list_sum(list_transform(generate_series(CAST(0 AS BIGINT), CAST(w*h - 1 AS BIGINT)),
+             j -> bs[CAST(3*j + 3 AS INT)])) AS sum_b,
+         list_aggregate(bs, 'min') AS bmin,
+         list_aggregate(bs, 'max') AS bmax,
+         bs[1] AS bfirst,
+         bs[CAST(3*w*h AS INT)] AS blast
+  FROM px
+)
+"""
+
+_STUB_F = [f"ascii(substr(dig, {7 + i}, 1)) / 256.0" for i in range(FEATURE_DIM)]
+_REAL_F = [
+    "CAST(sum_r AS DOUBLE) / CAST(p.w * p.h AS DOUBLE)",
+    "CAST(sum_g AS DOUBLE) / CAST(p.w * p.h AS DOUBLE)",
+    "CAST(sum_b AS DOUBLE) / CAST(p.w * p.h AS DOUBLE)",
+    "CAST(bmin AS DOUBLE)",
+    "CAST(bmax AS DOUBLE)",
+    "CAST(sum_r + sum_g + sum_b AS DOUBLE) / CAST(3 * p.w * p.h AS DOUBLE)",
+    "CAST(bfirst AS DOUBLE)",
+    "CAST(blast AS DOUBLE)",
+]
+
+MEDIA_FEATURES_SQL = _FEAT_CTE + _PSTAT_CTE + f"""
+SELECT feat.media_ref AS media_ref, mime, n_bytes,
        CAST(CASE WHEN is_png THEN {_DUCK_PNG_W}
-                 ELSE 64 + (ascii(substr(h, 1, 1)) * 16 + ascii(substr(h, 2, 1))) % 192
+                 ELSE 64 + (ascii(substr(dig, 1, 1)) * 16 + ascii(substr(dig, 2, 1))) % 192
             END AS INT) AS width,
        CAST(CASE WHEN is_png THEN {_DUCK_PNG_H}
-                 ELSE 64 + (ascii(substr(h, 3, 1)) * 16 + ascii(substr(h, 4, 1))) % 192
+                 ELSE 64 + (ascii(substr(dig, 3, 1)) * 16 + ascii(substr(dig, 4, 1))) % 192
             END AS INT) AS height,
        CAST(CASE WHEN mime LIKE 'image/%' THEN 1
-                 ELSE 1 + (ascii(substr(h, 5, 1)) * 16 + ascii(substr(h, 6, 1))) % 32
+                 ELSE 1 + (ascii(substr(dig, 5, 1)) * 16 + ascii(substr(dig, 6, 1))) % 32
             END AS INT) AS n_frames,
 """ + ",\n".join(
-    f"       ascii(substr(h, {7 + i}, 1)) / 256.0 AS f{i}" for i in range(FEATURE_DIM)
+    f"       CASE WHEN gen_png THEN {r} ELSE {s} END AS f{i}"
+    for i, (r, s) in enumerate(zip(_REAL_F, _STUB_F))
 ) + """
-FROM feat ORDER BY media_ref
+FROM feat LEFT JOIN pstat p ON p.media_ref = feat.media_ref
+ORDER BY media_ref
 """
 
 
@@ -127,7 +159,7 @@ MEDIA_FRAME_SAMPLE_SQL = _FEAT_CTE + """
 , nf AS (
   SELECT media_ref,
          CASE WHEN mime LIKE 'image/%' THEN 1
-              ELSE 1 + (ascii(substr(h, 5, 1)) * 16 + ascii(substr(h, 6, 1))) % 32
+              ELSE 1 + (ascii(substr(dig, 5, 1)) * 16 + ascii(substr(dig, 6, 1))) % 32
          END AS n_frames
   FROM feat
 ), fr AS (
@@ -139,65 +171,76 @@ FROM fr ORDER BY media_ref, frame_index
 """
 
 
+# A small box for the resize query so the corpus (dims 4..23) actually
+# exercises real downscales, not just pass-throughs; the operator default
+# (THUMB_MAX_DIM=256) is unchanged.
+RESIZE_T = 8
+
+
 def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing end-to-end: the Arrow thumbnail kernel runs over
-    image payloads, then the JVM metadata stage re-reads the PRODUCED
-    bytes — png_width/height must equal the integer-fit targets, and the
-    content hash addresses the derived asset.  The oracle recomputes the
-    whole chain (source IHDR parse → fit math → thumb container bytes →
-    sha256) in SQL."""
-    thumbs = resize_media(synth_media_table(_docs(spark, sf_dir)))
+    """Resize end-to-end as REAL pixel work: the Arrow kernel zlib-decodes
+    each source PNG, nearest-neighbor-resamples via floor-division index
+    maps, and re-encodes a valid-zlib PNG; the JVM metadata stage then
+    re-reads the PRODUCED bytes.  The oracle rebuilds the identical thumb
+    bytes in SQL (pixel selection by the same integer index arithmetic →
+    the same stored-deflate + adler32 container) and hashes them."""
+    thumbs = resize_media(synth_media_table(_docs(spark, sf_dir)), max_dim=RESIZE_T)
     return media_metadata(thumbs).select(
         "media_ref", "n_bytes", "content_hash", "png_width", "png_height"
     ).orderBy("media_ref")
 
 
-_T = THUMB_MAX_DIM
-
-MEDIA_RESIZE_SQL = _MEDIA_CTE + f"""
-, src AS (
-  -- same filter as the kernel (any image/*) with the same stub-dims
-  -- fallback for image payloads without a parsable PNG container
-  -- (_decode_bytes); the current synth table only emits image/png, so
-  -- the fallback branch is dormant but keeps the surfaces equivalent
-  SELECT media_ref, hex(content) AS sh,
-         CASE WHEN {_DUCK_IS_PNG} THEN {_DUCK_PNG_W}
-              ELSE 64 + (ascii(substr(md5(hex(content)), 1, 1)) * 16
-                         + ascii(substr(md5(hex(content)), 2, 1))) % 192
-         END AS w,
-         CASE WHEN {_DUCK_IS_PNG} THEN {_DUCK_PNG_H}
-              ELSE 64 + (ascii(substr(md5(hex(content)), 3, 1)) * 16
-                         + ascii(substr(md5(hex(content)), 4, 1))) % 192
-         END AS h
-  FROM media WHERE mime LIKE 'image/%'
-), dims AS (
+def _resize_sql(t: int) -> str:
+    # thumb pixel hex: for flat thumb index p — ty=p//tw, tx=p%tw,
+    # sy=(ty*h)//th, sx=(tx*w)//tw — grab the whole 3-byte source pixel
+    # (6 hex chars) at sy*w+sx; identical math to resample_nearest
+    tpix = (
+        "list_aggregate(list_transform("
+        "generate_series(CAST(0 AS BIGINT), CAST(tw*th - 1 AS BIGINT)), "
+        "p -> substr(pix, CAST(6*((((p // tw) * h) // th) * w"
+        " + (((p % tw) * w) // tw)) + 1 AS INT), 6)), 'string_agg', '')"
+    )
+    parts = [
+        _MEDIA_CTE,
+        f"""
+, r0 AS (
+  -- same filter as the kernel (any image/*); every corpus image is a
+  -- decodable generated PNG, so the kernel's real path is what runs
+  SELECT media_ref, w, h, pix FROM media WHERE mime LIKE 'image/%'
+), r1 AS (
   -- thumb_dims: pass-through inside the box, else aspect-preserving
   -- floor-division fit (branch-for-branch the Python kernel's math)
-  SELECT media_ref, sh,
-         CASE WHEN w <= {_T} AND h <= {_T} THEN w
-              WHEN w >= h THEN {_T}
-              ELSE greatest(1, (w * {_T}) // h) END AS tw,
-         CASE WHEN w <= {_T} AND h <= {_T} THEN h
-              WHEN w >= h THEN greatest(1, (h * {_T}) // w)
-              ELSE {_T} END AS th
-  FROM src
-), thumb AS (
-  -- _stub_thumb_png: PNG container with REAL target dims in the IHDR
-  SELECT media_ref || '#thumb{_T}' AS media_ref,
-         '89504E470D0A1A0A' || '0000000D' || '49484452' ||
-         upper(lpad(hex(tw), 8, '0')) || upper(lpad(hex(th), 8, '0')) ||
-         '0802000000' || upper(substr(md5(sh || '|tcrc'), 1, 8)) ||
-         upper(md5(sh || '|t2')) AS thex,
-         tw, th
-  FROM dims
-)
-SELECT media_ref,
-       CAST(length(thex) // 2 AS INT) AS n_bytes,
-       sha256(thex) AS content_hash,
+  SELECT *,
+         CASE WHEN w <= {t} AND h <= {t} THEN w
+              WHEN w >= h THEN {t}
+              ELSE greatest(1, (w * {t}) // h) END AS tw,
+         CASE WHEN w <= {t} AND h <= {t} THEN h
+              WHEN w >= h THEN greatest(1, (h * {t}) // w)
+              ELSE {t} END AS th
+  FROM r0
+), r2 AS (
+  SELECT *, ({tpix}) AS tpix FROM r1
+)""",
+    ]
+    prev = "r2"
+    for k, (name, expr) in enumerate(
+        png_stream_layers("duck", "tpix", "tw", "th", "tpix", "t")
+    ):
+        cur = f"r{k + 3}"
+        parts.append(f", {cur} AS (\n  SELECT *, ({expr}) AS {name} FROM {prev}\n)")
+        prev = cur
+    parts.append(f"""
+SELECT media_ref || '#thumb{t}' AS media_ref,
+       CAST(length(tpng) // 2 AS INT) AS n_bytes,
+       sha256(tpng) AS content_hash,
        CAST(tw AS INT) AS png_width,
        CAST(th AS INT) AS png_height
-FROM thumb ORDER BY media_ref
-"""
+FROM {prev} ORDER BY media_ref
+""")
+    return "".join(parts)
+
+
+MEDIA_RESIZE_SQL = _resize_sql(RESIZE_T)
 
 
 QUERIES = {
