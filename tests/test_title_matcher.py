@@ -86,3 +86,18 @@ def test_long_book_scan_is_linear():
     scan_time(titles_small)  # warm
     ratio = scan_time(titles_big) / max(scan_time(titles_small), 1e-9)
     assert ratio < 2.5, f"4x titles -> {ratio:.2f}x scan time (expected ~1x)"
+
+
+def test_counts_by_page_matches_per_page_counts():
+    """The per-document scan (joined bodies + separator) must report
+    exactly what per-page counts() does, on both strategies."""
+    patterns = ["ab", "abab", "ba", "x"]
+    bodies = ["ababab", "", "xxba", "no match here", "ab\x01ba"]
+    for M in (TitleMatcher, _ForcedAC):
+        m = M(patterns)
+        expect = [m.counts(b) for b in bodies]
+        assert m.counts_by_page(bodies) == expect, M.__name__
+    # patterns never span the separator
+    m = TitleMatcher(["ab"])
+    assert m.counts_by_page(["a", "b"]) == [{}, {}]
+    assert TitleMatcher(["ab"]).counts_by_page([]) == []
