@@ -123,8 +123,8 @@ def prepare_stage1(flat: DataFrame) -> DataFrame:
 _OUT_COLS = ["doc_id", "chapter_id", "kind", "text", "media_ref", "offset"]
 
 
-def _extract_block(pdf: pd.DataFrame, stage1_done: bool, boilerplate: bool) -> pd.DataFrame:
-    """Run the per-doc kernel over a block of >=1 complete documents.
+def _doc_spans(pdf: pd.DataFrame):
+    """(doc_id, [(kind, text, media_ref, offset), ...]) per document.
 
     Documents arrive contiguous (partition sorted by doc_id, offset), so
     doc boundaries are numpy change-points over the doc_id column and each
@@ -132,19 +132,23 @@ def _extract_block(pdf: pd.DataFrame, stage1_done: bool, boilerplate: bool) -> p
     pandas groupby + per-group Series iteration this replaces."""
     import numpy as np
 
-    from pdf_craft_spark.corpus import parse_raw_spans
-    from pdf_craft_spark.operators.document import extract_document
-
     ids = pdf["doc_id"].to_numpy()
     kinds = pdf["kind"].tolist()
     texts = pdf["text"].tolist()
     media = pdf["media_ref"].tolist()
     offs = pdf["offset"].tolist()
     bounds = [0, *(np.flatnonzero(ids[1:] != ids[:-1]) + 1).tolist(), len(ids)]
-    out_rows: list[tuple] = []
     for i, j in zip(bounds[:-1], bounds[1:]):
-        doc_id = ids[i]
-        spans = list(zip(kinds[i:j], texts[i:j], media[i:j], offs[i:j]))
+        yield ids[i], list(zip(kinds[i:j], texts[i:j], media[i:j], offs[i:j]))
+
+
+def _extract_block(pdf: pd.DataFrame, stage1_done: bool, boilerplate: bool) -> pd.DataFrame:
+    """Run the per-doc kernel over a block of >=1 complete documents."""
+    from pdf_craft_spark.corpus import parse_raw_spans
+    from pdf_craft_spark.operators.document import extract_document
+
+    out_rows: list[tuple] = []
+    for doc_id, spans in _doc_spans(pdf):
         pages = parse_raw_spans(spans)
         _, out_spans = extract_document(
             pages,
@@ -239,8 +243,7 @@ def extract_markdown_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
 
         def block(pdf: pd.DataFrame) -> pd.DataFrame:
             rows = []
-            for doc_id, g in pdf.groupby("doc_id", sort=False):
-                spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
+            for doc_id, spans in _doc_spans(pdf):
                 md, out_spans = extract_document(
                     parse_raw_spans(spans), stage1_done=stage1
                 )
@@ -283,8 +286,7 @@ def _epub_kernel(which: str, stage1: bool):
         def block(pdf: pd.DataFrame) -> pd.DataFrame:
             rec_rows: list[tuple] = []
             toc_rows: list[tuple] = []
-            for doc_id, g in pdf.groupby("doc_id", sort=False):
-                spans = list(zip(g["kind"], g["text"], g["media_ref"], g["offset"]))
+            for doc_id, spans in _doc_spans(pdf):
                 rows, tocs = extract_epub_records(
                     parse_raw_spans(spans), stage1_done=stage1
                 )
