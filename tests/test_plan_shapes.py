@@ -5,8 +5,8 @@ asserted here so a future edit cannot silently regress them.
   BroadcastNestedLoopJoin anywhere in either plan);
 - the relational family keeps predicate pushdown + column pruning at the
   parquet scan;
-- the extraction plan keeps exactly ONE data exchange (the doc_id
-  shuffle) between scan and kernel.
+- the extraction plan is fully NARROW (zero exchanges) between scan and
+  kernel, with a rebalance that fires only for under-partitioned inputs.
 """
 
 from __future__ import annotations
@@ -41,13 +41,27 @@ def test_a1_scan_pushdown_and_pruning(spark):
     assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
 
 
-def test_extraction_has_exactly_one_exchange(spark):
+def test_extraction_has_zero_exchanges(spark):
+    """Round 4: extraction is fully narrow — one row per document means
+    explode already co-locates every doc's spans, so the plan must carry
+    NO exchange at all (only a partition-local sort)."""
     from pdf_craft_spark.plans.pipeline import corpus_df, extract_spans_df
 
-    plan = _executed_plan(extract_spans_df(corpus_df(spark, 4)))
+    plan = _executed_plan(extract_spans_df(corpus_df(spark, 64)))
     n_exchanges = plan.count("Exchange ")
-    assert n_exchanges == 1, f"expected the single doc_id shuffle, got:\n{plan}"
-    assert "hashpartitioning(doc_id" in plan
+    assert n_exchanges == 0, f"expected a fully narrow plan, got:\n{plan}"
+    assert "Sort " in plan  # the partition-local offset-order restore
+
+
+def test_extraction_rebalances_underpartitioned_input(spark):
+    """The zero-shuffle plan's one precondition is parallelism: a source
+    with fewer partitions than cores is rebalanced first (nested-row
+    repartition — doc atomicity preserved by construction)."""
+    from pdf_craft_spark.plans.pipeline import corpus_df, extract_spans_df
+
+    docs = corpus_df(spark, 8, partitions=1)
+    plan = _executed_plan(extract_spans_df(docs))
+    assert "hashpartitioning(doc_id" in plan, plan
 
 
 def test_minhash_band_index_is_materialized(spark):
