@@ -85,3 +85,16 @@ def test_budget_abort_prunes_via_broadcast_anti_join(spark):
     assert "LeftAnti, BuildRight" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_df_cutoff_is_broadcast_anti_join(spark):
+    """The document-frequency cutoff must prune hot tokens via a
+    BROADCAST anti-join (the hot set is tiny by construction) — a
+    shuffled anti-join here would add a full exchange of the exploded
+    token table."""
+    from pdf_craft_spark.queries import QUERIES
+
+    for name in ("dedup_token_jaccard_topk", "dedup_shingle_jaccard"):
+        plan = _executed_plan(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
