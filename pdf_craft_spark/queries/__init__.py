@@ -24,6 +24,7 @@ from pdf_craft_spark.queries import (
     similarity,
     streamingq,
     textops,
+    traindata,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -42,6 +43,7 @@ for mod in (
     bookmetaq,
     streamingq,
     checkpointq,
+    traindata,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
@@ -64,6 +66,9 @@ _FRONT = [
     "streaming_windowed_metrics",
     "checkpoint_resume_spans",
     "lineage_manifest",
+    # round-4 additions (never driver-checked yet)
+    "split_train_val_test",
+    "pack_training_sequences",
 ]
 _TAIL = [
     "a1_group_median",
@@ -72,6 +77,10 @@ _TAIL = [
     "o2_topk_parts_per_brand",
     "set_distinct_pairs",
     "pivot_status_by_priority",
+    # thrice-green (r1-r3) relational analogs — sacrificed next if the
+    # driver's sweep cap stays at 50 while the registry grows
+    "f1_normalize_text",
+    "w7_event_numbering",
 ]
 assert set(_FRONT) <= set(QUERIES) and set(_TAIL) <= set(QUERIES)
 _order = (

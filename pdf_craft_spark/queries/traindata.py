@@ -1,0 +1,139 @@
+"""Training-set assembly operators: deterministic splits and sequence
+packing — the last mile of a 100 TB training-data pipeline (after dedup /
+quality filtering, documents must land in reproducible train/val/test
+partitions and be packed into fixed-token-budget training sequences).
+
+Scale notes:
+
+- the split is a pure PROJECTION (one md5 per row, no shuffle, no state):
+  membership is content-derived, so it is stable under reruns, appends,
+  and repartitioning — the properties a split must have at scale (a
+  random() split is none of these);
+- packing is SHARD-LOCAL: a global greedy packer is a single sequential
+  scan (non-distributable); sharding by a content-derived bucket gives
+  ~n/shards docs per running-sum window, each window an independent task.
+  One shuffle on the shard key, exactly like any windowed aggregate.
+
+Both are DuckDB-oracle-backed: md5-derived assignment and integer window
+arithmetic reproduce exactly across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# split fractions in percent: train 90 / val 5 / test 5
+VAL_PCT, TEST_PCT = 5, 5
+N_SHARDS = 16
+SEQ_CAPACITY = 2048  # tokens per packed training sequence
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _hash_pct() -> F.Column:
+    # 4 hex chars of md5(doc_id) → uniform 0..65535 → % 100.  The shard
+    # key reads a 6-char prefix of the same digest; sharing the digest is
+    # fine because split and shard are never joined or correlated.
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+        F.lit(100),
+    )
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split: doc → train/val/test by
+    md5(doc_id) % 100 (< 90 / < 95 / else).  Pure narrow projection."""
+    pct = _hash_pct()
+    split = (
+        F.when(pct < 100 - VAL_PCT - TEST_PCT, F.lit("train"))
+        .when(pct < 100 - TEST_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", split.alias("split"), F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_TRAIN_VAL_TEST_SQL = f"""
+SELECT doc_id,
+       CASE WHEN pct < {100 - VAL_PCT - TEST_PCT} THEN 'train'
+            WHEN pct < {100 - TEST_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(length(text) AS INT) AS n_chars
+FROM (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local sequence packing: whitespace token counts per doc, a
+    running sum within each md5-derived shard (doc_id order), and the
+    packed-sequence id ``floor(pre_cum / SEQ_CAPACITY)`` — the sequence a
+    document STARTS in.  Documents are never split; a doc that straddles
+    a capacity boundary belongs to the sequence it started in
+    (capacity-approximate packing — the deterministic, one-window-pass
+    formulation; an exact greedy first-fit is inherently sequential).
+
+    Plan: one shuffle on (shard), then a partition-local running-sum
+    window — the same cost envelope as any per-key windowed aggregate."""
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+        F.lit(N_SHARDS),
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    base = _docs(spark, sf_dir).select(
+        "doc_id", shard.alias("shard"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("cum_tokens", cum)
+        # integer `div`, not floor(double /): bit-exact at any magnitude
+        # (the oracle's `//` is integer division on exact ints too)
+        .withColumn(
+            "seq_id",
+            F.expr(f"(cum_tokens - n_tokens) div {SEQ_CAPACITY}").cast("long"),
+        )
+        .select("doc_id", F.col("shard").cast("int").alias("shard"), "n_tokens",
+                "cum_tokens", "seq_id")
+        .orderBy("shard", "doc_id")
+    )
+
+
+PACK_TRAINING_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 6)) AS BIGINT) % {N_SHARDS} AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {SEQ_CAPACITY} AS BIGINT) AS seq_id
+FROM c ORDER BY shard, doc_id
+"""
+
+
+QUERIES = {
+    "split_train_val_test": split_train_val_test,
+    "pack_training_sequences": pack_training_sequences,
+}
+ORACLES = {
+    "split_train_val_test": SPLIT_TRAIN_VAL_TEST_SQL,
+    "pack_training_sequences": PACK_TRAINING_SEQUENCES_SQL,
+}
