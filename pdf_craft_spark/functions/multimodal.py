@@ -342,10 +342,6 @@ _IDIOMS: dict[str, dict[str, str]] = {
     },
 }
 
-SPARK_HEX2INT = "CAST(conv({h}, 16, 10) AS INT)"
-DUCK_HEX2INT = "CAST(('0x' || {h}) AS INT)"
-
-
 def png_stream_layers(
     engine: str, pix: str, w: str, h: str, crc_seed: str, prefix: str
 ) -> list[tuple[str, str]]:
