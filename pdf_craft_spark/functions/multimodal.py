@@ -133,6 +133,27 @@ def parse_png_dims(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _probe_dims(content: bytes, mime: str) -> tuple[int, int]:
+    """The dimension ladder BELOW the stdlib pixel decode — for callers
+    that already know decode_png_rgb returned None and must not pay for
+    a second inflate attempt: PIL (opt-in) → IHDR parse → stub."""
+    if REAL_DECODE and MEDIA_CODECS_AVAILABLE and mime.startswith("image/"):
+        try:  # pragma: no cover - codecs absent in this image
+            import io
+
+            import PIL.Image
+
+            with PIL.Image.open(io.BytesIO(content)) as img:
+                return img.size
+        except Exception:
+            pass
+    dims = parse_png_dims(content) if mime == "image/png" else None
+    if dims is not None:
+        return dims
+    w, h, _, _ = _decode_stub(content, mime)
+    return w, h
+
+
 def _decode_bytes(content: bytes, mime: str) -> tuple[int, int, int, list[float]]:
     """Decode one media payload → (width, height, n_frames, feature vec).
 
@@ -270,7 +291,10 @@ def resize_media(media: DataFrame, max_dim: int = THUMB_MAX_DIM) -> DataFrame:
                     thumb = encode_png_rgb(resample_nearest(arr, tw, th))
                     rows.append((f"{ref}#thumb{max_dim}", "image/png", thumb))
                     continue
-                w, hgt, _nf, _feat = _decode_bytes(content, mime)
+                # the stdlib decode just failed (or non-PNG mime) — probe
+                # dims WITHOUT re-running it (same ladder _decode_bytes
+                # uses below the stdlib step: PIL → IHDR → stub)
+                w, hgt = _probe_dims(content, mime)
                 tw, th = thumb_dims(w, hgt, max_dim)
                 if REAL_DECODE and MEDIA_CODECS_AVAILABLE:
                     try:  # pragma: no cover - codecs absent in this image

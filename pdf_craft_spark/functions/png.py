@@ -30,6 +30,15 @@ import numpy as np
 
 PNG_SIG = bytes.fromhex("89504E470D0A1A0A")
 
+# Inflate guard: payloads are untrusted, and IHDR dims go to 2^31-1 — a
+# few-KB bomb declaring 40000x40000 would otherwise allocate ~4.8 GB
+# BEFORE the length check.  Dims above this bound decode to None (the
+# caller falls back to IHDR-dims + stub features), and the inflate itself
+# is capped at the declared size so a lying stream can never overshoot.
+# 2^26 px ≈ 201 MB of raw scanlines — comfortably above any real page
+# scan (A2 print at 600 dpi ≈ 35 MP).
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def _iter_chunks(content: bytes):
     off = 8
@@ -64,12 +73,21 @@ def decode_png_rgb(content: bytes) -> "np.ndarray | None":
             idat.append(data)
     if not w or not h or not idat:
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if w * h > MAX_DECODE_PIXELS:
         return None
     stride = 3 * w
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    try:
+        # bounded inflate: ask for at most expected+1 bytes — a stream
+        # that would produce more stops there (caught by the length
+        # check) instead of materializing an unbounded buffer; a stream
+        # that ends exactly on time still reaches its trailer, so the
+        # adler32 is verified as usual (raises on mismatch)
+        z = zlib.decompressobj()
+        raw = z.decompress(b"".join(idat), expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected or not z.eof:
         return None
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -225,19 +225,24 @@ class TitleMatcher:
         return counts
 
     def counts_by_page(self, bodies: list[str]) -> list[dict[int, int]]:
-        """Per-page counts with per-DOCUMENT scans: bodies join on an
-        unmatchable separator ('\\x00' never survives normalize), so the
-        find-loop path runs T C-level scans per document instead of T per
-        page (match→page via bisect over start offsets) — measured ~8% of
-        kernel time was exactly that per-page Python call overhead.  The
-        automaton path walks the joined string once, tracking the page
-        cursor at each separator.  Counts are identical to mapping
-        ``counts`` over bodies (pinned in test_title_matcher)."""
+        """Per-page counts with per-DOCUMENT scans on the find-loop path:
+        bodies join on a '\\x00' separator so T C-level scans run per
+        document instead of per page (match→page via bisect over start
+        offsets) — measured ~8% of kernel time was exactly that per-page
+        Python call overhead.  Page attribution by offset is content-safe
+        (a NUL inside a body shifts nothing); the one case the separator
+        cannot isolate — a PATTERN that itself contains '\\x00', which
+        could match across a page seam — falls back to per-page counts.
+        The automaton path iterates bodies directly (resetting the node
+        between pages), so it needs no separator at all.  Counts are
+        identical to mapping ``counts`` over bodies (pinned in
+        test_title_matcher, including NUL-bearing bodies/patterns)."""
         out: list[dict[int, int]] = [{} for _ in bodies]
         if not bodies:
             return out
-        joined = "\x00".join(bodies)
         if not self._use_ac:
+            if any("\x00" in p for p in self.patterns):
+                return [self.counts(b) for b in bodies]
             from bisect import bisect_right
 
             starts = []
@@ -245,6 +250,7 @@ class TitleMatcher:
             for b in bodies:
                 starts.append(off)
                 off += len(b) + 1
+            joined = "\x00".join(bodies)
             for pid, pat in enumerate(self.patterns):
                 if not pat:
                     continue
@@ -258,23 +264,17 @@ class TitleMatcher:
                     start = pos + 1
             return out
         nxt, fail, outv, olink = self._next, self._fail, self._out, self._olink
-        node = 0
-        page_i = 0
-        cur = out[0]
-        for ch in joined:
-            if ch == "\x00":
-                page_i += 1
-                cur = out[page_i]
-                node = 0  # patterns never span the separator
-                continue
-            while node and ch not in nxt[node]:
-                node = fail[node]
-            node = nxt[node].get(ch, 0)
-            t = node if outv[node] >= 0 else olink[node]
-            while t >= 0 and t != 0:
-                pid = outv[t]
-                cur[pid] = cur.get(pid, 0) + 1
-                t = olink[t]
+        for cur, body in zip(out, bodies):
+            node = 0
+            for ch in body:
+                while node and ch not in nxt[node]:
+                    node = fail[node]
+                node = nxt[node].get(ch, 0)
+                t = node if outv[node] >= 0 else olink[node]
+                while t >= 0 and t != 0:
+                    pid = outv[t]
+                    cur[pid] = cur.get(pid, 0) + 1
+                    t = olink[t]
         return out
 
 

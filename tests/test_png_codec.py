@@ -149,3 +149,45 @@ def test_rgb_features_exact():
     assert f[3] == 0.0 and f[4] == 250.0
     assert f[5] == (10 + 20 + 30 + 250 + 90) / 12
     assert f[6] == 10.0 and f[7] == 90.0
+
+
+def test_decode_rejects_decompression_bombs_cheaply():
+    """Untrusted payloads: huge declared dims must be rejected BEFORE any
+    inflate allocation, and a stream lying about its length must stop at
+    the bounded read instead of materializing unbounded output."""
+    import time
+
+    # 40000x40000 declared (4.8 GB raw if believed), tiny actual stream
+    zeros = zlib.compress(b"\x00" * 1024)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", binascii.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zeros)
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.time()
+    assert decode_png_rgb(bomb) is None
+    assert time.time() - t0 < 0.5  # rejected at the dims check, no inflate
+
+    # sane dims (4x4) but the zlib stream inflates to far more: the
+    # bounded read caps output at expected+1 and returns None
+    liar = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_rgb(liar) is None
+
+    # well-formed streams still decode under the same guards
+    a = _arr(4, 4)
+    assert decode_png_rgb(encode_png_rgb(a)) is not None

@@ -101,3 +101,19 @@ def test_counts_by_page_matches_per_page_counts():
     m = TitleMatcher(["ab"])
     assert m.counts_by_page(["a", "b"]) == [{}, {}]
     assert TitleMatcher(["ab"]).counts_by_page([]) == []
+
+
+def test_counts_by_page_nul_safe():
+    """Literal NULs in page bodies (valid in Arrow/parquet strings, not
+    stripped by F1) must neither crash the automaton path nor shift page
+    attribution; a NUL-bearing PATTERN falls back to per-page scans
+    rather than matching across a page seam."""
+    bodies = ["x\x00y", "abc", "", "a\x00\x00b"]
+    pats = ["ab", "x", "y"]
+    for M in (TitleMatcher, _ForcedAC):
+        m = M(pats)
+        assert m.counts_by_page(bodies) == [m.counts(b) for b in bodies], M.__name__
+    # pattern containing the separator: per-page truth, never cross-seam
+    m = TitleMatcher(["y\x00a"])  # would match joined("x\x00y","abc") seam
+    assert m.counts_by_page(["x\x00y", "abc"]) == [{}, {}]
+    assert m.counts_by_page(["q y\x00a z", "abc"]) == [{0: 1}, {}]
