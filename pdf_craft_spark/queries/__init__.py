@@ -69,6 +69,7 @@ _FRONT = [
     # round-4 additions (never driver-checked yet)
     "split_train_val_test",
     "pack_training_sequences",
+    "contamination_check",
 ]
 _TAIL = [
     "a1_group_median",

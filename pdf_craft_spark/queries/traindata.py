@@ -137,3 +137,79 @@ ORACLES = {
     "split_train_val_test": SPLIT_TRAIN_VAL_TEST_SQL,
     "pack_training_sequences": PACK_TRAINING_SEQUENCES_SQL,
 }
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for every TEST-split document, the
+    fraction of its distinct word-3-gram shingles that also occur in any
+    TRAIN-split document.  Composes the content-hash split with the
+    dedup family's shingling — the standard pre-training hygiene check
+    (did evaluation text leak into the training corpus?).
+
+    Scale shape: one equi-join on the shingle string — the test side is
+    5% of the corpus by construction, the train side is deduplicated to
+    distinct shingles before the join (map-side combine on the grouped
+    agg), and the per-doc rollup shuffles on doc_id.  No all-pairs
+    surface anywhere."""
+    from pdf_craft_spark.queries.dedup import _shingles, _tokens
+
+    pct = _hash_pct()
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", pct.alias("pct"), _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", "pct", F.explode(_shingles(F.col("toks"))).alias("sh"))
+    )
+    train_sh = (
+        docs.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select("sh").distinct()
+    )
+    test_sh = docs.filter(F.col("pct") >= 100 - TEST_PCT).select("doc_id", "sh")
+    marked = test_sh.join(
+        train_sh.withColumn("in_train", F.lit(1)), "sh", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("in_train", F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct,
+         list_distinct(list_transform(range(0, len(toks) - 2),
+             i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+), sh AS (
+  SELECT doc_id, pct, unnest(shingles) AS sh FROM s
+), train_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE pct < {100 - VAL_PCT - TEST_PCT}
+), test_sh AS (
+  SELECT doc_id, sh FROM sh WHERE pct >= {100 - TEST_PCT}
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(tr.sh) AS BIGINT) AS n_contaminated,
+       round(CAST(count(tr.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination
+FROM test_sh t LEFT JOIN train_sh tr ON t.sh = tr.sh
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+QUERIES["contamination_check"] = contamination_check
+ORACLES["contamination_check"] = CONTAMINATION_CHECK_SQL
