@@ -82,6 +82,7 @@ _TAIL = [
     # driver's sweep cap stays at 50 while the registry grows
     "f1_normalize_text",
     "w7_event_numbering",
+    "f5_exclusion_anti_join",
 ]
 assert set(_FRONT) <= set(QUERIES) and set(_TAIL) <= set(QUERIES)
 _order = (
