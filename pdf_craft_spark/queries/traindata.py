@@ -150,7 +150,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% of the corpus by construction, the train side is deduplicated to
     distinct shingles before the join (map-side combine on the grouped
     agg), and the per-doc rollup shuffles on doc_id.  No all-pairs
-    surface anywhere."""
+    surface anywhere.  Note the two branches each re-shingle their slice
+    of the corpus (disjoint slices, so total shingling work is one
+    corpus pass); at production scale the exploded shingle table would
+    be written once and both branches would read it."""
     from pdf_craft_spark.queries.dedup import _shingles, _tokens
 
     pct = _hash_pct()

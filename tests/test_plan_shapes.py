@@ -98,3 +98,20 @@ def test_jaccard_df_cutoff_is_broadcast_anti_join(spark):
         plan = _executed_plan(QUERIES[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (name, plan)
         assert "CartesianProduct" not in plan, name
+
+
+def test_traindata_plan_shapes(spark):
+    """split is a pure projection (its only exchange is the driver-facing
+    orderBy); pack carries exactly the shard exchange + that orderBy; the
+    contamination join is an equi-join, never a cartesian."""
+    from pdf_craft_spark.queries import QUERIES
+
+    split_plan = _executed_plan(QUERIES["split_train_val_test"](spark, SF_DIR))
+    assert split_plan.count("Exchange ") <= 1, split_plan
+
+    pack_plan = _executed_plan(QUERIES["pack_training_sequences"](spark, SF_DIR))
+    assert pack_plan.count("Exchange ") <= 2 and "Window" in pack_plan, pack_plan
+
+    cont_plan = _executed_plan(QUERIES["contamination_check"](spark, SF_DIR))
+    assert "CartesianProduct" not in cont_plan
+    assert "BroadcastNestedLoopJoin" not in cont_plan
