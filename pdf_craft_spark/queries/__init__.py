@@ -70,6 +70,7 @@ _FRONT = [
     "split_train_val_test",
     "pack_training_sequences",
     "contamination_check",
+    "pack_greedy_exact",
 ]
 _TAIL = [
     "a1_group_median",
@@ -83,6 +84,7 @@ _TAIL = [
     "f1_normalize_text",
     "w7_event_numbering",
     "f5_exclusion_anti_join",
+    "asof_latest_order_per_event",
 ]
 assert set(_FRONT) <= set(QUERIES) and set(_TAIL) <= set(QUERIES)
 _order = (

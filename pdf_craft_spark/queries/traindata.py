@@ -216,3 +216,88 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 
 QUERIES["contamination_check"] = contamination_check
 ORACLES["contamination_check"] = CONTAMINATION_CHECK_SQL
+
+
+GREEDY_SCHEMA = (
+    "doc_id bigint, shard int, n_tokens bigint, seq_id bigint, filled bigint"
+)
+
+
+def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT greedy first-fit packing — the stateful custom-operator twin
+    of pack_training_sequences: within each shard, documents fill the
+    current sequence until adding the next would exceed SEQ_CAPACITY,
+    then a new sequence opens (a doc larger than the capacity occupies a
+    sequence alone).  The fill state is inherently sequential, so it runs
+    as an ``applyInPandas`` kernel per shard — the Spark-native shape for
+    order-dependent per-group state (one shuffle on shard, each group an
+    independent task).  The DuckDB oracle recomputes the identical fill
+    with a WITH RECURSIVE closure, so the distributed stateful kernel is
+    value-checked against a declarative ground truth (same pairing as
+    dedup_components)."""
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
+        F.lit(N_SHARDS),
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        shard.cast("int").alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, filleds = [], []
+        seq, filled = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if filled > 0 and filled + n > SEQ_CAPACITY:
+                seq += 1
+                filled = 0
+            filled += n
+            seq_ids.append(seq)
+            filleds.append(filled)
+        pdf["seq_id"] = seq_ids
+        pdf["filled"] = filleds
+        return pdf
+
+    return (
+        base.groupBy("shard")
+        .applyInPandas(fill, schema=GREEDY_SCHEMA)
+        .orderBy("shard", "doc_id")
+    )
+
+
+PACK_GREEDY_EXACT_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 6)) AS BIGINT) % {N_SHARDS} AS INT) AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t
+), fill AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS filled
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+         CASE WHEN f.filled > 0 AND f.filled + o.n_tokens > {SEQ_CAPACITY}
+              THEN f.seq_id + 1 ELSE f.seq_id END,
+         CASE WHEN f.filled > 0 AND f.filled + o.n_tokens > {SEQ_CAPACITY}
+              THEN o.n_tokens ELSE f.filled + o.n_tokens END
+  FROM fill f JOIN o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT doc_id, shard, n_tokens, seq_id, CAST(filled AS BIGINT) AS filled
+FROM fill ORDER BY shard, doc_id
+"""
+
+
+QUERIES["pack_greedy_exact"] = pack_greedy_exact
+ORACLES["pack_greedy_exact"] = PACK_GREEDY_EXACT_SQL
