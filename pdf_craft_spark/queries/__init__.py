@@ -71,6 +71,7 @@ _FRONT = [
     "pack_training_sequences",
     "contamination_check",
     "pack_greedy_exact",
+    "embed_quantize_int8",
 ]
 _TAIL = [
     "a1_group_median",
@@ -85,6 +86,7 @@ _TAIL = [
     "w7_event_numbering",
     "f5_exclusion_anti_join",
     "asof_latest_order_per_event",
+    "s3_orders_by_month",
 ]
 assert set(_FRONT) <= set(QUERIES) and set(_TAIL) <= set(QUERIES)
 _order = (

@@ -301,3 +301,58 @@ FROM fill ORDER BY shard, doc_id
 
 QUERIES["pack_greedy_exact"] = pack_greedy_exact
 ORACLES["pack_greedy_exact"] = PACK_GREEDY_EXACT_SQL
+
+
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the standard
+    compression step before writing training shards or serving indexes
+    (4-8x smaller vectors, recall loss ~nil at 8 bits).  Per-vector scale
+    = max(|x|); q_i = floor(x_i*127/scale + 0.5) in [-127, 127].  Pure
+    narrow projection (two higher-order expressions per row, no shuffle).
+
+    Float parity: both engines evaluate x*127/scale left-to-right on
+    doubles and floor() is exact, so the quantized integers are
+    bit-identical — no rounding-mode divergence surface (round() was
+    avoided deliberately: HALF_UP vs banker's rounding differs across
+    engines)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    scale = "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    q = (
+        "CASE WHEN sc = 0.0 THEN transform(embedding, x -> 0) "
+        "ELSE transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INT)) END"
+    )
+    # the vector ships as a comma-joined string: full fidelity, but a
+    # scalar column — the driver's canonicalizer (and ours) hashes
+    # scalars; array-typed outputs are avoided across the registry
+    return (
+        emb.selectExpr("vec_id", f"({scale}) AS sc", "embedding")
+        .selectExpr(
+            "vec_id",
+            "sc AS scale",
+            f"array_join(transform(({q}), v -> CAST(v AS STRING)), ',') AS q_csv",
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBED_QUANTIZE_INT8_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+  FROM embeddings
+), q AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc = 0.0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INT)) END AS qv
+  FROM s
+)
+SELECT vec_id, sc AS scale,
+       list_aggregate(list_transform(qv, v -> CAST(v AS STRING)), 'string_agg', ',') AS q_csv
+FROM q ORDER BY vec_id
+"""
+
+
+QUERIES["embed_quantize_int8"] = embed_quantize_int8
+ORACLES["embed_quantize_int8"] = EMBED_QUANTIZE_INT8_SQL
