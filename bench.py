@@ -51,6 +51,12 @@ HEADLINE = [
     "sim_recall",
     "a9_event_metrics",
     "s3_orders_by_month",
+    # round-4 training-set assembly family (all sub-second at sf0.1)
+    "split_train_val_test",
+    "pack_training_sequences",
+    "pack_greedy_exact",
+    "contamination_check",
+    "embed_quantize_int8",
 ]
 
 
