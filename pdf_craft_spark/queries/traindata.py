@@ -75,6 +75,31 @@ FROM (
 """
 
 
+def _shard() -> F.Column:
+    """The packers' shared shard key: md5(doc_id)[:6] % N_SHARDS — both
+    packing operators MUST use the identical assignment (the exact twin
+    packs the same shards as the approximate one)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        ),
+        F.lit(N_SHARDS),
+    )
+
+
+def _n_tokens() -> F.Column:
+    """Whitespace token count — the same tokenization as text_token_count."""
+    return F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")).cast(
+        "long"
+    )
+
+
+def _packing_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", _shard().alias("shard"), _n_tokens().alias("n_tokens")
+    )
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-local sequence packing: whitespace token counts per doc, a
     running sum within each md5-derived shard (doc_id order), and the
@@ -86,14 +111,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one shuffle on (shard), then a partition-local running-sum
     window — the same cost envelope as any per-key windowed aggregate."""
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
-        F.lit(N_SHARDS),
-    )
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    base = _docs(spark, sf_dir).select(
-        "doc_id", shard.alias("shard"), F.size(toks).cast("long").alias("n_tokens")
-    )
+    base = _packing_base(spark, sf_dir)
     w = W.partitionBy("shard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
     return (
@@ -240,15 +258,8 @@ def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_craft_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long"),
-        F.lit(N_SHARDS),
-    )
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    base = _docs(spark, sf_dir).select(
-        "doc_id",
-        shard.cast("int").alias("shard"),
-        F.size(toks).cast("long").alias("n_tokens"),
+    base = _packing_base(spark, sf_dir).withColumn(
+        "shard", F.col("shard").cast("int")
     )
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -315,7 +326,9 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical — no rounding-mode divergence surface (round() was
     avoided deliberately: HALF_UP vs banker's rounding differs across
     engines)."""
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from pdf_craft_spark.queries.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
     scale = "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
     q = (
         "CASE WHEN sc = 0.0 THEN transform(embedding, x -> 0) "

@@ -115,3 +115,15 @@ def test_traindata_plan_shapes(spark):
     cont_plan = _executed_plan(QUERIES["contamination_check"](spark, SF_DIR))
     assert "CartesianProduct" not in cont_plan
     assert "BroadcastNestedLoopJoin" not in cont_plan
+
+    # exact greedy: the shard exchange feeding the stateful kernel + the
+    # driver-facing orderBy, nothing more
+    greedy_plan = _executed_plan(QUERIES["pack_greedy_exact"](spark, SF_DIR))
+    assert greedy_plan.count("Exchange ") <= 2, greedy_plan
+    assert "FlatMapGroupsInPandas" in greedy_plan or "ApplyInPandas" in greedy_plan, (
+        greedy_plan
+    )
+
+    # quantization is a pure projection (orderBy exchange only)
+    q_plan = _executed_plan(QUERIES["embed_quantize_int8"](spark, SF_DIR))
+    assert q_plan.count("Exchange ") <= 1, q_plan
