@@ -72,6 +72,7 @@ _FRONT = [
     "contamination_check",
     "pack_greedy_exact",
     "embed_quantize_int8",
+    "packed_sequence_texts",
 ]
 _TAIL = [
     "a1_group_median",
@@ -87,6 +88,7 @@ _TAIL = [
     "f5_exclusion_anti_join",
     "asof_latest_order_per_event",
     "s3_orders_by_month",
+    "text_token_count",
 ]
 assert set(_FRONT) <= set(QUERIES) and set(_TAIL) <= set(QUERIES)
 _order = (

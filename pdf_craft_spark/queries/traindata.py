@@ -369,3 +369,68 @@ FROM q ORDER BY vec_id
 
 QUERIES["embed_quantize_int8"] = embed_quantize_int8
 ORACLES["embed_quantize_int8"] = EMBED_QUANTIZE_INT8_SQL
+
+
+def packed_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assembly — the step that turns packed sequence ids into the
+    actual training shards: per (shard, seq_id), documents concatenated
+    in doc_id order with a single space.  Emitted as md5(text) + counts
+    (the hash keeps the driver's comparison scalar-compact while still
+    pinning every byte of the assembled shard).
+
+    Order determinism: collect_list has no ordering guarantee, so the
+    texts are collected as (doc_id, text) structs and array_sort'd by the
+    leading doc_id field JVM-side before joining — the same trick
+    to_nested_output uses for span arrays.  One shuffle on the group
+    key."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", _shard().cast("int").alias("shard"), "text", _n_tokens().alias("n_tokens")
+    )
+    w = W.partitionBy("shard").orderBy("doc_id")
+    seq = base.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_id", F.expr(f"(cum - n_tokens) div {SEQ_CAPACITY}").cast("long")
+    )
+    return (
+        seq.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                )
+            ).alias("text_md5"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+PACKED_SEQUENCE_TEXTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 6)) AS BIGINT) % {N_SHARDS} AS INT) AS shard,
+         text,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM t
+), s AS (
+  SELECT *, CAST((cum - n_tokens) // {SEQ_CAPACITY} AS BIGINT) AS seq_id FROM c
+)
+SELECT shard, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       md5(string_agg(text, ' ' ORDER BY doc_id)) AS text_md5
+FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id
+"""
+
+
+QUERIES["packed_sequence_texts"] = packed_sequence_texts
+ORACLES["packed_sequence_texts"] = PACKED_SEQUENCE_TEXTS_SQL

@@ -18,7 +18,8 @@ import pytest
 
 from pdf_craft_spark.queries.traindata import ORACLES, QUERIES, SEQ_CAPACITY
 
-NAMES = ["split_train_val_test", "pack_training_sequences", "pack_greedy_exact"]
+NAMES = ["split_train_val_test", "pack_training_sequences", "pack_greedy_exact",
+         "packed_sequence_texts"]
 
 
 def _write_docs(tmp_path, token_counts: list[int]) -> str:
