@@ -57,6 +57,7 @@ HEADLINE = [
     "pack_greedy_exact",
     "contamination_check",
     "embed_quantize_int8",
+    "packed_sequence_texts",
 ]
 
 
