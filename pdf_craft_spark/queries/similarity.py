@@ -365,13 +365,27 @@ SIM_LSH_TOPK_SQL = _lsh_topk_duck_sql()
 # centroid id.  The DuckDB oracle embeds the SAME literal centroids, so
 # both engines run the identical quantizer.
 SAMPLE_CAP = 2048
-KMEANS_ITERS = 3
-# fraction of the k lists each query probes — the recall/cost dial.  0.65
-# is what the ISOTROPIC test corpus needs for ≥0.9 recall@5; clustered
-# embeddings (the realistic case) hit the same recall at ~0.1 (measured,
-# tests/test_ann_clustered.py).  Env-overridable for corpus-specific
-# tuning without code changes.
-NPROBE_FRAC = float(os.environ.get("PDF_CRAFT_SPARK_NPROBE_FRAC", "0.65"))
+KMEANS_ITERS = 8  # the sample is ≤2048×64 doubles — extra Lloyd passes are ~free
+# fraction of the k lists each query probes — the recall/cost dial.  The
+# DEFAULT (None) is ADAPTIVE: ivf_fit measures recall@TOP_K on its own fit
+# sample across probe counts and picks the smallest nprobe that clears
+# IVF_RECALL_TARGET — so an isotropic corpus (worst case for list pruning)
+# gets the large fraction it genuinely needs while clustered embeddings
+# (the realistic case) automatically get a small one (measured ~0.1,
+# tests/test_ann_clustered.py), instead of every corpus paying the
+# isotropic worst case.  Set the env var (or the module attr, tests) to a
+# float to pin a fixed fraction.
+_NPROBE_ENV = os.environ.get("PDF_CRAFT_SPARK_NPROBE_FRAC", "")
+NPROBE_FRAC: float | None = float(_NPROBE_ENV) if _NPROBE_ENV else None
+# sample-recall target for the adaptive calibration: margin over the
+# shipped ≥0.9 recall gate (tests/test_ann_recall.py) to absorb
+# sample-vs-corpus estimation error
+IVF_RECALL_TARGET = float(os.environ.get("PDF_CRAFT_SPARK_IVF_RECALL_TARGET", "0.92"))
+CAL_QUERIES = 256  # calibration query rows (first sample rows)
+
+# per-directory calibration report (k, nprobe, fraction, sample recall) —
+# observability for bench.py's ann_frontier block
+_CAL_INFO: dict[str, dict] = {}
 
 # The sf the external driver's oracle comparison runs at; the static
 # ORACLES entries embed centroids fit on THIS directory.  Tests at other
@@ -456,8 +470,19 @@ def ivf_fit(sf_dir: str) -> tuple[int, int, list[tuple[int, list[float]]]]:
     # unnormalized k-means on this corpus at equal nprobe
     sample = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
     k = max(1, math.ceil(math.sqrt(n)))
-    seeds = sample[[(i * len(sample)) // k for i in range(k)]]
-    cents = seeds.copy()
+    # k-means++-style deterministic seeding: farthest-point traversal over
+    # the sample (next seed = argmax of min squared distance to the chosen
+    # set; argmax first-hit breaks ties toward the lowest index).  Spreads
+    # seeds over the data hull instead of following vec_id order — better
+    # list balance than the former evenly-spaced picks at zero extra cost
+    # (O(k·n·d) on a ≤2048-row sample).
+    seed_idx = [0]
+    mind = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(mind.argmax())
+        seed_idx.append(nxt)
+        mind = np.minimum(mind, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    cents = sample[seed_idx].copy()
     for _ in range(KMEANS_ITERS):
         # (n_sample, k) squared distances via elementwise ops + axis sum
         # (pairwise, single-threaded — deterministic across runs)
@@ -468,15 +493,79 @@ def ivf_fit(sf_dir: str) -> tuple[int, int, list[tuple[int, list[float]]]]:
             if len(members):
                 c = members.mean(axis=0)
                 cents[ci] = c / np.sqrt((c * c).sum())
-    # nprobe tuned to the measured ≥0.9 recall@5 target (BENCH.md): this
-    # corpus is isotropic (near-random directions), the hardest case for
-    # list pruning — clustered embeddings reach the same recall at far
-    # smaller fractions (measured: tests/test_ann_clustered.py hits 1.0
-    # recall at NPROBE_FRAC=0.1), and the fraction is the explicit dial
-    nprobe = max(2, math.ceil(NPROBE_FRAC * k))
+    if NPROBE_FRAC is not None:
+        nprobe = max(2, math.ceil(NPROBE_FRAC * k))
+        _CAL_INFO[sf_dir] = {
+            "mode": "fixed",
+            "k": k,
+            "nprobe": nprobe,
+            "frac": round(nprobe / k, 4),
+        }
+    else:
+        nprobe = _calibrate_nprobe(sf_dir, sample, cents)
     fit = (n, nprobe, [(ci, [float(v) for v in cents[ci]]) for ci in range(k)])
     _FIT_CACHE[sf_dir] = fit
     return fit
+
+
+def _calibrate_nprobe(sf_dir: str, sample: "object", cents: "object") -> int:
+    """Measured-recall probe calibration on the fit sample.
+
+    Computes, entirely on the ≤SAMPLE_CAP in-memory sample, the recall@
+    TOP_K a probe count of p would achieve (for the first CAL_QUERIES
+    sample rows as stand-in queries, against exact within-sample cosine
+    ground truth) and returns the smallest p clearing IVF_RECALL_TARGET.
+    This replaces the former fixed worst-case fraction: the probe budget
+    is now a property MEASURED from the data's own cluster structure —
+    isotropic corpora keep the large fraction they need, clustered ones
+    drop to a small one.  Deterministic: chunked elementwise distance sums
+    (no threaded-BLAS reductions), stable argsorts (ties → lowest index,
+    matching the query's (d, c) lexicographic sort and argmin assignment).
+    The result feeds both engines identically (the oracle SQL embeds the
+    same nprobe), so calibration affects cost/recall, never parity."""
+    import numpy as np
+
+    n, k = len(sample), len(cents)
+
+    def d2_to(rows: "np.ndarray", pts: "np.ndarray") -> "np.ndarray":
+        return ((rows[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+
+    assign = np.empty(n, dtype=np.int64)
+    for i in range(0, n, 256):
+        assign[i : i + 256] = d2_to(sample[i : i + 256], cents).argmin(axis=1)
+    nq = min(CAL_QUERIES, n)
+    k_eff = min(TOP_K, n - 1)
+    hits = np.zeros(k, dtype=np.int64)  # hits[r]: gt neighbors at centroid rank r
+    total = 0
+    for i in range(0, nq, 64):
+        q = sample[i : i + 64]
+        m = len(q)
+        # exact gt top-k by cosine == ascending unit-sphere L2 distance
+        dv = d2_to(q, sample)
+        dv[np.arange(m), np.arange(i, i + m)] = np.inf  # exclude self
+        gt = np.argsort(dv, axis=1, kind="stable")[:, :k_eff]
+        order = np.argsort(d2_to(q, cents), axis=1, kind="stable")  # rank → cid
+        rank_of = np.empty_like(order)
+        np.put_along_axis(
+            rank_of, order, np.broadcast_to(np.arange(k), (m, k)).copy(), axis=1
+        )
+        gt_ranks = np.take_along_axis(rank_of, assign[gt], axis=1)
+        for r in gt_ranks.ravel():
+            hits[r] += 1
+        total += gt.size
+    recall_at = np.cumsum(hits) / max(1, total)  # recall with nprobe=p is recall_at[p-1]
+    meets = np.flatnonzero(recall_at >= IVF_RECALL_TARGET)
+    nprobe = max(2, (int(meets[0]) + 1) if len(meets) else k)
+    _CAL_INFO[sf_dir] = {
+        "mode": "adaptive",
+        "k": k,
+        "nprobe": nprobe,
+        "frac": round(nprobe / k, 4),
+        "target": IVF_RECALL_TARGET,
+        "sample_recall": round(float(recall_at[nprobe - 1]), 4),
+        "cal_queries": nq,
+    }
+    return nprobe
 
 
 def _cent_struct_array(cents: list[tuple[int, list[float]]]) -> str:

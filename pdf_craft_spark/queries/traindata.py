@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pdf_craft_spark.queries.dedup import DF_CUTOFF_FRAC as _DF_CUTOFF_FRAC
+
 # split fractions in percent: train 90 / val 5 / test 5
 VAL_PCT, TEST_PCT = 5, 5
 N_SHARDS = 16
@@ -167,12 +169,23 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one equi-join on the shingle string — the test side is
     5% of the corpus by construction, the train side is deduplicated to
     distinct shingles before the join (map-side combine on the grouped
-    agg), and the per-doc rollup shuffles on doc_id.  No all-pairs
-    surface anywhere.  Note the two branches each re-shingle their slice
-    of the corpus (disjoint slices, so total shingling work is one
-    corpus pass); at production scale the exploded shingle table would
-    be written once and both branches would read it."""
-    from pdf_craft_spark.queries.dedup import _shingles, _tokens
+    agg), and the per-doc rollup shuffles on doc_id.  Fan-out bound: the
+    train side additionally drops HOT shingles (document frequency among
+    train docs > max(2, ceil(DF_CUTOFF_FRAC·n_train)), the dedup family's
+    _df_cutoff, applied via broadcast anti-join) BEFORE the distinct —
+    without it one boilerplate shingle present in df_train documents
+    joins every test doc containing it, so a corpus-wide template line
+    alone drives the join toward |test|·df_train rows; with it per-key
+    fan-out is capped and boilerplate-grade shingles (which are not
+    meaningful leak evidence — they're corpus furniture, exactly what
+    boilerplate_global_strip removes upstream) leave the contamination
+    vocabulary.  The cutoff is mirrored in the DuckDB oracle, so the
+    overlap-rate semantics stay engine-checked.  No all-pairs surface
+    anywhere.  Note the two branches each re-shingle their slice of the
+    corpus (disjoint slices, so total shingling work is one corpus
+    pass); at production scale the exploded shingle table would be
+    written once and both branches would read it."""
+    from pdf_craft_spark.queries.dedup import _df_cutoff, _shingles, _tokens
 
     pct = _hash_pct()
     docs = (
@@ -181,8 +194,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 3)
         .select("doc_id", "pct", F.explode(_shingles(F.col("toks"))).alias("sh"))
     )
+    train_rows = docs.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select(
+        "doc_id", "sh"
+    )
+    # shingles are distinct per doc (_shingles wraps array_distinct), so
+    # count(*) per shingle in train_rows IS its train document frequency
     train_sh = (
-        docs.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select("sh").distinct()
+        _df_cutoff(train_rows, train_rows.select("doc_id").distinct(), "sh")
+        .select("sh")
+        .distinct()
     )
     test_sh = docs.filter(F.col("pct") >= 100 - TEST_PCT).select("doc_id", "sh")
     marked = test_sh.join(
@@ -218,8 +238,17 @@ WITH s AS (
   WHERE len(toks) >= 3
 ), sh AS (
   SELECT doc_id, pct, unnest(shingles) AS sh FROM s
+), train_rows AS (
+  SELECT doc_id, sh FROM sh WHERE pct < {100 - VAL_PCT - TEST_PCT}
+), cut AS (
+  SELECT greatest(CAST(2 AS BIGINT),
+                  CAST(ceil({_DF_CUTOFF_FRAC!r} * count(DISTINCT doc_id)) AS BIGINT)) AS c
+  FROM train_rows
+), hot AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM train_rows GROUP BY 1)
+  WHERE df > (SELECT c FROM cut)
 ), train_sh AS (
-  SELECT DISTINCT sh FROM sh WHERE pct < {100 - VAL_PCT - TEST_PCT}
+  SELECT DISTINCT sh FROM train_rows ANTI JOIN hot USING (sh)
 ), test_sh AS (
   SELECT doc_id, sh FROM sh WHERE pct >= {100 - TEST_PCT}
 )
@@ -352,7 +381,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_QUANTIZE_INT8_SQL = """
 WITH s AS (
   SELECT vec_id, embedding,
-         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+         -- empty-embedding edge normalized to Spark's aggregate() identity:
+         -- list_max([]) is NULL in DuckDB, Spark's fold yields its 0.0 init
+         coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                  0.0) AS sc
   FROM embeddings
 ), q AS (
   SELECT vec_id, sc,
@@ -362,7 +394,9 @@ WITH s AS (
   FROM s
 )
 SELECT vec_id, sc AS scale,
-       list_aggregate(list_transform(qv, v -> CAST(v AS STRING)), 'string_agg', ',') AS q_csv
+       -- string_agg over an empty list is NULL; Spark's array_join gives ''
+       coalesce(list_aggregate(list_transform(qv, v -> CAST(v AS STRING)),
+                               'string_agg', ','), '') AS q_csv
 FROM q ORDER BY vec_id
 """
 

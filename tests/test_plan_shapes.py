@@ -114,7 +114,11 @@ def test_traindata_plan_shapes(spark):
 
     cont_plan = _executed_plan(QUERIES["contamination_check"](spark, SF_DIR))
     assert "CartesianProduct" not in cont_plan
-    assert "BroadcastNestedLoopJoin" not in cont_plan
+    # the only nested-loop join is the df-cutoff's broadcast 1-row corpus
+    # count (same benign shape as the jaccard ops); the cutoff itself must
+    # be a broadcast ANTI hash join and the shingle join an equi hash join
+    assert cont_plan.count("BroadcastNestedLoopJoin") <= 1, cont_plan
+    assert "BroadcastHashJoin" in cont_plan and "LeftAnti" in cont_plan, cont_plan
 
     # exact greedy: the shard exchange feeding the stateful kernel + the
     # driver-facing orderBy, nothing more
