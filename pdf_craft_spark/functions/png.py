@@ -39,6 +39,17 @@ PNG_SIG = bytes.fromhex("89504E470D0A1A0A")
 # scan (A2 print at 600 dpi ≈ 35 MP).
 MAX_DECODE_PIXELS = 1 << 26
 
+# CPU-amplification guard for the two inherently SERIAL filters: Average
+# and Paeth reconstruction depend on the previous byte in the same row AND
+# the previous row, so they run as per-byte Python loops — a hostile but
+# valid PNG at the full MAX_DECODE_PIXELS bound using them would cost
+# ~200M Python iterations (minutes of executor CPU).  Streams containing
+# any Average/Paeth scanline are therefore capped at 1 MP (~3M loop
+# iterations, well under a second); None/Up/Sub reconstruct fully
+# vectorized and keep the large bound.  The memory bomb is a separate,
+# earlier guard (MAX_DECODE_PIXELS + bounded inflate).
+MAX_SERIAL_FILTER_PIXELS = 1 << 20
+
 
 def _iter_chunks(content: bytes):
     off = 8
@@ -89,28 +100,38 @@ def decode_png_rgb(content: bytes) -> "np.ndarray | None":
         return None
     if len(raw) != expected or not z.eof:
         return None
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = mat[:, 0]
+    if filters.max(initial=0) > 4:
+        return None
+    serial = np.isin(filters, (3, 4))
+    if serial.any() and w * h > MAX_SERIAL_FILTER_PIXELS:
+        return None  # see MAX_SERIAL_FILTER_PIXELS
+    if not filters.any():
+        # filter 0 everywhere — the corpus's path: one vectorized copy
+        return mat[:, 1:].reshape(h, w, 3).copy()
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
     for y in range(h):
-        f = raw[pos]
-        pos += 1
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
-        pos += stride
-        # filter 0 (None) is the corpus's path and stays vectorized; the
-        # serial reconstructions below exist for foreign valid PNGs
+        f = int(filters[y])
+        line = mat[y, 1:].copy()
         if f == 0:
             pass
         elif f == 2:  # Up: pure elementwise, mod-256 wrap
             line = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif f == 1:  # Sub
-            for x in range(3, stride):
-                line[x] = (int(line[x]) + int(line[x - 3])) & 0xFF
-        elif f == 3:  # Average
+        elif f == 1:  # Sub: a per-channel prefix sum — cumsum in int64
+            # commutes with mod 256, so the lane-wise cumulative sum is the
+            # exact serial reconstruction, fully vectorized
+            line = (
+                (np.cumsum(line.reshape(w, 3).astype(np.int64), axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 3:  # Average (serial: depends on left AND up; capped above)
             for x in range(stride):
                 a = int(line[x - 3]) if x >= 3 else 0
                 line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
+        else:  # f == 4, Paeth (serial in both axes; capped above)
             for x in range(stride):
                 a = int(line[x - 3]) if x >= 3 else 0
                 b = int(prev[x])
@@ -119,8 +140,6 @@ def decode_png_rgb(content: bytes) -> "np.ndarray | None":
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[x] = (int(line[x]) + pred) & 0xFF
-        else:
-            return None
         out[y] = line
         prev = out[y]
     return out.reshape(h, w, 3)

@@ -33,6 +33,7 @@ reference, jointer.py:42-96) — that bound holds for any plan.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,6 +54,14 @@ from pdf_craft_spark.shipping import ensure_package_shipped
 # the stage SLOWER (0.98s vs 0.86s vs 0.18s regex-free) — both regexes
 # fail fast per position, so the prefilter only adds a second scan.  The
 # length<32 guard below is the effective prefilter (skips ~40% of spans).
+#
+# Third lever, measured and REJECTED (2026-08-17, 782k spans / 472k past
+# the guard at sf0.1): short-circuiting the full scan behind a cheap
+# single-char-run guard ('(?s)(.)\1{31}', a strict subset of band 1, so
+# semantics-preserving as `cheap OR full`) — the guard hit ZERO spans
+# (this corpus's degenerate class is 2-5-char-gram repeats, not 32+
+# same-char runs) and the extra scan cost 12% (1.548s -> 1.734s,
+# value-equal outputs).  The two-band regex IS the minimal scan here.
 _REPETITION = r"(?s)(.{2,5})\1{15}|(?s)(.{6,20})\2{7}"
 
 
@@ -135,10 +144,29 @@ def _doc_spans(pdf: pd.DataFrame):
     Documents arrive contiguous (partition sorted by doc_id, offset), so
     doc boundaries are numpy change-points over the doc_id column and each
     doc is a plain list slice — measured ~10% of kernel wall was the
-    pandas groupby + per-group Series iteration this replaces."""
+    pandas groupby + per-group Series iteration this replaces.
+
+    Contract guard (fail loud, not corrupt): the zero-shuffle plan is
+    correct only if the contract table holds ONE row per doc_id.  A
+    duplicate row landing in the SAME partition arrives here as repeated
+    (doc_id, offset) pairs after the partition-local sort — one vectorized
+    comparison catches that and raises instead of emitting a silently
+    doubled document.  A duplicate landing in ANOTHER partition is
+    invisible to any single task; enable the table-level assertion
+    (PDF_CRAFT_SPARK_ASSERT_UNIQUE_DOCS=1 / assert_unique_docs=True on
+    the plan builders) to check that before the kernel runs."""
     import numpy as np
 
     ids = pdf["doc_id"].to_numpy()
+    offs_arr = pdf["offset"].to_numpy()
+    dup = (ids[1:] == ids[:-1]) & (offs_arr[1:] == offs_arr[:-1])
+    if dup.any():
+        bad = ids[1:][dup][0]
+        raise ValueError(
+            f"contract violation: doc_id {bad!r} has duplicate span offsets in "
+            "one partition — the contract table must hold exactly one row per "
+            "doc_id (duplicate nested rows detected)"
+        )
     kinds = pdf["kind"].tolist()
     texts = pdf["text"].tolist()
     media = pdf["media_ref"].tolist()
@@ -194,6 +222,38 @@ def _make_kernel(stage1_done: bool, boilerplate: bool = False):
     return kernel
 
 
+def _check_unique_docs(docs: DataFrame, assert_unique_docs: bool | None) -> None:
+    """Opt-in table-level contract assertion: exactly one row per doc_id.
+
+    The zero-shuffle plan relies on this invariant (module docstring); a
+    violation that spans partitions produces two partial documents that no
+    single kernel task can detect (the in-kernel guard in _doc_spans
+    catches the same-partition case for free).  This check is one cheap
+    aggregation job (narrow scan + partial count, no wide rows move), but
+    it IS an extra job, so it's off by default and enabled per-call or via
+    PDF_CRAFT_SPARK_ASSERT_UNIQUE_DOCS=1 in debug/test environments and
+    backfill runs over uncurated tables."""
+    if assert_unique_docs is None:
+        assert_unique_docs = (
+            os.environ.get("PDF_CRAFT_SPARK_ASSERT_UNIQUE_DOCS") == "1"
+        )
+    if not assert_unique_docs:
+        return
+    dup = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"contract violation: doc_id {dup[0]['doc_id']!r} appears in "
+            f"{dup[0]['n']} rows — the contract table must hold exactly one "
+            "nested row per document"
+        )
+
+
 def _ensure_parallelism(docs: DataFrame) -> DataFrame:
     """Rebalance ONLY when the source has fewer partitions than cores.
 
@@ -209,7 +269,10 @@ def _ensure_parallelism(docs: DataFrame) -> DataFrame:
 
 
 def extract_spans_df(
-    docs: DataFrame, stage1: bool = True, boilerplate: bool = False
+    docs: DataFrame,
+    stage1: bool = True,
+    boilerplate: bool = False,
+    assert_unique_docs: bool | None = None,
 ) -> DataFrame:
     """Full extraction: nested contract table in, flat output spans out
     (doc_id, chapter_id, kind, text, media_ref, offset).
@@ -226,6 +289,7 @@ def extract_spans_df(
     order restored, same as the old plan; _ensure_parallelism guards the
     small-input case where scan partitions < cores."""
     ensure_package_shipped(docs.sparkSession)
+    _check_unique_docs(docs, assert_unique_docs)
     flat = explode_spans(_ensure_parallelism(docs))
     if stage1:
         flat = prepare_stage1(flat)
@@ -254,10 +318,13 @@ def to_nested_output(flat_spans: DataFrame) -> DataFrame:
 MARKDOWN_SCHEMA = "doc_id string, markdown string, n_spans int"
 
 
-def extract_markdown_df(docs: DataFrame, stage1: bool = True) -> DataFrame:
+def extract_markdown_df(
+    docs: DataFrame, stage1: bool = True, assert_unique_docs: bool | None = None
+) -> DataFrame:
     """S8: the markdown-file sink as a DataFrame — one rendered markdown
     string per document (same kernel, string output instead of spans)."""
     ensure_package_shipped(docs.sparkSession)
+    _check_unique_docs(docs, assert_unique_docs)
     flat = explode_spans(_ensure_parallelism(docs))
     if stage1:
         flat = prepare_stage1(flat)
@@ -352,13 +419,17 @@ def _epub_kernel(which: str, stage1: bool):
 
 
 def extract_epub_records_df(
-    docs: DataFrame, stage1: bool = True, which: str = "records"
+    docs: DataFrame,
+    stage1: bool = True,
+    which: str = "records",
+    assert_unique_docs: bool | None = None,
 ) -> DataFrame:
     """S9: the EPUB record sink as a DataFrame — flat
     TextBlock/Formula/Image/Table/Footnote rows per document
     (``which='records'``) or the cleaned TOC tree rows (``which='toc'``);
     same zero-shuffle plan shape as the other sinks."""
     ensure_package_shipped(docs.sparkSession)
+    _check_unique_docs(docs, assert_unique_docs)
     flat = explode_spans(_ensure_parallelism(docs))
     if stage1:
         flat = prepare_stage1(flat)

@@ -82,6 +82,20 @@ def test_full_document_markdown_parity(doc_id, tmp_path):
     assert _our_markdown(doc_id) == _reference_markdown(doc_id, tmp_path)
 
 
+# The sustained-volume bench corpus spans doc ids up to 12,800 (BENCH.md);
+# parity evidence must sample the same id range the throughput numbers
+# brag about, not just the first 40.  Seeded, deterministic 16-doc sample
+# of the large range (disjoint from the 0-39 exhaustive block above).
+import random as _random  # noqa: E402
+
+LARGE_CORPUS_SAMPLE = sorted(_random.Random(5).sample(range(40, 12800), 16))
+
+
+@pytest.mark.parametrize("doc_id", LARGE_CORPUS_SAMPLE)
+def test_large_corpus_sample_markdown_parity(doc_id, tmp_path):
+    assert _our_markdown(doc_id) == _reference_markdown(doc_id, tmp_path)
+
+
 @pytest.mark.parametrize("doc_id", list(range(10)))
 def test_full_document_parity_no_toc_path(doc_id, tmp_path):
     """toc_assumed=False exercises the analyse_title_levels fallback:

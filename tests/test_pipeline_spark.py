@@ -81,3 +81,30 @@ def test_markdown_sink_matches_kernel(spark):
         pages = parse_raw_spans(pages_to_spans(generate_document(int(doc_id), SEED)))
         md, _ = extract_document(pages)
         assert got[doc_id] == md, f"doc {doc_id} markdown mismatch"
+
+
+def test_duplicate_doc_rows_fail_loudly_in_kernel(spark):
+    """The zero-shuffle plan's precondition is one contract row per
+    doc_id.  Duplicate rows co-located in one partition must raise a
+    contract-violation error from the kernel, never emit a silently
+    doubled document."""
+    import pytest
+
+    docs = corpus_df(spark, 4, SEED, partitions=2)
+    dup = docs.unionAll(docs.limit(1)).repartition(1)  # dup rows co-located
+    with pytest.raises(Exception, match="contract violation"):
+        extract_spans_df(dup).count()
+
+
+def test_assert_unique_docs_catches_cross_partition_duplicates(spark):
+    """Cross-partition duplicates are invisible to any single kernel task;
+    the opt-in table-level assertion catches them before the kernel runs
+    (and is a no-op on a clean table)."""
+    import pytest
+
+    docs = corpus_df(spark, 4, SEED, partitions=2)
+    # clean table: the assertion passes and the plan still runs
+    assert extract_spans_df(docs, assert_unique_docs=True).count() > 0
+    dup = docs.unionAll(docs.limit(1))
+    with pytest.raises(ValueError, match="contract violation"):
+        extract_spans_df(dup, assert_unique_docs=True)

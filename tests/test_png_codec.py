@@ -95,6 +95,24 @@ def test_decode_all_filter_types(ftype):
     assert out is not None and (out == a).all(), ftype
 
 
+def test_serial_filter_pixel_cap(monkeypatch):
+    """Average/Paeth scanlines reconstruct in per-byte Python loops, so
+    streams using them are size-capped (CPU-amplification guard) while
+    the vectorized filters (None/Up/Sub) keep the full pixel budget."""
+    import pdf_craft_spark.functions.png as png
+
+    monkeypatch.setattr(png, "MAX_SERIAL_FILTER_PIXELS", 64)
+    a = _arr(9, 11, seed=7)  # 99 px > the patched cap
+    assert png.decode_png_rgb(_encode_with_filter(a, 4)) is None
+    assert png.decode_png_rgb(_encode_with_filter(a, 3)) is None
+    for vectorized in (0, 1, 2):
+        out = png.decode_png_rgb(_encode_with_filter(a, vectorized))
+        assert out is not None and (out == a).all(), vectorized
+    small = _arr(4, 5, seed=8)  # 20 px ≤ cap: serial filters still decode
+    out = png.decode_png_rgb(_encode_with_filter(small, 4))
+    assert out is not None and (out == small).all()
+
+
 def test_decode_rejects_bad_adler():
     png = bytearray(encode_png_rgb(_arr(4, 4)))
     # last adler byte sits 17 bytes from the end: 12 (IEND chunk) + 4
