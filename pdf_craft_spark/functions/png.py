@@ -43,11 +43,13 @@ MAX_DECODE_PIXELS = 1 << 26
 # and Paeth reconstruction depend on the previous byte in the same row AND
 # the previous row, so they run as per-byte Python loops — a hostile but
 # valid PNG at the full MAX_DECODE_PIXELS bound using them would cost
-# ~200M Python iterations (minutes of executor CPU).  Streams containing
-# any Average/Paeth scanline are therefore capped at 1 MP (~3M loop
-# iterations, well under a second); None/Up/Sub reconstruct fully
-# vectorized and keep the large bound.  The memory bomb is a separate,
-# earlier guard (MAX_DECODE_PIXELS + bounded inflate).
+# ~200M Python iterations (minutes of executor CPU).  The bound is on the
+# SERIAL WORK itself (pixels in Average/Paeth scanlines), not total image
+# size, so a large photo with a handful of adaptive-filter rows still
+# decodes — only a stream whose serial rows alone exceed 1 MP (~3M loop
+# iterations, under a second) degrades to None.  None/Up/Sub reconstruct
+# fully vectorized and never count toward this.  The memory bomb is a
+# separate, earlier guard (MAX_DECODE_PIXELS + bounded inflate).
 MAX_SERIAL_FILTER_PIXELS = 1 << 20
 
 
@@ -105,7 +107,7 @@ def decode_png_rgb(content: bytes) -> "np.ndarray | None":
     if filters.max(initial=0) > 4:
         return None
     serial = np.isin(filters, (3, 4))
-    if serial.any() and w * h > MAX_SERIAL_FILTER_PIXELS:
+    if int(serial.sum()) * w > MAX_SERIAL_FILTER_PIXELS:
         return None  # see MAX_SERIAL_FILTER_PIXELS
     if not filters.any():
         # filter 0 everywhere — the corpus's path: one vectorized copy

@@ -69,7 +69,11 @@ assert set(ORACLES) <= set(QUERIES), sorted(set(ORACLES) - set(QUERIES))
 
 
 def _last_verified_rounds() -> dict[str, int]:
-    """{query name: highest round with a driver correctness row}."""
+    """{query name: highest round with an error-free driver correctness
+    row}.  Rows whose check itself errored (``err`` set — e.g. a driver
+    canonicalizer crash) do NOT count as verified: treating them as green
+    would rotate a never-actually-checked query to the back of the sweep
+    (CORRECTNESS_r01.json contains exactly such rows)."""
     import glob
     import json
     import re
@@ -88,7 +92,9 @@ def _last_verified_rounds() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("err") is not None:
+                continue
             last[name] = max(last.get(name, -1), rnd)
     return last
 

@@ -555,6 +555,9 @@ def _calibrate_nprobe(sf_dir: str, sample: "object", cents: "object") -> int:
         total += gt.size
     recall_at = np.cumsum(hits) / max(1, total)  # recall with nprobe=p is recall_at[p-1]
     meets = np.flatnonzero(recall_at >= IVF_RECALL_TARGET)
+    # the floor of 2 can exceed k on degenerate corpora (n=1 → k=1); the
+    # query side tolerates nprobe > k (slice just truncates), but the
+    # sample-recall report must index within the k-length curve
     nprobe = max(2, (int(meets[0]) + 1) if len(meets) else k)
     _CAL_INFO[sf_dir] = {
         "mode": "adaptive",
@@ -562,7 +565,7 @@ def _calibrate_nprobe(sf_dir: str, sample: "object", cents: "object") -> int:
         "nprobe": nprobe,
         "frac": round(nprobe / k, 4),
         "target": IVF_RECALL_TARGET,
-        "sample_recall": round(float(recall_at[nprobe - 1]), 4),
+        "sample_recall": round(float(recall_at[min(nprobe, k) - 1]), 4),
         "cal_queries": nq,
     }
     return nprobe

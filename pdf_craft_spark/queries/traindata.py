@@ -188,22 +188,23 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_craft_spark.queries.dedup import _df_cutoff, _shingles, _tokens
 
     pct = _hash_pct()
-    docs = (
+    base = (
         _docs(spark, sf_dir)
         .select("doc_id", pct.alias("pct"), _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", "pct", F.explode(_shingles(F.col("toks"))).alias("sh"))
     )
+    docs = base.select("doc_id", "pct", F.explode(_shingles(F.col("toks"))).alias("sh"))
     train_rows = docs.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select(
         "doc_id", "sh"
     )
+    # the cutoff's n_train comes from the DOC-level frame (a scan + count,
+    # no shingling) — every doc past the size(toks)>=3 filter emits ≥1
+    # shingle, so this count equals distinct doc_id over train_rows without
+    # paying a third tokenize+shingle+explode pass for a scalar
+    train_docs = base.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select("doc_id")
     # shingles are distinct per doc (_shingles wraps array_distinct), so
     # count(*) per shingle in train_rows IS its train document frequency
-    train_sh = (
-        _df_cutoff(train_rows, train_rows.select("doc_id").distinct(), "sh")
-        .select("sh")
-        .distinct()
-    )
+    train_sh = _df_cutoff(train_rows, train_docs, "sh").select("sh").distinct()
     test_sh = docs.filter(F.col("pct") >= 100 - TEST_PCT).select("doc_id", "sh")
     marked = test_sh.join(
         train_sh.withColumn("in_train", F.lit(1)), "sh", "left"
@@ -241,9 +242,12 @@ WITH s AS (
 ), train_rows AS (
   SELECT doc_id, sh FROM sh WHERE pct < {100 - VAL_PCT - TEST_PCT}
 ), cut AS (
+  -- n_train from the DOC-level CTE (mirrors the Spark plan: no extra
+  -- shingling pass; equals count(DISTINCT doc_id) over train_rows since
+  -- every doc past the len(toks)>=3 filter emits >=1 shingle)
   SELECT greatest(CAST(2 AS BIGINT),
-                  CAST(ceil({_DF_CUTOFF_FRAC!r} * count(DISTINCT doc_id)) AS BIGINT)) AS c
-  FROM train_rows
+                  CAST(ceil({_DF_CUTOFF_FRAC!r} * count(*)) AS BIGINT)) AS c
+  FROM s WHERE pct < {100 - VAL_PCT - TEST_PCT}
 ), hot AS (
   SELECT sh FROM (SELECT sh, count(*) AS df FROM train_rows GROUP BY 1)
   WHERE df > (SELECT c FROM cut)
@@ -354,21 +358,28 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles and floor() is exact, so the quantized integers are
     bit-identical — no rounding-mode divergence surface (round() was
     avoided deliberately: HALF_UP vs banker's rounding differs across
-    engines)."""
+    engines).  Ragged-data edges are normalized identically on both
+    sides: a NULL embedding is treated as empty (coalesced to [] before
+    any op), and an empty one quantizes to scale 0.0 / q_csv '' (Spark's
+    fold/array_join identities; the oracle coalesces DuckDB's NULL
+    list_max/string_agg to match)."""
     from pdf_craft_spark.queries.similarity import _emb
 
     emb = _emb(spark, sf_dir)
-    scale = "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    scale = "aggregate(emb2, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
     q = (
-        "CASE WHEN sc = 0.0 THEN transform(embedding, x -> 0) "
-        "ELSE transform(embedding, x -> "
+        "CASE WHEN sc = 0.0 THEN transform(emb2, x -> 0) "
+        "ELSE transform(emb2, x -> "
         "CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INT)) END"
     )
     # the vector ships as a comma-joined string: full fidelity, but a
     # scalar column — the driver's canonicalizer (and ours) hashes
     # scalars; array-typed outputs are avoided across the registry
     return (
-        emb.selectExpr("vec_id", f"({scale}) AS sc", "embedding")
+        emb.selectExpr(
+            "vec_id", "coalesce(embedding, CAST(array() AS ARRAY<DOUBLE>)) AS emb2"
+        )
+        .selectExpr("vec_id", f"({scale}) AS sc", "emb2")
         .selectExpr(
             "vec_id",
             "sc AS scale",
@@ -379,17 +390,20 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_QUANTIZE_INT8_SQL = """
-WITH s AS (
-  SELECT vec_id, embedding,
+WITH n AS (
+  -- NULL embedding normalized to empty on BOTH engines before any op
+  SELECT vec_id, coalesce(embedding, []::DOUBLE[]) AS emb2 FROM embeddings
+), s AS (
+  SELECT vec_id, emb2,
          -- empty-embedding edge normalized to Spark's aggregate() identity:
          -- list_max([]) is NULL in DuckDB, Spark's fold yields its 0.0 init
-         coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         coalesce(list_max(list_transform(emb2, x -> abs(CAST(x AS DOUBLE)))),
                   0.0) AS sc
-  FROM embeddings
+  FROM n
 ), q AS (
   SELECT vec_id, sc,
-         CASE WHEN sc = 0.0 THEN list_transform(embedding, x -> 0)
-              ELSE list_transform(embedding, x ->
+         CASE WHEN sc = 0.0 THEN list_transform(emb2, x -> 0)
+              ELSE list_transform(emb2, x ->
                    CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INT)) END AS qv
   FROM s
 )

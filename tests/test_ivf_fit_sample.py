@@ -36,3 +36,26 @@ def test_fit_caches_and_matches_sample(spark):
     # centroids are unit vectors (spherical k-means contract)
     for _cid, vec in cents:
         assert abs(float(np.sqrt(np.dot(vec, vec))) - 1.0) < 1e-9
+
+
+def test_fit_on_degenerate_single_vector_corpus(tmp_path):
+    """n=1 → k=1: the adaptive calibration must degrade (nprobe floored at
+    2, harmless — the probe slice truncates at k) instead of crashing on
+    the k-length recall curve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[1.0] * 8], pa.list_(pa.float64())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    d = str(tmp_path)
+    sim._FIT_CACHE.pop(d, None)
+    n, nprobe, cents = sim.ivf_fit(d)
+    assert n == 1 and len(cents) == 1 and nprobe == 2
+    assert sim._CAL_INFO[d]["mode"] == "adaptive"

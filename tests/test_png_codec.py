@@ -44,15 +44,18 @@ def test_encode_decode_multiblock():
     assert out is not None and (out == a).all()
 
 
-def _encode_with_filter(arr: np.ndarray, ftype: int) -> bytes:
+def _encode_with_filter(arr: np.ndarray, ftype) -> bytes:
     """Independent writer: real CRCs, zlib.compress, and scanlines run
     through the REAL PNG filter functions — exercises decode paths the
-    repo's own encoder (always filter 0) never produces."""
+    repo's own encoder (always filter 0) never produces.  ``ftype`` is a
+    single filter id or a per-row list (adaptive filtering, like libpng)."""
     h, w, _ = arr.shape
+    ftypes = [ftype] * h if isinstance(ftype, int) else list(ftype)
     stride = 3 * w
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
+        ftype = ftypes[y]
         line = arr[y].reshape(-1).astype(np.int16)
         f = bytearray([ftype])
         for x in range(stride):
@@ -97,18 +100,25 @@ def test_decode_all_filter_types(ftype):
 
 def test_serial_filter_pixel_cap(monkeypatch):
     """Average/Paeth scanlines reconstruct in per-byte Python loops, so
-    streams using them are size-capped (CPU-amplification guard) while
-    the vectorized filters (None/Up/Sub) keep the full pixel budget."""
+    the SERIAL WORK (pixels in such rows, not total image size) is capped
+    (CPU-amplification guard); the vectorized filters (None/Up/Sub) keep
+    the full pixel budget, and a large image with only a few adaptive
+    Average/Paeth rows — the libpng-default shape — still decodes."""
     import pdf_craft_spark.functions.png as png
 
     monkeypatch.setattr(png, "MAX_SERIAL_FILTER_PIXELS", 64)
-    a = _arr(9, 11, seed=7)  # 99 px > the patched cap
+    a = _arr(9, 11, seed=7)  # 99 px total; 9 serial rows x 11 = 99 > cap
     assert png.decode_png_rgb(_encode_with_filter(a, 4)) is None
     assert png.decode_png_rgb(_encode_with_filter(a, 3)) is None
     for vectorized in (0, 1, 2):
         out = png.decode_png_rgb(_encode_with_filter(a, vectorized))
         assert out is not None and (out == a).all(), vectorized
-    small = _arr(4, 5, seed=8)  # 20 px ≤ cap: serial filters still decode
+    # adaptive filtering: image BIGGER than the cap but only 2 serial rows
+    # (22 px of serial work ≤ 64) must decode — the bound is on the work
+    mixed = [0, 4, 2, 1, 0, 3, 0, 0, 0]
+    out = png.decode_png_rgb(_encode_with_filter(a, mixed))
+    assert out is not None and (out == a).all()
+    small = _arr(4, 5, seed=8)  # 20 px of serial work ≤ cap
     out = png.decode_png_rgb(_encode_with_filter(small, 4))
     assert out is not None and (out == small).all()
 

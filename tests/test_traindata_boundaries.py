@@ -79,7 +79,7 @@ def test_embed_quantize_empty_embedding_edge(spark, tmp_path):
     to Spark's identities (latent parity break on real ragged data)."""
     from tests.oracle_harness import compare
 
-    vecs = [[], [0.5, -1.0, 0.25], [0.0, 0.0], [2.0]]
+    vecs = [[], [0.5, -1.0, 0.25], [0.0, 0.0], [2.0], None]  # incl. NULL row
     d = tmp_path / "emb"
     d.mkdir(exist_ok=True)
     pq.write_table(
@@ -106,6 +106,9 @@ def test_embed_quantize_empty_embedding_edge(spark, tmp_path):
     # all-zero vector: scale 0.0, quantized to literal zeros
     row2 = spark_df[spark_df.vec_id == 2].iloc[0]
     assert row2["scale"] == 0.0 and row2["q_csv"] == "0,0"
+    # NULL embedding normalizes to the empty-array identities on both sides
+    row4 = spark_df[spark_df.vec_id == 4].iloc[0]
+    assert row4["scale"] == 0.0 and row4["q_csv"] == ""
 
 
 def _pct(doc_id: int) -> int:
