@@ -84,3 +84,22 @@ def test_clustered_recall_at_small_probe_fraction(spark, clustered_dir, monkeypa
             assert mean >= 0.9, f"{method} clustered recall {mean:.2f} < 0.9"
     finally:
         sim._FIT_CACHE.pop(clustered_dir, None)
+
+
+def test_clustered_adaptive_calibration_picks_small_fraction(clustered_dir, monkeypatch):
+    """The round-5 adaptive calibration must DISCOVER the cluster
+    structure on its own: with no fixed fraction pinned, the fit picks a
+    small probe budget on clustered data (measured: 2 of 45 lists) while
+    still clearing the recall target on its sample."""
+    import pdf_craft_spark.queries.similarity as sim
+
+    monkeypatch.setattr(sim, "NPROBE_FRAC", None)  # default adaptive path
+    sim._FIT_CACHE.pop(clustered_dir, None)
+    try:
+        _n, nprobe, cents = sim.ivf_fit(clustered_dir)
+        cal = sim._CAL_INFO[clustered_dir]
+        assert cal["mode"] == "adaptive"
+        assert nprobe / len(cents) <= 0.15, cal
+        assert cal["sample_recall"] >= sim.IVF_RECALL_TARGET
+    finally:
+        sim._FIT_CACHE.pop(clustered_dir, None)
