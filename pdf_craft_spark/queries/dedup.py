@@ -282,6 +282,17 @@ ORDER BY doc_a, doc_b
 # 4x less hash CPU than one md5 per signature row with the same estimator.
 # Bands of 2 rows; band key = md5(sig_2k || sig_2k+1); candidates share any
 # band key.
+#
+# Plan-shape note, MEASURED AND REJECTED (2026-08-17, sf0.1, 3 interleaved
+# rounds): computing the signatures per-document with higher-order
+# array_min(transform(shs, s -> substring(md5(...)))) — "zero shuffle for
+# the signature stage" — is 45x SLOWER (124-150 s vs 2.7-3.5 s,
+# value-equal outputs).  Higher-order lambdas run INTERPRETED (md5 outside
+# codegen) and 16 signature expressions re-walk the shingle array 16
+# times; the explode pipeline below instead evaluates 4 codegen'd md5s
+# per shingle row once, and the min-agg's partial (map-side) combine
+# reduces the shuffle to 16 short strings per document — the shuffle was
+# never the cost.  Keep the explode + groupBy-min shape.
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         _docs(spark, sf_dir)
