@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_incremental",
     "sim_cosine_topk",
     "sim_lsh_buckets",
     "sim_lsh_topk",

@@ -293,16 +293,19 @@ ORDER BY doc_a, doc_b
 # per shingle row once, and the min-agg's partial (map-side) combine
 # reduces the shuffle to 16 short strings per document — the shuffle was
 # never the cost.  Keep the explode + groupBy-min shape.
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _tokens().alias("toks"))
+def _minhash_band_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band index for a (doc_id, text)
+    frame — the persisted-index artifact that both the batch self-join
+    (dedup_minhash_lsh) and the continuous-ingest check
+    (dedup_incremental) build on."""
+    sh = (
+        docs.select("doc_id", _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
     )
     # md5s computed once in a projection (not inside each aggregate), so
     # codegen evaluates 4 hashes per row, then 16 cheap substrings
-    hashed = docs.select(
+    hashed = sh.select(
         "doc_id",
         *[
             F.md5(F.concat(F.col("sh"), F.lit(f"|{k}"))).alias(f"h{k}")
@@ -320,7 +323,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = keys.groupBy("doc_id").agg(
         *[F.min(f"k{j}").alias(f"s{j}") for j in range(N_HASHES)]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.array(
             *[
@@ -336,6 +339,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.explode("bands").alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_band_index(_docs(spark, sf_dir))
     # materialize the band index ONCE before the self-join: Catalyst
     # inlines the whole shingle -> 4xmd5 -> min-agg pipeline into BOTH
     # join inputs otherwise (verified: 2 scans, 0 ReusedExchange) — the
@@ -532,6 +539,133 @@ FROM comp ORDER BY doc_id
 """
 
 
+# --- continuous-ingest dedup -------------------------------------------------
+# The shape dedup actually takes at 100 TB: the corpus is never re-deduped
+# whole — an ARRIVING BATCH is checked against the COMMITTED corpus's
+# persisted indexes (exact content-hash table + MinHash-LSH band index,
+# both built once and appended to).  Here the committed/arriving split is
+# a deterministic content-hash percentile of the same table (the newest
+# INGEST_BATCH_PCT% of docs play the batch), so the whole flow stays
+# DuckDB-checkable; at prod the two sides are simply two table reads.
+# Plan shape: batch-side hash left-joins the existing hash index; batch
+# bands equi-join the existing band index (never batch×batch, never
+# existing×existing — candidate work is |batch|-proportional).
+INGEST_BATCH_PCT = 20
+
+
+def _ingest_pct() -> F.Column:
+    # same md5-percentile recipe as the training split (traindata._hash_pct)
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", _ingest_pct().alias("pct"), "text")
+    existing = base.filter(F.col("pct") < 100 - INGEST_BATCH_PCT)
+    batch = base.filter(F.col("pct") >= 100 - INGEST_BATCH_PCT)
+    norm = F.md5(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    # the committed exact index: content_hash -> canonical (min) doc_id
+    ex_hash = (
+        existing.select(norm.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("exact_canon"))
+    )
+    bt = batch.select("doc_id", norm.alias("content_hash"))
+    exact = bt.join(ex_hash, "content_hash", "left").select("doc_id", "exact_canon")
+    # the committed LSH band index (localCheckpoint = the written index
+    # table at prod, same reasoning as dedup_minhash_lsh); batch bands are
+    # computed on the fly — the batch is the small, streaming side
+    ex_bands = _minhash_band_index(existing).localCheckpoint(eager=True)
+    b_bands = _minhash_band_index(batch)
+    near = (
+        b_bands.alias("b")
+        .join(
+            ex_bands.alias("e"),
+            (F.col("b.band_idx") == F.col("e.band_idx"))
+            & (F.col("b.band_key") == F.col("e.band_key")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"), F.col("e.doc_id").alias("cand"))
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("near_canon"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_canon", F.lit(-1)).cast("bigint").alias("exact_dup_of"),
+            F.coalesce("near_canon", F.lit(-1)).cast("bigint").alias("near_dup_of"),
+            F.when(F.col("exact_canon").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_canon").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_duck_sql() -> str:
+    cutoff = 100 - INGEST_BATCH_PCT
+    sig_cols = ",\n         ".join(
+        f"min(substr(md5(sh || '|{j // 4}'), {8 * (j % 4) + 1}, 8)) AS s{j}"
+        for j in range(N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, pct, {k} AS band_idx, md5(s{2 * k} || s{2 * k + 1}) AS band_key FROM sig"
+        for k in range(N_BANDS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct
+  FROM documents
+), exh AS (
+  SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+         min(doc_id) AS exact_canon
+  FROM d WHERE pct < {cutoff} GROUP BY 1
+), bth AS (
+  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash
+  FROM d WHERE pct >= {cutoff}
+), tok AS (
+  SELECT doc_id, pct,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM d
+), sh AS (
+  SELECT doc_id, pct, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS sh
+  FROM tok WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, pct,
+         {sig_cols}
+  FROM sh GROUP BY doc_id, pct
+), bands AS (
+{band_selects}
+), near AS (
+  SELECT b.doc_id, min(e.doc_id) AS near_canon
+  FROM bands b JOIN bands e
+    ON b.band_idx = e.band_idx AND b.band_key = e.band_key
+   AND b.pct >= {cutoff} AND e.pct < {cutoff}
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(e.exact_canon, -1) AS BIGINT) AS exact_dup_of,
+       CAST(coalesce(n.near_canon, -1) AS BIGINT) AS near_dup_of,
+       CASE WHEN e.exact_canon IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_canon IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM bth b
+LEFT JOIN exh e USING (content_hash)
+LEFT JOIN near n ON n.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _incremental_duck_sql()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_token_jaccard_topk": dedup_token_jaccard_topk,
@@ -539,6 +673,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_components": dedup_components,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -548,4 +683,5 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }
