@@ -100,6 +100,17 @@ def test_jaccard_df_cutoff_is_broadcast_anti_join(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_incremental_dedup_plan_shape(spark):
+    """The ingest check must stay batch-proportional: band candidates via
+    equi hash join against the committed index, exact check via hash join
+    on the content hash — no cartesian / nested-loop surface anywhere."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["dedup_incremental"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_traindata_plan_shapes(spark):
     """split is a pure projection (its only exchange is the driver-facing
     orderBy); pack carries exactly the shard exchange + that orderBy; the
