@@ -370,27 +370,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The band unpivot is generated as UNION ALL selects (one scan of sig each;
-# DuckDB CSE handles it — candidate sets are tiny either way).
-def _minhash_duck_sql2() -> str:
-    sig_cols = ",\n         ".join(
+# DuckDB CSE handles it — candidate sets are tiny either way).  The
+# signature layout (substring positions, band pairing) and the shingle →
+# sig → bands CTE chain are generated ONCE here and shared by both
+# minhash oracles (batch self-join + incremental ingest), so the recipe
+# can never diverge between them — or from the Spark builder they mirror.
+def _minhash_sig_cols() -> str:
+    return ",\n         ".join(
         f"min(substr(md5(sh || '|{j // 4}'), {8 * (j % 4) + 1}, 8)) AS s{j}"
         for j in range(N_HASHES)
     )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {k} AS band_idx, md5(s{2 * k} || s{2 * k + 1}) AS band_key FROM sig"
+
+
+def _minhash_band_selects(extra: str = "") -> str:
+    cols = f", {extra}" if extra else ""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id{cols}, {k} AS band_idx, md5(s{2 * k} || s{2 * k + 1}) AS band_key FROM sig"
         for k in range(N_BANDS)
     )
-    return f"""
-WITH s AS ({_SHINGLES_DUCK}
+
+
+def _minhash_band_ctes(src: str = "documents", extra: str = "") -> str:
+    """tok → sh → sig → bands CTE chain over ``src`` (must expose doc_id,
+    text and any ``extra`` column to carry through)."""
+    cols = f", {extra}" if extra else ""
+    return f"""tok AS (
+  SELECT doc_id{cols},
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM {src}
 ), sh AS (
-  SELECT doc_id, unnest(shingles) AS sh FROM s
+  SELECT doc_id{cols}, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS sh
+  FROM tok WHERE len(toks) >= 3
 ), sig AS (
-  SELECT doc_id,
-         {sig_cols}
-  FROM sh GROUP BY doc_id
+  SELECT doc_id{cols},
+         {_minhash_sig_cols()}
+  FROM sh GROUP BY doc_id{cols}
 ), bands AS (
-{band_selects}
-)
+{_minhash_band_selects(extra)}
+)"""
+
+
+def _minhash_duck_sql2() -> str:
+    return f"""
+WITH {_minhash_band_ctes()}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -548,13 +571,22 @@ FROM comp ORDER BY doc_id
 # INGEST_BATCH_PCT% of docs play the batch), so the whole flow stays
 # DuckDB-checkable; at prod the two sides are simply two table reads.
 # Plan shape: batch-side hash left-joins the existing hash index; batch
-# bands equi-join the existing band index (never batch×batch, never
-# existing×existing — candidate work is |batch|-proportional).
+# bands equi-join the existing band index (never batch×batch band work,
+# never existing×existing — candidate work is |batch|-proportional); the
+# batch also exact-checks ITSELF (one |batch|-sized window over the
+# content hash — without it two identical docs arriving together would
+# both commit as 'unique' and, since the corpus is never re-deduped
+# whole, stay duplicated forever).  Intra-batch NEAR dedup is the batch's
+# own self-join — run dedup_minhash_lsh over the batch before commit.
 INGEST_BATCH_PCT = 20
 
+# md5-percentile of the doc id — the one content-hash split recipe shared
+# by the training split (traindata) and the ingest split here; the SQL
+# twin is the authoritative oracle spelling.
+HASH_PCT_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100"
 
-def _ingest_pct() -> F.Column:
-    # same md5-percentile recipe as the training split (traindata._hash_pct)
+
+def hash_pct() -> F.Column:
     return F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
             "long"
@@ -564,7 +596,7 @@ def _ingest_pct() -> F.Column:
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _docs(spark, sf_dir).select("doc_id", _ingest_pct().alias("pct"), "text")
+    base = _docs(spark, sf_dir).select("doc_id", hash_pct().alias("pct"), "text")
     existing = base.filter(F.col("pct") < 100 - INGEST_BATCH_PCT)
     batch = base.filter(F.col("pct") >= 100 - INGEST_BATCH_PCT)
     norm = F.md5(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
@@ -575,7 +607,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("exact_canon"))
     )
     bt = batch.select("doc_id", norm.alias("content_hash"))
-    exact = bt.join(ex_hash, "content_hash", "left").select("doc_id", "exact_canon")
+    # intra-batch exact twin: the earliest batch doc with the same hash is
+    # canonical for the later ones (committed canon takes priority below)
+    intra_min = F.min("doc_id").over(W.partitionBy("content_hash"))
+    bt = bt.withColumn("intra_canon", F.when(intra_min < F.col("doc_id"), intra_min))
+    exact = bt.join(ex_hash, "content_hash", "left").select(
+        "doc_id", F.coalesce("exact_canon", "intra_canon").alias("exact_canon")
+    )
     # the committed LSH band index (localCheckpoint = the written index
     # table at prod, same reasoning as dedup_minhash_lsh); batch bands are
     # computed on the fly — the batch is the small, streaming side
@@ -609,41 +647,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_duck_sql() -> str:
     cutoff = 100 - INGEST_BATCH_PCT
-    sig_cols = ",\n         ".join(
-        f"min(substr(md5(sh || '|{j // 4}'), {8 * (j % 4) + 1}, 8)) AS s{j}"
-        for j in range(N_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, pct, {k} AS band_idx, md5(s{2 * k} || s{2 * k + 1}) AS band_key FROM sig"
-        for k in range(N_BANDS)
-    )
     return f"""
 WITH d AS (
-  SELECT doc_id, text,
-         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct
+  SELECT doc_id, text, {HASH_PCT_SQL} AS pct
   FROM documents
 ), exh AS (
   SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
          min(doc_id) AS exact_canon
   FROM d WHERE pct < {cutoff} GROUP BY 1
 ), bth AS (
-  SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash
-  FROM d WHERE pct >= {cutoff}
-), tok AS (
-  SELECT doc_id, pct,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-  FROM d
-), sh AS (
-  SELECT doc_id, pct, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
-      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS sh
-  FROM tok WHERE len(toks) >= 3
-), sig AS (
-  SELECT doc_id, pct,
-         {sig_cols}
-  FROM sh GROUP BY doc_id, pct
-), bands AS (
-{band_selects}
-), near AS (
+  SELECT doc_id, content_hash,
+         CASE WHEN min(doc_id) OVER (PARTITION BY content_hash) < doc_id
+              THEN min(doc_id) OVER (PARTITION BY content_hash) END AS intra_canon
+  FROM (
+    SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash
+    FROM d WHERE pct >= {cutoff}
+  )
+), {_minhash_band_ctes(src="d", extra="pct")}, near AS (
   SELECT b.doc_id, min(e.doc_id) AS near_canon
   FROM bands b JOIN bands e
     ON b.band_idx = e.band_idx AND b.band_key = e.band_key
@@ -651,9 +671,9 @@ WITH d AS (
   GROUP BY b.doc_id
 )
 SELECT b.doc_id,
-       CAST(coalesce(e.exact_canon, -1) AS BIGINT) AS exact_dup_of,
+       CAST(coalesce(coalesce(e.exact_canon, b.intra_canon), -1) AS BIGINT) AS exact_dup_of,
        CAST(coalesce(n.near_canon, -1) AS BIGINT) AS near_dup_of,
-       CASE WHEN e.exact_canon IS NOT NULL THEN 'exact_dup'
+       CASE WHEN coalesce(e.exact_canon, b.intra_canon) IS NOT NULL THEN 'exact_dup'
             WHEN n.near_canon IS NOT NULL THEN 'near_dup'
             ELSE 'unique' END AS verdict
 FROM bth b

@@ -25,7 +25,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from pdf_craft_spark.queries.dedup import DF_CUTOFF_FRAC as _DF_CUTOFF_FRAC
+from pdf_craft_spark.queries.dedup import (
+    DF_CUTOFF_FRAC as _DF_CUTOFF_FRAC,
+    HASH_PCT_SQL as _HASH_PCT_SQL,
+    hash_pct as _dedup_hash_pct,
+)
 
 # split fractions in percent: train 90 / val 5 / test 5
 VAL_PCT, TEST_PCT = 5, 5
@@ -38,13 +42,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hash_pct() -> F.Column:
-    # 4 hex chars of md5(doc_id) → uniform 0..65535 → % 100.  The shard
-    # key reads a 6-char prefix of the same digest; sharing the digest is
-    # fine because split and shard are never joined or correlated.
-    return F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
-        F.lit(100),
-    )
+    # 4 hex chars of md5(doc_id) → uniform 0..65535 → % 100 — the ONE
+    # md5-percentile recipe, hosted in dedup (hash_pct / HASH_PCT_SQL)
+    # and shared with the ingest split there.  The shard key reads a
+    # 6-char prefix of the same digest; sharing the digest is fine
+    # because split and shard are never joined or correlated.
+    return _dedup_hash_pct()
 
 
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,8 +73,7 @@ SELECT doc_id,
             ELSE 'test' END AS split,
        CAST(length(text) AS INT) AS n_chars
 FROM (
-  SELECT doc_id, text,
-         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct
+  SELECT doc_id, text, {_HASH_PCT_SQL} AS pct
   FROM documents
 ) ORDER BY doc_id
 """
@@ -230,7 +232,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAMINATION_CHECK_SQL = f"""
 WITH s AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct,
+         {_HASH_PCT_SQL} AS pct,
          list_distinct(list_transform(range(0, len(toks) - 2),
              i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
   FROM (SELECT doc_id,

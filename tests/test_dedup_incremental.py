@@ -30,7 +30,7 @@ def _pct(doc_id: int) -> int:
 def test_incremental_exact_and_unique_verdicts(spark, tmp_path):
     existing_ids = [i for i in range(200) if _pct(i) < CUTOFF]
     batch_ids = [i for i in range(200) if _pct(i) >= CUTOFF]
-    assert len(batch_ids) >= 3 and existing_ids
+    assert len(batch_ids) >= 5 and existing_ids
 
     # every token carries the doc id so baseline documents share NO
     # shingles (otherwise the whole corpus is mutually near-dup)
@@ -46,6 +46,11 @@ def test_incremental_exact_and_unique_verdicts(spark, tmp_path):
     # appended) — high-Jaccard near-dup candidate
     donor2 = existing_ids[1]
     texts[batch_ids[1]] = texts[donor2] + " omega"
+    # batch docs 3+4: identical to EACH OTHER, matching nothing committed —
+    # the intra-batch exact pair (two copies arriving together must not
+    # both commit as unique)
+    texts[batch_ids[3]] = "intra batch twin payload aleph bet gimel"
+    texts[batch_ids[4]] = texts[batch_ids[3]]
 
     ids = sorted(texts)
     d = tmp_path / "corpus"
@@ -78,12 +83,17 @@ def test_incremental_exact_and_unique_verdicts(spark, tmp_path):
     dup = by_doc[batch_ids[0]]
     assert dup.verdict == "exact_dup" and dup.exact_dup_of == donor
     near = by_doc[batch_ids[1]]
-    # whitespace-normalized text differs, so never exact; band collision
-    # (near_dup) is expected at this Jaccard but the hard guarantee is
-    # only "not exact" — the parity compare above pins the exact values
-    assert near.verdict in ("near_dup", "unique") and near.exact_dup_of == -1
-    if near.verdict == "near_dup":
-        assert near.near_dup_of == donor2
+    # deterministic corpus + hashes → the verdict is a fixed value; pin it
+    # so a change that symmetrically empties the near join in BOTH engines
+    # (parity still green) cannot pass silently
+    assert near.verdict == "near_dup" and near.near_dup_of == donor2
+    assert near.exact_dup_of == -1
     fresh = by_doc[batch_ids[2]]
     assert fresh.verdict == "unique"
     assert fresh.exact_dup_of == -1 and fresh.near_dup_of == -1
+    # intra-batch exact pair: earliest copy is canonical, the later one is
+    # exact_dup OF THE EARLIER BATCH DOC (no committed match exists)
+    first, second = sorted((batch_ids[3], batch_ids[4]))
+    assert by_doc[first].verdict == "unique"
+    assert by_doc[second].verdict == "exact_dup"
+    assert by_doc[second].exact_dup_of == first
