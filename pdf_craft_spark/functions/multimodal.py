@@ -223,6 +223,68 @@ def extract_media_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+# --- perceptual difference hash (image near-dup index) ----------------------
+# dHash: gray the pixels (integer (r+g+b)//3), nearest-neighbor-sample a
+# 9-wide x 8-high grid with the same (t*src)//target floor-division index
+# maps as resample_nearest, then emit one bit per horizontal neighbor pair
+# (g[y][x] > g[y][x+1]) — 64 bits total.  Near-identical images (recompress,
+# light crop/resize) land within a few bits of each other; banding the hash
+# into 4 x 16-bit keys gives the standard Hamming-robust equi-join index
+# (same dataflow as the text-side MinHash bands).  Pure integer math end to
+# end, so the SQL oracle reproduces every bit from the generation recipe's
+# pixel hex.
+DHASH_GRID_W, DHASH_GRID_H = 9, 8
+DHASH_BANDS = 4
+
+
+def dhash_bits(arr) -> str:
+    """64-bit difference hash of an RGB uint8 array as a '0'/'1' string."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    gray = arr.astype(np.int64).sum(axis=2) // 3  # integer gray, oracle-exact
+    ys = (np.arange(DHASH_GRID_H) * h) // DHASH_GRID_H
+    xs = (np.arange(DHASH_GRID_W) * w) // DHASH_GRID_W
+    g = gray[ys][:, xs]  # (8, 9)
+    return "".join("1" if b else "0" for b in (g[:, :-1] > g[:, 1:]).ravel())
+
+
+DHASH_SCHEMA = "media_ref string, dhash string, " + ", ".join(
+    f"band{i} string" for i in range(DHASH_BANDS)
+)
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """(media_ref, dhash, band0..band3) perceptual-hash index over image
+    payloads — the image twin of the text MinHash band index (image dedup
+    is a first-class training-data operation: recompressed/lightly-edited
+    duplicates share bands, exact pixels share the full hash).  Narrow
+    Arrow kernel, rows independent, no shuffle; rows the stdlib decoder
+    can't read are dropped (every corpus image is a decodable generated
+    PNG, so the oracle's mime filter selects the identical set)."""
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_craft_spark.functions.png import decode_png_rgb
+
+        cols = ["media_ref", "dhash"] + [f"band{i}" for i in range(DHASH_BANDS)]
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                arr = decode_png_rgb(bytes(content))
+                if arr is None:
+                    continue
+                hsh = dhash_bits(arr)
+                rows.append((ref, hsh, *[hsh[16 * i : 16 * i + 16] for i in range(DHASH_BANDS)]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.filter(F.col("mime").like("image/%")).mapInPandas(
+        kernel, schema=DHASH_SCHEMA
+    )
+
+
 THUMB_MAX_DIM = 256
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from pdf_craft_spark.functions.multimodal import (
     FEATURE_DIM,
+    dhash_media,
     duck_media_cte,
     extract_media_features,
     media_metadata,
@@ -243,15 +244,66 @@ FROM {prev} ORDER BY media_ref
 MEDIA_RESIZE_SQL = _resize_sql(RESIZE_T)
 
 
+def media_dhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup index: per image, the 64-bit difference hash (gray →
+    9x8 NN grid → horizontal-neighbor bits) plus its 4 x 16-bit band keys
+    — the image twin of the MinHash band index.  The kernel computes it
+    from the REAL zlib-decoded pixels; the oracle recomputes every bit
+    from the generation recipe's pixel hex."""
+    return dhash_media(synth_media_table(_docs(spark, sf_dir))).orderBy("media_ref")
+
+
+def _dhash_sql() -> str:
+    # flat source-pixel index for grid cell p (0..71): ty=p//9, tx=p%9,
+    # sy=(ty*h)//8, sx=(tx*w)//9 — identical floor-division maps to the
+    # kernel's numpy index arrays
+    idx = "((((p // 9) * h) // 8) * w + (((p % 9) * w) // 9))"
+    gray = " + ".join(f"bs[CAST(3*{idx} + {c} AS INT)]" for c in (1, 2, 3))
+    bands = ",\n       ".join(
+        f"substr(dhash, {16 * i + 1}, 16) AS band{i}" for i in range(4)
+    )
+    return (
+        _MEDIA_CTE
+        + f"""
+, px AS (
+  SELECT media_ref, w, h,
+         list_transform(generate_series(CAST(1 AS BIGINT), CAST(3*w*h AS BIGINT)),
+             i -> CAST(('0x' || substr(pix, CAST(2*i - 1 AS INT), 2)) AS BIGINT)) AS bs
+  FROM media WHERE mime LIKE 'image/%'
+), grid AS (
+  SELECT media_ref,
+         list_transform(generate_series(CAST(0 AS BIGINT), CAST(71 AS BIGINT)),
+             p -> ({gray}) // 3) AS g
+  FROM px
+), bits AS (
+  SELECT media_ref,
+         list_aggregate(list_transform(generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT)),
+             k -> CASE WHEN g[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+                          > g[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+                       THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
+  FROM grid
+)
+SELECT media_ref, dhash,
+       {bands}
+FROM bits ORDER BY media_ref
+"""
+    )
+
+
+MEDIA_DHASH_INDEX_SQL = _dhash_sql()
+
+
 QUERIES = {
     "media_metadata": media_metadata_q,
     "media_features": media_features_q,
     "media_frame_sample": media_frame_sample_q,
     "media_resize": media_resize_q,
+    "media_dhash_index": media_dhash_index_q,
 }
 ORACLES = {
     "media_metadata": MEDIA_METADATA_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
+    "media_dhash_index": MEDIA_DHASH_INDEX_SQL,
 }

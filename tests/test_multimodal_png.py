@@ -114,3 +114,24 @@ def test_resize_media_reads_real_dims_and_writes_parsable_thumbs(spark):
     # the produced container carries the REAL fit targets in its IHDR
     assert parse_png_dims(bytes(out["big#thumb256"].content)) == (256, 128)
     assert parse_png_dims(bytes(out["small#thumb256"].content)) == (60, 40)
+
+
+def test_dhash_bits_pinned_and_roundtrip():
+    """The perceptual hash is pure integer math: pinned regression value
+    on a fixed array, 64 '0'/'1' chars, and identical after a real
+    PNG encode → zlib decode round trip (the kernel's actual input
+    path)."""
+    import numpy as np
+
+    from pdf_craft_spark.functions.multimodal import dhash_bits
+    from pdf_craft_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    h = dhash_bits(a)
+    assert h == "0100100101010000110101010011001000110110101000100000011010101010"
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    out = decode_png_rgb(encode_png_rgb(a))
+    assert out is not None and dhash_bits(out) == h
+    # a uniform image has no gradient anywhere → all-zero hash
+    assert dhash_bits(np.full((6, 7, 3), 99, dtype=np.uint8)) == "0" * 64
