@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental",
+    "media_dhash_index",
     "sim_cosine_topk",
     "sim_lsh_buckets",
     "sim_lsh_topk",

@@ -234,7 +234,11 @@ def extract_media_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
 # end, so the SQL oracle reproduces every bit from the generation recipe's
 # pixel hex.
 DHASH_GRID_W, DHASH_GRID_H = 9, 8
+DHASH_N_BITS = (DHASH_GRID_W - 1) * DHASH_GRID_H  # 64
 DHASH_BANDS = 4
+DHASH_BAND_W = DHASH_N_BITS // DHASH_BANDS  # derived — retuning DHASH_BANDS
+# reshapes kernel slices, schema, and the SQL oracle together
+assert DHASH_N_BITS % DHASH_BANDS == 0
 
 
 def dhash_bits(arr) -> str:
@@ -277,7 +281,16 @@ def dhash_media(media: DataFrame) -> DataFrame:
                 if arr is None:
                     continue
                 hsh = dhash_bits(arr)
-                rows.append((ref, hsh, *[hsh[16 * i : 16 * i + 16] for i in range(DHASH_BANDS)]))
+                rows.append(
+                    (
+                        ref,
+                        hsh,
+                        *[
+                            hsh[DHASH_BAND_W * i : DHASH_BAND_W * (i + 1)]
+                            for i in range(DHASH_BANDS)
+                        ],
+                    )
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return media.filter(F.col("mime").like("image/%")).mapInPandas(

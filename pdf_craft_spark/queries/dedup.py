@@ -59,15 +59,24 @@ def _shingles(toks: F.Column) -> F.Column:
     )
 
 
-_SHINGLES_DUCK = r"""
-  SELECT doc_id,
+# The 3-gram shingle recipe, spelled ONCE and parameterized by source and
+# carried columns — every shingle-consuming oracle (jaccard, minhash,
+# incremental, contamination's hand-rolled twin aside) derives from this
+# text, so the recipe cannot silently diverge between them.
+def _shingle_list_duck(src: str = "documents", extra: str = "") -> str:
+    cols = f", {extra}" if extra else ""
+    return f"""
+  SELECT doc_id{cols},
          list_distinct(list_transform(range(0, len(toks) - 2),
              i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
-  FROM (SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        FROM documents)
+  FROM (SELECT doc_id{cols},
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+        FROM {src})
   WHERE len(toks) >= 3
 """
+
+
+_SHINGLES_DUCK = _shingle_list_duck()
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -391,17 +400,13 @@ def _minhash_band_selects(extra: str = "") -> str:
 
 
 def _minhash_band_ctes(src: str = "documents", extra: str = "") -> str:
-    """tok → sh → sig → bands CTE chain over ``src`` (must expose doc_id,
-    text and any ``extra`` column to carry through)."""
+    """shingles → sh → sig → bands CTE chain over ``src`` (must expose
+    doc_id, text and any ``extra`` column to carry through); the shingle
+    step is the shared _shingle_list_duck spelling."""
     cols = f", {extra}" if extra else ""
-    return f"""tok AS (
-  SELECT doc_id{cols},
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-  FROM {src}
+    return f"""msh AS ({_shingle_list_duck(src, extra)}
 ), sh AS (
-  SELECT doc_id{cols}, unnest(list_distinct(list_transform(range(0, len(toks) - 2),
-      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS sh
-  FROM tok WHERE len(toks) >= 3
+  SELECT doc_id{cols}, unnest(shingles) AS sh FROM msh
 ), sig AS (
   SELECT doc_id{cols},
          {_minhash_sig_cols()}
@@ -671,7 +676,7 @@ WITH d AS (
   GROUP BY b.doc_id
 )
 SELECT b.doc_id,
-       CAST(coalesce(coalesce(e.exact_canon, b.intra_canon), -1) AS BIGINT) AS exact_dup_of,
+       CAST(coalesce(e.exact_canon, b.intra_canon, -1) AS BIGINT) AS exact_dup_of,
        CAST(coalesce(n.near_canon, -1) AS BIGINT) AS near_dup_of,
        CASE WHEN coalesce(e.exact_canon, b.intra_canon) IS NOT NULL THEN 'exact_dup'
             WHEN n.near_canon IS NOT NULL THEN 'near_dup'

@@ -35,8 +35,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+# One materialized synth-media table per (application, sf_dir): the five
+# media queries share the corpus, and synth_media_table's eager
+# materialization (see its docstring) would otherwise re-run the full
+# payload-generation job once per query in a registry sweep.
+_MEDIA_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEDIA_CACHE:
+        _MEDIA_CACHE[key] = synth_media_table(_docs(spark, sf_dir))
+    return _MEDIA_CACHE[key]
+
+
 def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_metadata(synth_media_table(_docs(spark, sf_dir))).orderBy("media_ref")
+    return media_metadata(_media(spark, sf_dir)).orderBy("media_ref")
 
 
 _MEDIA_CTE = duck_media_cte()
@@ -69,7 +83,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-kernel decode; the feature vector is flattened to scalar
     columns f0..f7 in the output projection (arrays stay internal — the
     driver's canonicalizer sorts scalar columns)."""
-    feats = extract_media_features(synth_media_table(_docs(spark, sf_dir)))
+    feats = extract_media_features(_media(spark, sf_dir))
     return feats.select(
         "media_ref",
         "mime",
@@ -150,7 +164,7 @@ ORDER BY media_ref
 
 
 def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = sample_frames(synth_media_table(_docs(spark, sf_dir)), every_nth=8)
+    out = sample_frames(_media(spark, sf_dir), every_nth=8)
     return out.select(
         "media_ref", F.col("frame_index").cast("int").alias("frame_index"), "frame_ref"
     ).orderBy("media_ref", "frame_index")
@@ -185,7 +199,7 @@ def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reads the PRODUCED bytes.  The oracle rebuilds the identical thumb
     bytes in SQL (pixel selection by the same integer index arithmetic →
     the same stored-deflate + adler32 container) and hashes them."""
-    thumbs = resize_media(synth_media_table(_docs(spark, sf_dir)), max_dim=RESIZE_T)
+    thumbs = resize_media(_media(spark, sf_dir), max_dim=RESIZE_T)
     return media_metadata(thumbs).select(
         "media_ref", "n_bytes", "content_hash", "png_width", "png_height"
     ).orderBy("media_ref")
@@ -250,17 +264,27 @@ def media_dhash_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the image twin of the MinHash band index.  The kernel computes it
     from the REAL zlib-decoded pixels; the oracle recomputes every bit
     from the generation recipe's pixel hex."""
-    return dhash_media(synth_media_table(_docs(spark, sf_dir))).orderBy("media_ref")
+    return dhash_media(_media(spark, sf_dir)).orderBy("media_ref")
 
 
 def _dhash_sql() -> str:
     # flat source-pixel index for grid cell p (0..71): ty=p//9, tx=p%9,
     # sy=(ty*h)//8, sx=(tx*w)//9 — identical floor-division maps to the
     # kernel's numpy index arrays
-    idx = "((((p // 9) * h) // 8) * w + (((p % 9) * w) // 9))"
+    from pdf_craft_spark.functions.multimodal import (
+        DHASH_BAND_W,
+        DHASH_BANDS,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        DHASH_N_BITS,
+    )
+
+    gw, gh = DHASH_GRID_W, DHASH_GRID_H
+    idx = f"((((p // {gw}) * h) // {gh}) * w + (((p % {gw}) * w) // {gw}))"
     gray = " + ".join(f"bs[CAST(3*{idx} + {c} AS INT)]" for c in (1, 2, 3))
     bands = ",\n       ".join(
-        f"substr(dhash, {16 * i + 1}, 16) AS band{i}" for i in range(4)
+        f"substr(dhash, {DHASH_BAND_W * i + 1}, {DHASH_BAND_W}) AS band{i}"
+        for i in range(DHASH_BANDS)
     )
     return (
         _MEDIA_CTE
@@ -272,14 +296,14 @@ def _dhash_sql() -> str:
   FROM media WHERE mime LIKE 'image/%'
 ), grid AS (
   SELECT media_ref,
-         list_transform(generate_series(CAST(0 AS BIGINT), CAST(71 AS BIGINT)),
+         list_transform(generate_series(CAST(0 AS BIGINT), CAST({gw * gh - 1} AS BIGINT)),
              p -> ({gray}) // 3) AS g
   FROM px
 ), bits AS (
   SELECT media_ref,
-         list_aggregate(list_transform(generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT)),
-             k -> CASE WHEN g[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
-                          > g[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]
+         list_aggregate(list_transform(generate_series(CAST(0 AS BIGINT), CAST({DHASH_N_BITS - 1} AS BIGINT)),
+             k -> CASE WHEN g[CAST((k // {gw - 1}) * {gw} + (k % {gw - 1}) + 1 AS INT)]
+                          > g[CAST((k // {gw - 1}) * {gw} + (k % {gw - 1}) + 2 AS INT)]
                        THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
   FROM grid
 )
