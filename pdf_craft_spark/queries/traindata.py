@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pdf_craft_spark.queries.dedup import (
     DF_CUTOFF_FRAC as _DF_CUTOFF_FRAC,
     HASH_PCT_SQL as _HASH_PCT_SQL,
+    _shingle_list_duck,
     hash_pct as _dedup_hash_pct,
 )
 
@@ -230,15 +231,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAMINATION_CHECK_SQL = f"""
-WITH s AS (
-  SELECT doc_id,
-         {_HASH_PCT_SQL} AS pct,
-         list_distinct(list_transform(range(0, len(toks) - 2),
-             i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS shingles
-  FROM (SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
-        FROM documents)
-  WHERE len(toks) >= 3
+WITH s AS ({_shingle_list_duck(
+    src=f"(SELECT doc_id, text, {_HASH_PCT_SQL} AS pct FROM documents)",
+    extra="pct",
+)}
 ), sh AS (
   SELECT doc_id, pct, unnest(shingles) AS sh FROM s
 ), train_rows AS (
