@@ -60,6 +60,10 @@ HEADLINE = [
     "contamination_check",
     "embed_quantize_int8",
     "packed_sequence_texts",
+    # round-5 time-series/sketch family
+    "range_join_click_attribution",
+    "hypertable_rollup_events",
+    "hll_distinct_orders",
 ]
 
 

@@ -23,8 +23,10 @@ from pdf_craft_spark.queries import (
     relational,
     relational2,
     similarity,
+    sketches,
     streamingq,
     textops,
+    timeseries,
     traindata,
 )
 
@@ -45,6 +47,8 @@ for mod in (
     streamingq,
     checkpointq,
     traindata,
+    timeseries,
+    sketches,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

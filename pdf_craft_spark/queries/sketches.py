@@ -1,0 +1,162 @@
+"""Deterministic cross-engine HyperLogLog: a mergeable distinct-count
+sketch whose registers AND estimate are bit-identical in Spark and DuckDB.
+
+Native sketch functions (Spark's hll_sketch_agg, DuckDB's
+approx_count_distinct) use engine-private hashes, so their estimates can
+never be oracle-compared.  This implementation derives everything from
+md5 — available and identical in both engines — and keeps the harmonic
+sum in EXACT integer arithmetic (each 2^-M term scaled by 2^53 is an
+integer; the BIGINT sum is exact), so the one floating-point division at
+the end sees identical operands in both engines and IEEE gives identical
+output.  No libm calls (log/exp) anywhere on the value path.
+
+Sketch layout (p=8, m=256 registers):
+  h      = 60-bit hash: first 15 hex chars of md5(key)
+  bucket = h mod 256            (register index)
+  w      = h div 256            (52-bit suffix)
+  rho    = 53 - bitlen(w)       (leading-zero count + 1, in [1, 53])
+  M_j    = max(rho) per bucket  <- this max IS the merge operator: map-side
+                                   partial maxes combine associatively, and
+                                   sketches of disjoint datasets union by
+                                   the same max, so at 100 TB the state per
+                                   group is 256 small ints regardless of
+                                   row count.
+  E      = alpha_m * m^2 / sum_j 2^-M_j   (raw HLL estimate)
+
+bitlen() is a generated 52-branch integer CASE (identical text in both
+engines) — deterministic where floor(log2(w)) in doubles is not.  The raw
+estimate (no small-range linear-counting correction, which needs ln()) is
+the production regime here: every group's true cardinality exceeds
+2.5*m = 640 at all test scales.  A production deployment below that range
+would apply the linear-counting branch as driver-side post-processing of
+the (m, n_buckets_set) columns this query already emits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_M = 256  # registers (p = 8)
+_WBITS = 52  # 60-bit hash minus 8 bucket bits
+_SCALE = 1 << (_WBITS + 1)  # 2^53: makes every 2^-M term an integer
+# alpha_m * m^2 for m=256, rendered once so both engines parse the same
+# decimal literal to the same double
+_AM2 = repr(0.7213 / (1.0 + 1.079 / _M) * _M * _M)
+
+
+def _bitlen_case(var: str) -> str:
+    """Integer bit-length of ``var`` (0..2^52-1) as a CASE expression —
+    identical SQL text for Spark and DuckDB."""
+    branches = " ".join(
+        f"WHEN {var} >= {1 << (b - 1)} THEN {b}" for b in range(_WBITS, 0, -1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+_RHO = f"CAST({_WBITS + 1} - {_bitlen_case('w')} AS INT)"
+_TERM = f"CAST(power(2, {_WBITS + 1} - mreg) AS BIGINT)"  # exact for exps <= 53
+# explicit DOUBLE casts on the literals: DuckDB parses bare decimal
+# literals as DECIMAL and overflows DECIMAL(18) multiplication; Spark
+# would likewise route through decimal arithmetic.  Forcing doubles keeps
+# one exact power-of-two scaling then a single IEEE division in both.
+_EST = (
+    f"round(CAST({_AM2} AS DOUBLE) * CAST({_SCALE} AS DOUBLE)"
+    " / CAST(s_scaled AS DOUBLE), 3)"
+)
+
+
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    regs = (
+        li.selectExpr(
+            "l_returnflag",
+            "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT) AS h",
+        )
+        .selectExpr(
+            "l_returnflag",
+            f"CAST(h % {_M} AS INT) AS bucket",
+            f"h DIV {_M} AS w",
+        )
+        .selectExpr("l_returnflag", "bucket", f"{_RHO} AS rho")
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    agg = regs.groupBy("l_returnflag").agg(
+        F.expr(f"CAST(sum({_TERM}) AS BIGINT)").alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_set"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        agg.join(F.broadcast(exact), "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            f"CAST({_M} AS BIGINT) AS m",
+            "n_buckets_set",
+            f"s_present + ({_M} - n_buckets_set) * {_SCALE} AS s_scaled",
+            "exact_distinct",
+        )
+        .selectExpr(
+            "l_returnflag",
+            "m",
+            "n_buckets_set",
+            "s_scaled",
+            f"{_EST} AS est_distinct",
+            "exact_distinct",
+        )
+        .selectExpr(
+            "l_returnflag",
+            "m",
+            "n_buckets_set",
+            "s_scaled",
+            "est_distinct",
+            "exact_distinct",
+            "round((est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0) * 100.0, 2)"
+            " AS err_pct",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+HLL_DISTINCT_ORDERS_SQL = f"""
+WITH hashed AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM lineitem
+), wb AS (
+  SELECT l_returnflag, CAST(h % {_M} AS INT) AS bucket, h // {_M} AS w FROM hashed
+), r AS (
+  SELECT l_returnflag, bucket, {_RHO} AS rho FROM wb
+), regs AS (
+  SELECT l_returnflag, bucket, max(rho) AS mreg FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT l_returnflag,
+         CAST(sum({_TERM}) AS BIGINT) AS s_present,
+         CAST(count(*) AS BIGINT) AS n_buckets_set
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT a.l_returnflag, CAST({_M} AS BIGINT) AS m, n_buckets_set,
+         s_present + ({_M} - n_buckets_set) * {_SCALE} AS s_scaled,
+         exact_distinct
+  FROM agg a JOIN ex USING (l_returnflag)
+), est AS (
+  SELECT *, {_EST} AS est_distinct FROM tot
+)
+SELECT l_returnflag, m, n_buckets_set, s_scaled, est_distinct, exact_distinct,
+       round((est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0) * 100.0, 2)
+         AS err_pct
+FROM est
+ORDER BY l_returnflag
+"""
+
+
+QUERIES = {"hll_distinct_orders": hll_distinct_orders}
+ORACLES = {"hll_distinct_orders": HLL_DISTINCT_ORDERS_SQL}

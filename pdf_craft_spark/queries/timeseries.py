@@ -1,0 +1,165 @@
+"""Time-series operator shapes Spark lacks natively: a bounded-interval
+range join (bucketized to an equi-join — never a theta/cartesian plan)
+and a hypertable-style multi-resolution rollup where the coarse grain is
+RE-AGGREGATED from the fine grain's partials rather than rescanning raw
+rows (the TimescaleDB continuous-aggregate / materialized-rollup shape).
+
+All timestamps in the testdata load as TIMESTAMP_NTZ, so every bucket and
+comparison below is wall-clock arithmetic with no session-timezone
+dependence; bucket keys are emitted as strings so both engines render the
+identical canonical form.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- range join: purchase attribution ---------------------------------------
+# For every purchase event: the count and value-sum of the same user's
+# CLICK events in the 24 hours strictly before the purchase.  Spark has no
+# range-join operator, and the naive `ON c.ts BETWEEN p.ts - 24h AND p.ts`
+# join over a non-equi predicate plans as BroadcastNestedLoopJoin — a
+# cartesian per user at scale.  The scalable shape: bucket both sides by
+# calendar day (bucket width == interval width, so a matching click lives
+# in the purchase's day bucket or the one before), explode the probe side
+# into exactly those two buckets, equi-join on (user_id, day), and apply
+# the exact range predicate as a post-join filter.  Fan-out is a constant
+# 2x on the (smaller) purchase side; the join shuffles on a composite key
+# and stays a hash/sort-merge join — plan-guarded cartesian-free in
+# tests/test_plan_shapes.py.  A click joins at most one of a purchase's
+# two probe rows (its own day), so no post-join dedup is needed.
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").cast("decimal(18,3)").alias("c_value"),
+        day.alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.explode(F.array(day - 1, day)).alias("bucket"),
+        )
+    )
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("c_value").cast("double"), 3).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# DuckDB plans the direct range predicate as an IEJoin, so the oracle can
+# state the semantics without the bucket rewrite.
+RANGE_JOIN_CLICK_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       count(*) AS n_clicks,
+       round(CAST(sum(CAST(c.value AS DECIMAL(18,3))) AS DOUBLE), 3) AS click_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 24 HOUR
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+# --- hypertable rollup: hourly -> daily continuous aggregate -----------------
+# Two-resolution rollup of the events stream: hourly (count, value-sum)
+# per event_type, and daily aggregates computed by RE-AGGREGATING the
+# hourly partials — the coarse grain's input is m-hours, not n-rows.
+# DECIMAL sums make the re-aggregation exact (associative), so the daily
+# rows are bit-identical to a direct daily scan — which is exactly what
+# the oracle computes, proving the mergeability property.  At 100 TB this
+# is the materialized-view ladder: raw -> 1h -> 1d, each level written as
+# a table and the next level aggregating it, state bounded by bucket
+# count rather than row count.  (In this single-query form Spark's union
+# re-derives the hourly branch from its own scan — two scans in the
+# executed plan; the ladder deployment materializes each level, and the
+# daily branch here still exhibits the stacked partial-agg shape the
+# ladder relies on, plan-guarded in tests/test_plan_shapes.py.)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,3)")).alias("sv"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"),
+        F.col("event_type"),
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def _level(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col("bucket_ts").cast("string").alias("bucket"),
+            "event_type",
+            "n",
+            F.round(F.col("sv").cast("double"), 3).alias("sum_value"),
+        )
+
+    return (
+        _level(hourly, "1h")
+        .unionByName(_level(daily, "1d"))
+        .orderBy("grain", "bucket", "event_type")
+    )
+
+
+HYPERTABLE_ROLLUP_EVENTS_SQL = """
+WITH lvl AS (
+  SELECT '1h' AS grain,
+         CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+         event_type,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE), 3) AS sum_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT '1d' AS grain,
+         -- date_trunc('day') is a DATE in DuckDB; render as a midnight
+         -- timestamp to match Spark's string form
+         CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS bucket,
+         event_type,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE), 3) AS sum_value
+  FROM events GROUP BY 2, 3
+)
+SELECT * FROM lvl ORDER BY grain, bucket, event_type
+"""
+
+
+QUERIES = {
+    "range_join_click_attribution": range_join_click_attribution,
+    "hypertable_rollup_events": hypertable_rollup_events,
+}
+
+ORACLES = {
+    "range_join_click_attribution": RANGE_JOIN_CLICK_ATTRIBUTION_SQL,
+    "hypertable_rollup_events": HYPERTABLE_ROLLUP_EVENTS_SQL,
+}

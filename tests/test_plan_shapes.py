@@ -142,3 +142,37 @@ def test_traindata_plan_shapes(spark):
     # quantization is a pure projection (orderBy exchange only)
     q_plan = _executed_plan(QUERIES["embed_quantize_int8"](spark, SF_DIR))
     assert q_plan.count("Exchange ") <= 1, q_plan
+
+
+def test_range_join_is_bucketized_equi_join(spark):
+    """The 24h-window range join must plan as a hash/sort-merge equi-join
+    on (user_id, day-bucket) — never the BroadcastNestedLoopJoin Spark
+    produces for a raw non-equi time predicate."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["range_join_click_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_hypertable_rollup_reaggregates_hourly(spark):
+    """The daily grain must derive from the hourly partials: one raw-scan
+    branch, two HashAggregate levels stacked above it (plus the final
+    union/sort) — not a second scan of events."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["hypertable_rollup_events"](spark, SF_DIR))
+    assert plan.count("Scan parquet") <= 2  # hourly branch + reused-for-union branch
+
+
+def test_hll_sketch_is_two_level_aggregation(spark):
+    """Registers come from a partial-max agg (the merge operator) and the
+    estimate from a constant-size second agg — no distinct-expand of the
+    raw rows on the sketch path, no per-row Python."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["hll_distinct_orders"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
