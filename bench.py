@@ -64,6 +64,7 @@ HEADLINE = [
     "range_join_click_attribution",
     "hypertable_rollup_events",
     "hll_distinct_orders",
+    "sample_mixture_by_lang",
 ]
 
 

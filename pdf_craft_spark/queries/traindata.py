@@ -480,3 +480,58 @@ FROM s GROUP BY shard, seq_id ORDER BY shard, seq_id
 
 QUERIES["packed_sequence_texts"] = packed_sequence_texts
 ORACLES["packed_sequence_texts"] = PACKED_SEQUENCE_TEXTS_SQL
+
+
+# --- domain-mixture sampling -------------------------------------------------
+# Balanced-mixture curriculum sampling: downsample each language to the
+# minority language's count, deterministically (content-hash percentile,
+# not rand()), emitting the inverse-rate weight a loss-reweighting
+# consumer needs.  The big-table path is shuffle-free: the per-lang keep
+# thresholds are a tiny counts aggregate (map-side partial over a 1-column
+# projection) broadcast back onto the scan, so at 100 TB the documents
+# table is read once, filtered in place, and never exchanged (the final
+# orderBy is driver-facing presentation only).  Thresholds use pure
+# integer arithmetic — keep_pct = max(1, (100*min_count) div count) — so
+# both engines agree exactly; the one float op is the output weight.
+def sample_mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    mn = counts.agg(F.min("n_lang").alias("mn"))
+    dim = counts.crossJoin(F.broadcast(mn)).selectExpr(
+        "lang", "greatest(CAST(1 AS BIGINT), (100 * mn) DIV n_lang) AS keep_pct"
+    )
+    return (
+        docs.withColumn("pct", _dedup_hash_pct())
+        .join(F.broadcast(dim), "lang")
+        .filter(F.col("pct") < F.col("keep_pct"))
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "keep_pct",
+            "round(100.0 / CAST(keep_pct AS DOUBLE), 6) AS weight",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_MIXTURE_BY_LANG_SQL = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n_lang) AS mn FROM c
+), dim AS (
+  SELECT lang, greatest(CAST(1 AS BIGINT), (100 * mn) // n_lang) AS keep_pct
+  FROM c, m
+), d AS (
+  SELECT doc_id, lang, {_HASH_PCT_SQL} AS pct FROM documents
+)
+SELECT d.doc_id, d.lang, keep_pct,
+       round(100.0 / CAST(keep_pct AS DOUBLE), 6) AS weight
+FROM d JOIN dim USING (lang)
+WHERE pct < keep_pct
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["sample_mixture_by_lang"] = sample_mixture_by_lang
+ORACLES["sample_mixture_by_lang"] = SAMPLE_MIXTURE_BY_LANG_SQL

@@ -176,3 +176,21 @@ def test_hll_sketch_is_two_level_aggregation(spark):
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixture_sampling_big_table_path_is_broadcast_only(spark):
+    """The documents scan must be filtered via broadcast joins — the only
+    exchanges are the tiny counts aggregate and the driver-facing
+    orderBy; the wide table itself is never shuffled."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["sample_mixture_by_lang"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the broadcast 1-row min (same benign
+    # shape as the dedup df-cutoff); the lang-counts subtree may shuffle
+    # its 1-column projection (twice — counts + min branches), but the
+    # wide documents scan itself must never be hash-exchanged
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
