@@ -24,6 +24,7 @@ from pdf_craft_spark.queries import (
     relational2,
     similarity,
     sketches,
+    sourcesq,
     streamingq,
     textops,
     timeseries,
@@ -49,6 +50,7 @@ for mod in (
     traindata,
     timeseries,
     sketches,
+    sourcesq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,106 @@
+"""Source/sink format coverage: prove byte-fidelity of the non-parquet
+ingest paths (JSON Lines and CSV) by actually writing the documents table
+out in each format, reading it back with an explicit FAILFAST-style
+schema, and fingerprinting the roundtripped rows.
+
+The fingerprint is order-insensitive and content-exact: one md5 per row
+over every column, sorted, concatenated, md5'd again.  The DuckDB oracle
+computes the same fingerprint straight from the parquet view — so a green
+row proves the format roundtrip lost nothing (null/empty-string collapse,
+quote/escape damage, encoding drift, or type coercion would all change
+the fingerprint).  The parquet row doubles as the baseline.
+
+CSV is configured for full RFC-4180 fidelity up front (quote-doubling
+escape + multiLine read) so the path stays correct when real corpus text
+contains quotes or newlines, not just on this synthetic table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+_ROW_HASH = (
+    "md5(concat(CAST(doc_id AS STRING), ':', text, ':', lang, ':', source,"
+    " ':', CAST(n_chars AS STRING)))"
+)
+
+
+def _fingerprint(df: DataFrame, fmt: str) -> DataFrame:
+    return (
+        df.selectExpr(f"{_ROW_HASH} AS rh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("md5(concat_ws('', array_sort(collect_list(rh))))").alias(
+                "fingerprint"
+            ),
+        )
+        .select(F.lit(fmt).alias("fmt"), "n_docs", "fingerprint")
+    )
+
+
+def source_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        *[f.name for f in _SCHEMA.fields]
+    )
+    base = os.path.join(
+        "/tmp/spark_graft_roundtrip", os.path.basename(os.path.normpath(sf_dir))
+    )
+
+    jpath = os.path.join(base, "json")
+    docs.write.mode("overwrite").json(jpath)
+    jdf = spark.read.schema(_SCHEMA).option("mode", "FAILFAST").json(jpath)
+
+    cpath = os.path.join(base, "csv")
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"', quoteAll=True)
+        .csv(cpath)
+    )
+    cdf = (
+        spark.read.schema(_SCHEMA)
+        .options(
+            header=True, quote='"', escape='"', multiLine=True, mode="FAILFAST"
+        )
+        .csv(cpath)
+    )
+
+    return (
+        _fingerprint(cdf, "csv")
+        .unionByName(_fingerprint(jdf, "json"))
+        .unionByName(_fingerprint(docs, "parquet"))
+        .orderBy("fmt")
+    )
+
+
+SOURCE_ROUNDTRIP_FIDELITY_SQL = """
+WITH h AS (
+  SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text || ':' || lang || ':'
+             || source || ':' || CAST(n_chars AS VARCHAR)) AS rh
+  FROM documents
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         md5(string_agg(rh, '' ORDER BY rh)) AS fingerprint
+  FROM h
+)
+SELECT fmt, n_docs, fingerprint
+FROM agg, (VALUES ('csv'), ('json'), ('parquet')) t(fmt)
+ORDER BY fmt
+"""
+
+
+QUERIES = {"source_roundtrip_fidelity": source_roundtrip_fidelity}
+ORACLES = {"source_roundtrip_fidelity": SOURCE_ROUNDTRIP_FIDELITY_SQL}
