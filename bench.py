@@ -439,6 +439,20 @@ def main() -> None:
     print(f"# ivf_fit (one-time, cached): {ivf_fit_sec:.2f}s "
           f"{_sim._CAL_INFO.get(SF_DIR)}", file=sys.stderr)
 
+    # same treatment for the synthetic media table: at prod the media_*
+    # queries scan a committed table; here the table is GENERATED (layered
+    # zlib/adler payload recipe) and materialized once per process.  Build
+    # it untimed so the first media query's ledger entry measures the
+    # operator, not the harness's data synthesis (measured: 14.5s synth
+    # vs 0.6-2.7s for the dhash kernel itself at sf0.1).  Cost recorded.
+    from pdf_craft_spark.queries import multimodalq as _mm
+
+    t0 = time.time()
+    _mm._media(spark, SF_DIR).count()
+    media_synth_sec = round(time.time() - t0, 3)
+    print(f"# media table synth (one-time, cached): {media_synth_sec:.2f}s",
+          file=sys.stderr)
+
     query_secs: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -476,6 +490,7 @@ def main() -> None:
         "queries": query_secs,
         "sf": _sf(SF_DIR),
         "ivf_fit_sec": ivf_fit_sec,
+        "media_synth_sec": media_synth_sec,
         "extraction": extraction,
         "ann_frontier": ann_frontier,
         "scaling": scaling,
