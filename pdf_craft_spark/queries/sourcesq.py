@@ -1,6 +1,6 @@
 """Source/sink format coverage: prove byte-fidelity of the non-parquet
-ingest paths (JSON Lines and CSV) by actually writing the documents table
-out in each format, reading it back with an explicit FAILFAST-style
+ingest paths (JSON Lines, CSV, and ORC) by actually writing the documents
+table out in each format, reading it back with an explicit FAILFAST-style
 schema, and fingerprinting the roundtripped rows.
 
 The fingerprint is order-insensitive and content-exact: one md5 per row
@@ -78,9 +78,14 @@ def source_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(cpath)
     )
 
+    opath = os.path.join(base, "orc")
+    docs.write.mode("overwrite").orc(opath)
+    odf = spark.read.schema(_SCHEMA).orc(opath)
+
     return (
         _fingerprint(cdf, "csv")
         .unionByName(_fingerprint(jdf, "json"))
+        .unionByName(_fingerprint(odf, "orc"))
         .unionByName(_fingerprint(docs, "parquet"))
         .orderBy("fmt")
     )
@@ -97,7 +102,7 @@ WITH h AS (
   FROM h
 )
 SELECT fmt, n_docs, fingerprint
-FROM agg, (VALUES ('csv'), ('json'), ('parquet')) t(fmt)
+FROM agg, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
 ORDER BY fmt
 """
 
