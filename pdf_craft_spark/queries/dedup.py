@@ -585,10 +585,24 @@ FROM comp ORDER BY doc_id
 # own self-join — run dedup_minhash_lsh over the batch before commit.
 INGEST_BATCH_PCT = 20
 
+def md5_prefix_long_sql(inner: str, n: int, engine: str) -> str:
+    """The one cross-engine spelling of "first n hex chars of md5(inner)
+    as a BIGINT" — Spark via conv(), DuckDB via the '0x' cast.  Both
+    parse the same hex digits, so the value is engine-identical for
+    n <= 15 (60 bits).  Every md5-derived integer recipe (percentile
+    splits here, the HLL sketch hash) derives from this helper so a fix
+    to one spelling can never miss the other."""
+    if engine == "duck":
+        h = f"substr(md5({inner}), 1, {n})"
+        return f"CAST(('0x' || {h}) AS BIGINT)"
+    h = f"substring(md5({inner}), 1, {n})"
+    return f"CAST(conv({h}, 16, 10) AS BIGINT)"
+
+
 # md5-percentile of the doc id — the one content-hash split recipe shared
 # by the training split (traindata) and the ingest split here; the SQL
 # twin is the authoritative oracle spelling.
-HASH_PCT_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100"
+HASH_PCT_SQL = md5_prefix_long_sql("CAST(doc_id AS STRING)", 4, "duck") + " % 100"
 
 
 def hash_pct() -> F.Column:

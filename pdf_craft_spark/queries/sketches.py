@@ -39,6 +39,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _md5_long
+
 _M = 256  # registers (p = 8)
 _WBITS = 52  # 60-bit hash minus 8 bucket bits
 _SCALE = 1 << (_WBITS + 1)  # 2^53: makes every 2^-M term an integer
@@ -73,8 +75,7 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = (
         li.selectExpr(
             "l_returnflag",
-            "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10)"
-            " AS BIGINT) AS h",
+            _md5_long("CAST(l_orderkey AS STRING)", 15, "spark") + " AS h",
         )
         .selectExpr(
             "l_returnflag",
@@ -126,7 +127,7 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_DISTINCT_ORDERS_SQL = f"""
 WITH hashed AS (
   SELECT l_returnflag,
-         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         {_md5_long("CAST(l_orderkey AS VARCHAR)", 15, "duck")} AS h
   FROM lineitem
 ), wb AS (
   SELECT l_returnflag, CAST(h % {_M} AS INT) AS bucket, h // {_M} AS w FROM hashed

@@ -33,9 +33,24 @@ _SCHEMA = T.StructType(
     ]
 )
 
+# NULL-proof row hash: every column is coalesced to a sentinel BEFORE
+# concatenation, so a NULL never nulls out the whole hash (plain concat
+# would — and NULL rh rows are silently skipped by collect_list /
+# string_agg, blinding the fingerprint to corruption in those rows).
+# The sentinel only collides with a column whose literal value is the
+# sentinel string — acceptable for a fidelity check, impossible in this
+# corpus.  Identical text in both engines.
+# the sentinel carries a real U+2400 char (embedded by Python, so the SQL
+# text is identical in both engines — backslash escapes would not be:
+# Spark processes them, DuckDB keeps them literal)
+_NULL = "'<␀NULL>'"
 _ROW_HASH = (
-    "md5(concat(CAST(doc_id AS STRING), ':', text, ':', lang, ':', source,"
-    " ':', CAST(n_chars AS STRING)))"
+    "md5(concat("
+    f"coalesce(CAST(doc_id AS STRING), {_NULL}), ':', "
+    f"coalesce(text, {_NULL}), ':', "
+    f"coalesce(lang, {_NULL}), ':', "
+    f"coalesce(source, {_NULL}), ':', "
+    f"coalesce(CAST(n_chars AS STRING), {_NULL})))"
 )
 
 
@@ -56,8 +71,14 @@ def source_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         *[f.name for f in _SCHEMA.fields]
     )
+    # per-process, full-path-keyed scratch dir: concurrent processes (or
+    # distinct sf_dirs sharing a basename) must never overwrite each
+    # other's files mid-read
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     base = os.path.join(
-        "/tmp/spark_graft_roundtrip", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/spark_graft_roundtrip", f"{key}_{os.getpid()}"
     )
 
     jpath = os.path.join(base, "json")
@@ -91,10 +112,9 @@ def source_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SOURCE_ROUNDTRIP_FIDELITY_SQL = """
+SOURCE_ROUNDTRIP_FIDELITY_SQL = f"""
 WITH h AS (
-  SELECT md5(CAST(doc_id AS VARCHAR) || ':' || text || ':' || lang || ':'
-             || source || ':' || CAST(n_chars AS VARCHAR)) AS rh
+  SELECT {_ROW_HASH} AS rh
   FROM documents
 ), agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,

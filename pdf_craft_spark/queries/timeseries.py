@@ -38,6 +38,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # two probe rows (its own day), so no post-join dedup is needed.
 def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # the 2-bucket probe cover assumes tz-free wall-clock days (every
+    # calendar day exactly 24h); an LTZ ts under a DST session timezone
+    # has 23h days where a qualifying click lands in bucket day-2 and
+    # would be silently dropped — enforce the precondition, don't assume
+    if dict(ev.dtypes).get("ts") != "timestamp_ntz":
+        raise TypeError(
+            "range_join_click_attribution requires a TIMESTAMP_NTZ ts "
+            "column; cast explicitly (mind the session timezone) first"
+        )
     day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),

@@ -163,7 +163,12 @@ def test_hypertable_rollup_reaggregates_hourly(spark):
     from pdf_craft_spark.queries import QUERIES
 
     plan = _executed_plan(QUERIES["hypertable_rollup_events"](spark, SF_DIR))
-    assert plan.count("Scan parquet") <= 2  # hourly branch + reused-for-union branch
+    assert plan.count("Scan parquet") <= 2  # hourly branch + daily-ladder branch
+    # the re-aggregation property: the daily branch stacks TWO agg levels
+    # (hourly partial+final, then daily partial+final) above its scan, so
+    # the whole plan carries >= 6 HashAggregates (hourly branch has 2); a
+    # naive daily-direct-from-raw rewrite would show only 4
+    assert plan.count("HashAggregate") >= 6, plan
 
 
 def test_hll_sketch_is_two_level_aggregation(spark):
@@ -176,6 +181,9 @@ def test_hll_sketch_is_two_level_aggregation(spark):
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    # the stated "no distinct-expand of raw rows": a multi-distinct
+    # regression would plan an Expand multiplying the lineitem scan
+    assert "Expand" not in plan, plan
 
 
 def test_mixture_sampling_big_table_path_is_broadcast_only(spark):
