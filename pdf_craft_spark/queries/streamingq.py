@@ -281,3 +281,103 @@ ORACLES = {
     "streaming_doc_totals": STREAMING_DOC_TOTALS_SQL,
     "streaming_windowed_metrics": STREAMING_WINDOWED_METRICS_SQL,
 }
+
+
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest exact dedup as a REAL streaming job: two
+    micro-batches of (content_hash, batch) rows through a stateful
+    ``dropDuplicates`` — a hash first seen in batch 0 must be SUPPRESSED
+    when batch 1 re-delivers it (from a different document), so every
+    emitted row carries the hash's FIRST batch.  That first-batch column
+    is what the DuckDB oracle recomputes declaratively (min batch per
+    hash over the same pct split), making the cross-batch state an
+    oracle-checked value, not a pytest claim.
+
+    Output rows are batch-deterministic by construction: within a batch
+    every duplicate of a hash carries the SAME batch id, so whichever
+    physical row ``dropDuplicates`` keeps, the emitted value is
+    identical.  At 100 TB the unbounded seen-hash state would be bounded
+    with dropDuplicatesWithinWatermark (event-time retention) or the
+    committed-index pattern of ``dedup_incremental``; the state
+    semantics exercised here are the same."""
+    from pdf_craft_spark.queries.dedup import INGEST_BATCH_PCT, hash_pct
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    norm = F.md5(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    rows = docs.select(
+        norm.alias("content_hash"),
+        (hash_pct() >= 100 - INGEST_BATCH_PCT).cast("int").alias("batch"),
+    )
+    # the synthetic corpus has no exact duplicates below sf0.1, so the
+    # feed injects them deterministically (mirrored in the oracle):
+    # batch 1 RE-DELIVERS every pct<10 hash (first seen in batch 0 —
+    # these must be suppressed, any survivor shows up as an extra row)
+    # and carries pct>=95 hashes TWICE (intra-batch dedup)
+    redeliver = docs.filter(hash_pct() < 10).select(
+        norm.alias("content_hash"), F.lit(1).alias("batch")
+    )
+    intra = docs.filter(hash_pct() >= 95).select(
+        norm.alias("content_hash"), F.lit(1).alias("batch")
+    )
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    input_dir = os.path.join(work, "in")
+    name = f"dedup_{uuid.uuid4().hex[:10]}"
+    try:
+        rows.filter(F.col("batch") == 0).coalesce(1).write.parquet(
+            os.path.join(input_dir, "b0")
+        )
+        (
+            rows.filter(F.col("batch") == 1)
+            .unionByName(redeliver)
+            .unionByName(intra)
+            .coalesce(1)
+            .write.parquet(os.path.join(input_dir, "b1"))
+        )
+        stream = (
+            spark.readStream.schema("content_hash string, batch int")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(input_dir)
+        )
+        q = (
+            stream.dropDuplicates(["content_hash"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(name)
+            .select("content_hash", F.col("batch").alias("first_batch"))
+            .orderBy("content_hash")
+        )
+        out = final.collect()  # materialize before the tmp dir vanishes
+        return spark.createDataFrame(out, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_DEDUP_EXACT_SQL = """
+WITH pct AS (
+  SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS p
+  FROM documents
+), h AS (
+  SELECT content_hash, CASE WHEN p >= 80 THEN 1 ELSE 0 END AS b FROM pct
+  UNION ALL
+  SELECT content_hash, 1 AS b FROM pct WHERE p < 10    -- batch-1 re-delivery
+  UNION ALL
+  SELECT content_hash, 1 AS b FROM pct WHERE p >= 95   -- intra-batch dup
+)
+SELECT content_hash, CAST(min(b) AS INT) AS first_batch
+FROM h GROUP BY content_hash ORDER BY content_hash
+"""
+
+
+QUERIES["streaming_dedup_exact"] = streaming_dedup_exact
+ORACLES["streaming_dedup_exact"] = STREAMING_DEDUP_EXACT_SQL
