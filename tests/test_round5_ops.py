@@ -1,0 +1,95 @@
+"""Edge-property tests for the round-5 time-series/sketch/sampling ops
+(oracle parity is covered by test_oracle_parity; these pin the claims the
+parity rows can't see)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_craft_spark.queries import sketches
+from pdf_craft_spark.queries.timeseries import range_join_click_attribution
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- HLL: accuracy tracks the theoretical bound across cardinalities --------
+# The sketch recipe is engine-identical (oracle-proved), so accuracy can be
+# checked in DuckDB alone — fast, no Spark session needed per case.
+@pytest.mark.parametrize("n", [1_000, 5_000, 20_000, 100_000])
+def test_hll_error_within_theoretical_bound(n):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT 'X' AS l_returnflag, "
+        f"range AS l_orderkey FROM range({n})"
+    )
+    est, exact, err = con.execute(
+        sketches.HLL_DISTINCT_ORDERS_SQL.replace("ORDER BY l_returnflag", "")
+    ).fetchone()[4:7]
+    assert exact == n
+    # raw-HLL stderr is 1.04/sqrt(m) ~ 6.5% at m=256; allow 4 sigma
+    assert abs(est - n) / n < 4 * 1.04 / (sketches._M ** 0.5), (n, est)
+
+
+def test_hll_registers_merge_as_max():
+    """Sketching two disjoint halves and max-merging the registers must
+    reproduce the whole corpus's registers exactly — the property that
+    makes the sketch shardable and unionable at scale."""
+    con = duckdb.connect()
+    pre = sketches.HLL_DISTINCT_ORDERS_SQL.split("), agg AS")[0] + ")"
+    regs = """
+    SELECT bucket, max(rho) AS mreg FROM r GROUP BY 1
+    """
+    def registers(src: str) -> dict:
+        con.execute(
+            f"CREATE OR REPLACE VIEW lineitem AS SELECT 'X' AS l_returnflag, "
+            f"range AS l_orderkey FROM range(10000) WHERE {src}"
+        )
+        return dict(con.execute(pre + regs).fetchall())
+
+    whole = registers("TRUE")
+    lo = registers("range < 5000")
+    hi = registers("range >= 5000")
+    merged: dict = {}
+    for part in (lo, hi):
+        for b, m in part.items():
+            merged[b] = max(merged.get(b, 0), m)
+    assert merged == whole
+
+
+# --- range join: the NTZ precondition is enforced, not assumed --------------
+def test_range_join_rejects_ltz_timestamps(spark, tmp_path):
+    docs = spark.range(4).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-05 12:00:00").cast("timestamp").alias("ts"),  # LTZ
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    p = str(tmp_path / "ltz")
+    docs.write.parquet(p + "/events.parquet")
+    with pytest.raises(TypeError, match="TIMESTAMP_NTZ"):
+        range_join_click_attribution(spark, p)
+
+
+# --- mixture sampling: stable under repartition ------------------------------
+def test_mixture_sample_is_repartition_invariant(spark):
+    from pdf_craft_spark.queries.traindata import sample_mixture_by_lang
+
+    a = sample_mixture_by_lang(spark, SF_DIR).collect()
+    # content-hash selection must not depend on physical layout
+    import pdf_craft_spark.queries.traindata as td
+    import os
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    shuffled = docs.repartition(7)
+    orig = td._docs
+    td._docs = lambda s, d: shuffled
+    try:
+        b = sample_mixture_by_lang(spark, SF_DIR).collect()
+    finally:
+        td._docs = orig
+    assert a == b
