@@ -65,6 +65,7 @@ HEADLINE = [
     "hypertable_rollup_events",
     "hll_distinct_orders",
     "sample_mixture_by_lang",
+    "quantile_sketch_prices",
 ]
 
 

@@ -161,3 +161,112 @@ ORDER BY l_returnflag
 
 QUERIES = {"hll_distinct_orders": hll_distinct_orders}
 ORACLES = {"hll_distinct_orders": HLL_DISTINCT_ORDERS_SQL}
+
+
+# --- histogram quantile sketch ----------------------------------------------
+# The quantile twin of the HLL: Spark's approx_percentile and DuckDB's
+# approx_quantile use engine-private sketches (t-digest variants) and can
+# never be oracle-compared, so this is a deterministic mergeable
+# histogram sketch instead — fixed shared bin edges (global min/max), one
+# count per bin, nearest-rank target with in-bin linear interpolation.
+# Bin counts merge by ADDITION across shards/datasets (the groupBy sum IS
+# the merge), state is NB integers per group regardless of row count, and
+# every arithmetic step is either exact integers or an identically-
+# spelled IEEE double expression, so both engines produce the same
+# estimate to the last bit.  Estimate error is bounded by one bin width;
+# accuracy across distributions is pinned in tests/test_round5_ops.py.
+_NB = 128  # bins
+_QS = "array(CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE))"
+_BIN = (
+    f"CAST(least({_NB - 1}, CAST(floor((l_extendedprice - mn) / (mx - mn)"
+    f" * {_NB}) AS BIGINT)) AS INT)"
+)
+# est = mn + (bin + rank_fraction_within_bin) * bin_width
+_QEST = (
+    "round(mn + (bin + CAST(target - cum_before AS DOUBLE)"
+    f" / CAST(cnt AS DOUBLE)) * (mx - mn) / {_NB}, 4)"
+)
+_TARGET = "CAST(ceil(q * n) AS BIGINT)"
+
+
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    counts = (
+        li.crossJoin(F.broadcast(stats))
+        .selectExpr("l_returnflag", f"{_BIN} AS bin", "mn", "mx")
+        .groupBy("l_returnflag", "bin", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy("bin")
+    wall = W.partitionBy("l_returnflag")
+    cum = (
+        counts.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    cand = cum.select(
+        "*", F.explode(F.expr(_QS)).alias("q")
+    ).filter(F.expr(f"cum >= {_TARGET}"))
+    # smallest qualifying bin per (flag, q): struct-min orders by bin first
+    chosen = cand.groupBy("l_returnflag", "q").agg(
+        F.min(F.struct("bin", "cnt", "cum_before", "mn", "mx", "n")).alias("s")
+    )
+    return (
+        chosen.selectExpr(
+            "l_returnflag",
+            "q",
+            "s.bin AS bin",
+            "s.cnt AS cnt",
+            "s.cum_before AS cum_before",
+            "s.mn AS mn",
+            "s.mx AS mx",
+            "s.n AS n",
+        )
+        .selectExpr(
+            "l_returnflag",
+            "q",
+            "n",
+            f"{_TARGET} AS target",
+            f"{_QEST} AS est",
+        )
+        .select("l_returnflag", "q", "n", "target", "est")
+        .orderBy("l_returnflag", "q")
+    )
+
+
+QUANTILE_SKETCH_PRICES_SQL = f"""
+WITH stats AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+), counts AS (
+  SELECT l_returnflag, {_BIN} AS bin, mn, mx, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem, stats GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+), cand AS (
+  SELECT l_returnflag, q, bin, cnt, cum - cnt AS cum_before, mn, mx,
+         CAST(n AS BIGINT) AS n, CAST(cum AS BIGINT) AS cum
+  FROM cum,
+       unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+               CAST(0.99 AS DOUBLE)]) AS t(q)
+  WHERE cum >= {_TARGET}
+), chosen AS (
+  SELECT l_returnflag, q, min(bin) AS bin FROM cand GROUP BY 1, 2
+)
+SELECT c.l_returnflag, c.q, c.n, {_TARGET} AS target, {_QEST} AS est
+FROM cand c JOIN chosen USING (l_returnflag, q, bin)
+ORDER BY c.l_returnflag, c.q
+"""
+
+
+QUERIES["quantile_sketch_prices"] = quantile_sketch_prices
+ORACLES["quantile_sketch_prices"] = QUANTILE_SKETCH_PRICES_SQL

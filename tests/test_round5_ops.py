@@ -93,3 +93,31 @@ def test_mixture_sample_is_repartition_invariant(spark):
     finally:
         td._docs = orig
     assert a == b
+
+
+# --- histogram quantile sketch: estimate within one bin width ---------------
+@pytest.mark.parametrize("dist", ["uniform", "lognormal-ish", "bimodal"])
+def test_quantile_sketch_error_bounded_by_bin_width(dist):
+    con = duckdb.connect()
+    gen = {
+        "uniform": "CAST(range AS DOUBLE)",
+        # deterministic skewed tail via squared uniform
+        "lognormal-ish": "CAST((range * range) / 10000.0 AS DOUBLE)",
+        "bimodal": "CAST(CASE WHEN range % 2 = 0 THEN range * 0.1 ELSE 5000 + range * 0.1 END AS DOUBLE)",
+    }[dist]
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT 'X' AS l_returnflag, {gen} AS "
+        f"l_extendedprice FROM range(10000)"
+    )
+    rows = con.execute(sketches.QUANTILE_SKETCH_PRICES_SQL).fetchall()
+    assert len(rows) == 3
+    lo, hi = con.execute(
+        "SELECT min(l_extendedprice), max(l_extendedprice) FROM lineitem"
+    ).fetchone()
+    bin_w = (hi - lo) / sketches._NB
+    for flag, q, n, target, est in rows:
+        true = con.execute(
+            f"SELECT quantile_disc(l_extendedprice, {q}) FROM lineitem"
+        ).fetchone()[0]
+        true = float(true)
+        assert abs(est - true) <= bin_w + 1e-9, (dist, q, est, true, bin_w)
