@@ -66,6 +66,7 @@ HEADLINE = [
     "hll_distinct_orders",
     "sample_mixture_by_lang",
     "quantile_sketch_prices",
+    "bloom_membership_probe",
 ]
 
 

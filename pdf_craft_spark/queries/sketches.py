@@ -270,3 +270,128 @@ ORDER BY c.l_returnflag, c.q
 
 QUERIES["quantile_sketch_prices"] = quantile_sketch_prices
 ORACLES["quantile_sketch_prices"] = QUANTILE_SKETCH_PRICES_SQL
+
+
+# --- Bloom membership sketch -------------------------------------------------
+# Completes the sketch family (HLL = distinct, histogram = quantile,
+# Bloom = membership).  Build side: the train split's content hashes set
+# K=4 bit positions each (md5-derived, the shared md5_prefix_long_sql
+# spelling, salted 0..3) in an m=2^16-bit filter, materialized as the
+# DISTINCT set of set positions — at scale that set IS the bitset
+# (m bits broadcast to every probe task; merge across shards = union =
+# the same DISTINCT).  Probe side: a test doc is a maybe-member iff all
+# K of its positions are set — K exploded probe rows equi-joined against
+# the bit table, kept when the per-doc match count equals K.  No
+# cartesian anywhere; everything md5/integer-exact so both engines build
+# the identical filter and report the identical false-positive count.
+# m is deliberately small for the corpus (~2k set bits in 4096): the
+# false-positive path gets exercised at test scale instead of being a
+# theoretical 1e-7.  Production sizes m to the budgeted fp rate; the
+# dataflow is m-independent.
+_BLOOM_M = 1 << 12  # bits
+_BLOOM_K = 4  # hash functions (salted md5)
+# train/test split reuses the corpus content-hash percentile (train <90);
+# the corpus has no duplicate hashes below sf0.1, so the probe set also
+# RE-DELIVERS every pct<5 train hash as a test probe (mirrored in the
+# oracle) — those must ALL bloom-hit (a Bloom filter has no false
+# negatives), pinning the membership property at every scale.
+_BLOOM_SPLIT = 90
+
+
+def _bloom_pos(engine: str, salt: int) -> str:
+    # position_i = md5("i:" || content_hash) as 60-bit int, mod m
+    return (
+        _md5_long(f"concat('{salt}:', content_hash)", 15, engine)
+        + f" % {_BLOOM_M}"
+    )
+
+
+def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import hash_pct
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    norm = F.md5(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    base = docs.select(
+        "doc_id", norm.alias("content_hash"), hash_pct().alias("pct")
+    )
+    train = base.filter(F.col("pct") < _BLOOM_SPLIT)
+    test = base.filter(F.col("pct") >= _BLOOM_SPLIT).unionByName(
+        base.filter(F.col("pct") < 5)  # known members re-probed
+    )
+
+    pos_exprs = ", ".join(
+        f"CAST({_bloom_pos('spark', i)} AS INT)" for i in range(_BLOOM_K)
+    )
+    bits = (
+        train.selectExpr(f"explode(array({pos_exprs})) AS pos").distinct()
+    )
+    probe = test.selectExpr(
+        "doc_id", "content_hash", f"explode(array({pos_exprs})) AS pos"
+    )
+    hits = (
+        probe.join(bits, "pos")
+        .groupBy("doc_id", "content_hash")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") == _BLOOM_K)
+        .select("doc_id", "content_hash")
+    )
+    truth = train.select("content_hash").distinct()
+    flagged = hits.join(F.broadcast(truth), "content_hash", "left_semi")
+    return (
+        test.agg(F.count(F.lit(1)).alias("n_test"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_bloom_hits")))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_true_members")))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .selectExpr(
+            "n_test",
+            "n_bloom_hits",
+            "n_true_members",
+            "n_bloom_hits - n_true_members AS n_false_pos",
+            "n_bits_set",
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    pos_list = ", ".join(
+        f"CAST({_bloom_pos('duck', i)} AS INT)" for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+         {_md5_long("CAST(doc_id AS STRING)", 4, "duck")} % 100 AS pct
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE pct < {_BLOOM_SPLIT}
+), test AS (
+  SELECT * FROM base WHERE pct >= {_BLOOM_SPLIT}
+  UNION ALL
+  SELECT * FROM base WHERE pct < 5
+), bits AS (
+  SELECT DISTINCT pos
+  FROM train, unnest([{pos_list}]) AS t(pos)
+), probe AS (
+  SELECT doc_id, content_hash, pos
+  FROM test, unnest([{pos_list}]) AS t(pos)
+), hits AS (
+  SELECT doc_id, content_hash
+  FROM probe JOIN bits USING (pos)
+  GROUP BY 1, 2 HAVING count(*) = {_BLOOM_K}
+), flagged AS (
+  SELECT h.doc_id FROM hits h
+  WHERE EXISTS (SELECT 1 FROM train t WHERE t.content_hash = h.content_hash)
+)
+SELECT CAST((SELECT count(*) FROM test) AS BIGINT) AS n_test,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_bloom_hits,
+       CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_true_members,
+       CAST((SELECT count(*) FROM hits) AS BIGINT)
+         - CAST((SELECT count(*) FROM flagged) AS BIGINT) AS n_false_pos,
+       CAST((SELECT count(*) FROM bits) AS BIGINT) AS n_bits_set
+"""
+
+
+BLOOM_MEMBERSHIP_PROBE_SQL = _bloom_sql()
+
+QUERIES["bloom_membership_probe"] = bloom_membership_probe
+ORACLES["bloom_membership_probe"] = BLOOM_MEMBERSHIP_PROBE_SQL

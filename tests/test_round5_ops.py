@@ -121,3 +121,30 @@ def test_quantile_sketch_error_bounded_by_bin_width(dist):
         ).fetchone()[0]
         true = float(true)
         assert abs(est - true) <= bin_w + 1e-9, (dist, q, est, true, bin_w)
+
+
+# --- Bloom: no false negatives, ever ----------------------------------------
+def test_bloom_has_no_false_negatives():
+    """Every probe whose hash IS in the train split must bloom-hit:
+    n_true_members must equal the directly-counted member probes (a miss
+    would make it smaller)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    row = con.execute(sketches.BLOOM_MEMBERSHIP_PROBE_SQL).fetchone()
+    n_test, n_hits, n_true, n_fp, n_bits = row
+    direct = con.execute(f"""
+        WITH base AS (
+          SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ch,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS pct
+          FROM documents
+        )
+        SELECT count(*) FROM (
+          SELECT ch FROM base WHERE pct >= {sketches._BLOOM_SPLIT}
+          UNION ALL SELECT ch FROM base WHERE pct < 5
+        ) p WHERE EXISTS (SELECT 1 FROM base t WHERE t.pct < {sketches._BLOOM_SPLIT} AND t.ch = p.ch)
+    """).fetchone()[0]
+    assert n_true == direct and direct > 0, (n_true, direct)
+    assert n_hits >= n_true and n_fp == n_hits - n_true
