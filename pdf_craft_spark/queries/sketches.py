@@ -39,7 +39,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _md5_long
+from pdf_craft_spark.queries.dedup import (
+    HASH_PCT_SQL as _HASH_PCT_SQL,
+    md5_prefix_long_sql as _md5_long,
+)
 
 _M = 256  # registers (p = 8)
 _WBITS = 52  # 60-bit hash minus 8 bucket bits
@@ -177,9 +180,14 @@ ORACLES = {"hll_distinct_orders": HLL_DISTINCT_ORDERS_SQL}
 # accuracy across distributions is pinned in tests/test_round5_ops.py.
 _NB = 128  # bins
 _QS = "array(CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE))"
+# nullif guards the degenerate all-equal-values group: without it Spark's
+# 0/0 is NaN (cast -> 0) while DuckDB's is NULL (least -> 127) — a
+# cross-engine divergence.  With it both engines see NULL and both
+# least() skip the NULL, binning every row at NB-1; est then collapses to
+# mn + anything * 0 = mn, the exact constant value.
 _BIN = (
-    f"CAST(least({_NB - 1}, CAST(floor((l_extendedprice - mn) / (mx - mn)"
-    f" * {_NB}) AS BIGINT)) AS INT)"
+    f"CAST(least({_NB - 1}, CAST(floor((l_extendedprice - mn)"
+    f" / nullif(mx - mn, 0) * {_NB}) AS BIGINT)) AS INT)"
 )
 # est = mn + (bin + rank_fraction_within_bin) * bin_width
 _QEST = (
@@ -236,7 +244,6 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_TARGET} AS target",
             f"{_QEST} AS est",
         )
-        .select("l_returnflag", "q", "n", "target", "est")
         .orderBy("l_returnflag", "q")
     )
 
@@ -276,7 +283,7 @@ ORACLES["quantile_sketch_prices"] = QUANTILE_SKETCH_PRICES_SQL
 # Completes the sketch family (HLL = distinct, histogram = quantile,
 # Bloom = membership).  Build side: the train split's content hashes set
 # K=4 bit positions each (md5-derived, the shared md5_prefix_long_sql
-# spelling, salted 0..3) in an m=2^16-bit filter, materialized as the
+# spelling, salted 0..3) in an m=2^12-bit filter, materialized as the
 # DISTINCT set of set positions — at scale that set IS the bitset
 # (m bits broadcast to every probe task; merge across shards = union =
 # the same DISTINCT).  Probe side: a test doc is a maybe-member iff all
@@ -330,25 +337,37 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         probe.join(bits, "pos")
-        .groupBy("doc_id", "content_hash")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_match"))
-        .filter(F.col("n_match") == _BLOOM_K)
-        .select("doc_id", "content_hash")
+        .select("doc_id", (F.col("n_match") == _BLOOM_K).cast("int").alias("hit"))
     )
-    truth = train.select("content_hash").distinct()
-    flagged = hits.join(F.broadcast(truth), "content_hash", "left_semi")
-    return (
-        test.agg(F.count(F.lit(1)).alias("n_test"))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_bloom_hits")))
-        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_true_members")))
-        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
-        .selectExpr(
-            "n_test",
-            "n_bloom_hits",
-            "n_true_members",
-            "n_bloom_hits - n_true_members AS n_false_pos",
-            "n_bits_set",
-        )
+    truth = train.select("content_hash").distinct().withColumn(
+        "member", F.lit(1)
+    )
+    # one pass over the flagged probe set for the whole summary — the
+    # crossJoin-of-independent-aggregates shape replanned the documents
+    # scan (normalize + md5 per body) once per aggregate
+    marked = (
+        test.select("doc_id", "content_hash")
+        .join(hits, "doc_id", "left")
+        .join(F.broadcast(truth), "content_hash", "left")
+    )
+    summary = marked.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_bloom_hits"),
+        F.sum(
+            F.coalesce(F.col("hit"), F.lit(0))
+            * F.coalesce(F.col("member"), F.lit(0))
+        ).alias("n_true_members"),
+    )
+    return summary.crossJoin(
+        bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    ).selectExpr(
+        "n_test",
+        "n_bloom_hits",
+        "n_true_members",
+        "n_bloom_hits - n_true_members AS n_false_pos",
+        "n_bits_set",
     )
 
 
@@ -360,7 +379,7 @@ def _bloom_sql() -> str:
 WITH base AS (
   SELECT doc_id,
          md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
-         {_md5_long("CAST(doc_id AS STRING)", 4, "duck")} % 100 AS pct
+         {_HASH_PCT_SQL} AS pct
   FROM documents
 ), train AS (
   SELECT * FROM base WHERE pct < {_BLOOM_SPLIT}

@@ -309,14 +309,15 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash_pct() >= 100 - INGEST_BATCH_PCT).cast("int").alias("batch"),
     )
     # the synthetic corpus has no exact duplicates below sf0.1, so the
-    # feed injects them deterministically (mirrored in the oracle):
-    # batch 1 RE-DELIVERS every pct<10 hash (first seen in batch 0 —
+    # feed injects them deterministically (mirrored in the oracle, which
+    # derives the SAME thresholds from the module constants): batch 1
+    # RE-DELIVERS every pct<_REDELIVER_PCT hash (first seen in batch 0 —
     # these must be suppressed, any survivor shows up as an extra row)
-    # and carries pct>=95 hashes TWICE (intra-batch dedup)
-    redeliver = docs.filter(hash_pct() < 10).select(
+    # and carries pct>=_INTRA_PCT hashes TWICE (intra-batch dedup)
+    redeliver = docs.filter(hash_pct() < _REDELIVER_PCT).select(
         norm.alias("content_hash"), F.lit(1).alias("batch")
     )
-    intra = docs.filter(hash_pct() >= 95).select(
+    intra = docs.filter(hash_pct() >= _INTRA_PCT).select(
         norm.alias("content_hash"), F.lit(1).alias("batch")
     )
     work = tempfile.mkdtemp(prefix="stream_dedup_")
@@ -362,21 +363,33 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-STREAMING_DEDUP_EXACT_SQL = """
+_REDELIVER_PCT = 10
+_INTRA_PCT = 95
+
+
+def _streaming_dedup_sql() -> str:
+    from pdf_craft_spark.queries.dedup import HASH_PCT_SQL, INGEST_BATCH_PCT
+
+    return f"""
 WITH pct AS (
   SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
-         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 4)) AS BIGINT) % 100 AS p
+         {HASH_PCT_SQL} AS p
   FROM documents
 ), h AS (
-  SELECT content_hash, CASE WHEN p >= 80 THEN 1 ELSE 0 END AS b FROM pct
-  UNION ALL
-  SELECT content_hash, 1 AS b FROM pct WHERE p < 10    -- batch-1 re-delivery
-  UNION ALL
-  SELECT content_hash, 1 AS b FROM pct WHERE p >= 95   -- intra-batch dup
+  SELECT content_hash,
+         CASE WHEN p >= {100 - INGEST_BATCH_PCT} THEN 1 ELSE 0 END AS b
+  FROM pct
+  UNION ALL  -- batch-1 re-delivery of batch-0 hashes
+  SELECT content_hash, 1 AS b FROM pct WHERE p < {_REDELIVER_PCT}
+  UNION ALL  -- intra-batch duplicate
+  SELECT content_hash, 1 AS b FROM pct WHERE p >= {_INTRA_PCT}
 )
 SELECT content_hash, CAST(min(b) AS INT) AS first_batch
 FROM h GROUP BY content_hash ORDER BY content_hash
 """
+
+
+STREAMING_DEDUP_EXACT_SQL = _streaming_dedup_sql()
 
 
 QUERIES["streaming_dedup_exact"] = streaming_dedup_exact

@@ -148,3 +148,28 @@ def test_bloom_has_no_false_negatives():
     """).fetchone()[0]
     assert n_true == direct and direct > 0, (n_true, direct)
     assert n_hits >= n_true and n_fp == n_hits - n_true
+
+
+def test_quantile_sketch_constant_input_collapses_to_value(spark, tmp_path):
+    """All-equal values (mx == mn): the nullif guard routes BOTH engines
+    through the same NULL -> least path, binning at NB-1 with est == the
+    constant, instead of Spark NaN->bin0 vs DuckDB NULL->bin127."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT 'X' AS l_returnflag, "
+        "CAST(42.5 AS DOUBLE) AS l_extendedprice FROM range(100)"
+    )
+    duck_rows = con.execute(sketches.QUANTILE_SKETCH_PRICES_SQL).fetchall()
+    assert len(duck_rows) == 3
+    for flag, q, n, target, est in duck_rows:
+        assert est == 42.5, (q, est)
+
+    sf = str(tmp_path)
+    spark.range(100).selectExpr(
+        "'X' AS l_returnflag", "CAST(42.5 AS DOUBLE) AS l_extendedprice"
+    ).write.parquet(sf + "/lineitem.parquet")
+    spark_rows = [
+        tuple(r)
+        for r in sketches.quantile_sketch_prices(spark, sf).collect()
+    ]
+    assert spark_rows == duck_rows
