@@ -251,3 +251,74 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "skew_salted_join": SKEW_SALTED_JOIN_SQL,
 }
+
+
+# --- cube --------------------------------------------------------------------
+# Completes the multidimensional-aggregation trio (rollup, pivot, cube):
+# all four grouping sets in one pass — Catalyst plans a single Expand +
+# aggregate, one corpus scan regardless of the number of sets.
+def a1_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(price).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+A1_CUBE_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# --- unpivot -----------------------------------------------------------------
+# The inverse of the pivot above: the wide (n_f, n_o, n_p) counts melt
+# back to long (priority, status, n) rows — Spark's native unpivot/melt,
+# a pure narrow projection (no shuffle beyond the source aggregation).
+# Zero-filled combinations survive the round trip, which is what the
+# oracle's priority x status scaffold reproduces.
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["n_f", "n_o", "n_p"],
+            variableColumnName="status",
+            valueColumnName="n",
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+UNPIVOT_STATUS_COUNTS_SQL = """
+WITH scaffold AS (
+  SELECT DISTINCT o_orderpriority, s.status
+  FROM orders, (VALUES ('n_f'), ('n_o'), ('n_p')) s(status)
+), counts AS (
+  SELECT o_orderpriority,
+         'n_' || lower(o_orderstatus) AS status,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT sc.o_orderpriority, sc.status, coalesce(c.n, 0) AS n
+FROM scaffold sc LEFT JOIN counts c USING (o_orderpriority, status)
+ORDER BY sc.o_orderpriority, sc.status
+"""
+
+
+QUERIES["a1_cube_revenue"] = a1_cube_revenue
+ORACLES["a1_cube_revenue"] = A1_CUBE_REVENUE_SQL
+QUERIES["unpivot_status_counts"] = unpivot_status_counts
+ORACLES["unpivot_status_counts"] = UNPIVOT_STATUS_COUNTS_SQL
