@@ -67,6 +67,8 @@ HEADLINE = [
     "sample_mixture_by_lang",
     "quantile_sketch_prices",
     "bloom_membership_probe",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pdf_craft_spark.queries import (
+    behavior,
     bookmetaq,
     checkpointq,
     dedup,
@@ -51,6 +52,7 @@ for mod in (
     timeseries,
     sketches,
     sourcesq,
+    behavior,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

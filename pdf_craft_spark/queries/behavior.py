@@ -1,0 +1,150 @@
+"""Behavioral analytics over the event stream: ordered funnel conversion
+and cohort retention — the two classic product-analytics shapes, both
+pure date/integer arithmetic (no floats) so cross-engine parity is exact.
+
+Scale notes: both ops shuffle ONCE on user_id (the funnel's two window
+passes share the single partitioning; retention's first-day aggregate
+and activity dedup both key on the user), then reduce to tiny outputs —
+the state per task is bounded by one user's events.  All timestamps in
+the corpus are TIMESTAMP_NTZ, so day arithmetic is wall-clock and
+session-timezone-free in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# --- ordered funnel ----------------------------------------------------------
+# signup -> click -> purchase, each stage's timestamp strictly after the
+# previous stage's.  Stage timestamps via conditional mins over ONE
+# user partition (two window passes, one shuffle): t_click must follow
+# the user's first signup, t_purchase must follow that click.
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_signup",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_signup")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "t_signup", "t_click", "t_purchase")
+        .distinct()
+    )
+    # the microsecond-exact conversion-time sum pins the ORDER semantics
+    # (t_click strictly after t_signup, t_purchase strictly after
+    # t_click): on a corpus where every user converts, the stage counts
+    # alone could not distinguish > from >= or a swapped stage order
+    return staged.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_users",
+        "CAST(count(t_signup) AS BIGINT) AS n_signup",
+        "CAST(count(t_click) AS BIGINT) AS n_click_after_signup",
+        "CAST(count(t_purchase) AS BIGINT) AS n_purchase_after_click",
+        "CAST(sum(timestampdiff(MICROSECOND, t_signup, t_purchase)) AS BIGINT)"
+        " AS sum_us_to_purchase",
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH staged AS (
+  SELECT DISTINCT user_id, t_signup, t_click, t_purchase
+  FROM (
+    SELECT user_id, t_signup, t_click,
+           min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+             OVER (PARTITION BY user_id) AS t_purchase
+    FROM (
+      SELECT user_id, event_type, ts, t_signup,
+             min(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t_signup
+        FROM events
+      )
+    )
+  )
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_signup) AS BIGINT) AS n_signup,
+       CAST(count(t_click) AS BIGINT) AS n_click_after_signup,
+       CAST(count(t_purchase) AS BIGINT) AS n_purchase_after_click,
+       CAST(sum(date_diff('microsecond', t_signup, t_purchase)) AS BIGINT)
+         AS sum_us_to_purchase
+FROM staged
+"""
+
+
+# --- cohort retention --------------------------------------------------------
+# Users grouped by first-activity day; distinct active users per
+# (cohort, day-offset).  The cohort table is the first-day aggregate
+# (one row per user) joined back onto the deduped (user, day) activity —
+# both sides key on user_id, so the join rides the same shuffle.
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    activity = ev.distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       datediff('day', cohort_day, day) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_CONVERSION_SQL,
+    "cohort_retention": COHORT_RETENTION_SQL,
+}
