@@ -2,7 +2,7 @@
 and cohort retention — the two classic product-analytics shapes, both
 pure date/integer arithmetic (no floats) so cross-engine parity is exact.
 
-Scale notes: both ops shuffle ONCE on user_id (the funnel's two window
+Scale notes: both ops shuffle ONCE on user_id (the funnel's three window
 passes share the single partitioning; retention's first-day aggregate
 and activity dedup both key on the user), then reduce to tiny outputs —
 the state per task is bounded by one user's events.  All timestamps in
@@ -25,7 +25,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ordered funnel ----------------------------------------------------------
 # signup -> click -> purchase, each stage's timestamp strictly after the
 # previous stage's.  Stage timestamps via conditional mins over ONE
-# user partition (two window passes, one shuffle): t_click must follow
+# user partition (three window passes, one shuffle): t_click must follow
 # the user's first signup, t_purchase must follow that click.
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")

@@ -77,31 +77,39 @@ ORDER BY event_id
 """
 
 
-# --- rollup ------------------------------------------------------------------
-def a1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- rollup / cube -----------------------------------------------------------
+# one revenue aggregation, two grouping-set shapes: the decimal-sum
+# float-parity recipe and the null-first ordering live HERE only, so the
+# rollup and cube variants can never diverge
+def _revenue_grouping(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    grouped = getattr(li, shape)("l_returnflag", "l_linestatus")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(price).cast("double"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
+    return grouped.agg(
+        F.round(F.sum(price).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
     )
 
 
-A1_ROLLUP_REVENUE_SQL = """
+def _revenue_grouping_sql(op: str) -> str:
+    return f"""
 SELECT l_returnflag, l_linestatus,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
        count(*) AS n
 FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
+GROUP BY {op} (l_returnflag, l_linestatus)
 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
+
+
+def a1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _revenue_grouping(spark, sf_dir, "rollup")
+
+
+A1_ROLLUP_REVENUE_SQL = _revenue_grouping_sql("ROLLUP")
 
 
 # --- pivot -------------------------------------------------------------------
@@ -256,31 +264,13 @@ ORACLES = {
 # --- cube --------------------------------------------------------------------
 # Completes the multidimensional-aggregation trio (rollup, pivot, cube):
 # all four grouping sets in one pass — Catalyst plans a single Expand +
-# aggregate, one corpus scan regardless of the number of sets.
+# aggregate, one corpus scan regardless of the number of sets.  Shares
+# the rollup's aggregation recipe (see _revenue_grouping).
 def a1_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum(price).cast("double"), 2).alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
-    )
+    return _revenue_grouping(spark, sf_dir, "cube")
 
 
-A1_CUBE_REVENUE_SQL = """
-SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
-       count(*) AS n
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-"""
+A1_CUBE_REVENUE_SQL = _revenue_grouping_sql("CUBE")
 
 
 # --- unpivot -----------------------------------------------------------------

@@ -202,3 +202,14 @@ def test_mixture_sampling_big_table_path_is_broadcast_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "Exchange hashpartitioning(doc_id" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """The three stage-min windows must share ONE user_id partitioning —
+    a window with different keys (or a distinct hoisted above them) would
+    add a second wide shuffle and break the documented scale shape."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["funnel_conversion"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 3, plan
