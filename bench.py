@@ -69,6 +69,7 @@ HEADLINE = [
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",
+    "pagerank_purchase_graph",
 ]
 
 

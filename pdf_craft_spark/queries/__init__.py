@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf_craft_spark.queries import (
     behavior,
     bookmetaq,
+    graphq,
     checkpointq,
     dedup,
     multimodalq,
@@ -53,6 +54,7 @@ for mod in (
     sketches,
     sourcesq,
     behavior,
+    graphq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

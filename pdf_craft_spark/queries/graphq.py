@@ -1,0 +1,123 @@
+"""Iterative graph analytics with exact cross-engine parity: PageRank
+over the customer-supplier purchase graph, all arithmetic in scaled
+integers so Spark and DuckDB agree bit-for-bit after every iteration.
+
+Floating-point PageRank cannot be oracle-compared — Spark sums partial
+contributions in nondeterministic order, so double ranks drift run to
+run.  The fix is the same discipline as the HLL/quantile sketches: hold
+rank mass as a scaled BIGINT (SCALE = 1e12), make every per-edge
+contribution an integer floor-division (rank div out_degree), sum
+exactly, and apply damping as integer (85 * in_sum) div 100.  Exact,
+order-free, engine-identical — at the cost of leaking a few units of
+mass per division, which is identical in both engines and irrelevant to
+ranking.
+
+Graph: bipartite customer<->supplier edges from lineitem x orders (an
+edge each way per distinct trading pair), so every node has in- and
+out-edges and there is no dangling-mass special case.  FIXED_ITERS
+unrolled iterations (the registry oracle needs a closed form; DuckDB
+mirrors each iteration as a generated CTE).  At scale each iteration is
+one join-shuffle on the edge key + one aggregation — the same
+Pregel-style loop shape as dedup_components, with localCheckpoint
+cutting the lineage per round (local-mode stand-in for the written
+iteration table a production job would use).
+
+Reference pairing: the reference has no graph operator; this extends the
+engine-added analytics library (dedup_components' connected components
+being the other graph op).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+FIXED_ITERS = 3
+_TELEPORT = (15 * SCALE) // 100  # (1 - d) * SCALE with d = 0.85
+
+
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .selectExpr(
+            "'c' || CAST(o_custkey AS STRING) AS src",
+            "'s' || CAST(l_suppkey AS STRING) AS dst",
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.selectExpr("dst AS src", "src AS dst")
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = deg.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    for _ in range(FIXED_ITERS):
+        contrib = (
+            ranks.join(deg, "node")
+            .selectExpr("node AS src", "rank DIV out_deg AS c")
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .selectExpr(
+                "node",
+                f"{_TELEPORT} + (85 * coalesce(in_sum, CAST(0 AS BIGINT)))"
+                " DIV 100 AS rank",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20).select(
+        "node", F.col("rank").alias("rank_scaled")
+    )
+
+
+def _pagerank_sql() -> str:
+    base = """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS src,
+                  's' || CAST(l_suppkey AS STRING) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS rank FROM deg
+)""".format(scale=SCALE)
+    for i in range(FIXED_ITERS):
+        base += """, r{cur} AS (
+  SELECT d.node,
+         {teleport} + (85 * coalesce(s.in_sum, 0)) // 100 AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank // g.out_deg) AS BIGINT) AS in_sum
+    FROM r{prev} r JOIN deg g USING (node) JOIN e ON e.src = r.node
+    GROUP BY 1
+  ) s USING (node)
+)""".format(cur=i + 1, prev=i, teleport=_TELEPORT)
+    base += f"""
+SELECT node, CAST(rank AS BIGINT) AS rank_scaled
+FROM r{FIXED_ITERS}
+ORDER BY rank DESC, node LIMIT 20
+"""
+    return base
+
+
+PAGERANK_PURCHASE_GRAPH_SQL = _pagerank_sql()
+
+QUERIES = {"pagerank_purchase_graph": pagerank_purchase_graph}
+ORACLES = {"pagerank_purchase_graph": PAGERANK_PURCHASE_GRAPH_SQL}
