@@ -46,26 +46,41 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         "o_orderkey", "o_custkey"
     )
+    # dedup on the raw int pair (cheap fixed-width hashing), THEN build
+    # the prefixed string ids — distinct over pre-built strings costs
+    # ~2x in hash/compare work
     pairs = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .selectExpr(
             "'c' || CAST(o_custkey AS STRING) AS src",
             "'s' || CAST(l_suppkey AS STRING) AS dst",
         )
-        .distinct()
     )
     edges = pairs.unionByName(
         pairs.selectExpr("dst AS src", "src AS dst")
     ).localCheckpoint(eager=True)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    # one row per node — materialized ONCE; without this every reference
+    # below re-aggregates the million-row edge table
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
     ranks = deg.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    # the rank vector (one row per node) is tiny relative to the edge
+    # table — broadcast it into the edge join so edges are NEVER
+    # shuffled; each iteration's only wide operation is the partial-agg
+    # sum of contributions by dst.  (At billion-node scale the vector
+    # outgrows broadcast and this becomes a co-partitioned shuffle join
+    # on a bucketed edge table — same loop, different join strategy.)
     for _ in range(FIXED_ITERS):
+        per_src = ranks.join(F.broadcast(deg), "node").selectExpr(
+            "node AS src", "rank DIV out_deg AS c"
+        )
         contrib = (
-            ranks.join(deg, "node")
-            .selectExpr("node AS src", "rank DIV out_deg AS c")
-            .join(edges, "src")
+            edges.join(F.broadcast(per_src), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("in_sum"))
         )
