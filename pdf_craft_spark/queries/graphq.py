@@ -40,6 +40,26 @@ _TELEPORT = (15 * SCALE) // 100  # (1 - d) * SCALE with d = 0.85
 
 
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring.  The iteration loop runs under a shuffle
+    width of defaultParallelism (restored after): the rank vector is one
+    row per node, and in a session tuned for wide byte-light stages
+    (high shuffle_partitions + AQE coalesce off, as the bench pipeline
+    session is) each of the loop's small exchanges would otherwise
+    launch hundreds of near-empty tasks — measured 33s vs 6s at sf0.1
+    from scheduling overhead alone.  AQE partition coalescing does this
+    automatically in default sessions; pinning width = cores keeps the
+    loop sane in both."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    )
+    try:
+        return _pagerank(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
         "l_orderkey", "l_suppkey"
     )
