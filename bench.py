@@ -70,6 +70,8 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "pagerank_purchase_graph",
+    "asof_join_last_click",
+    "keyword_tfidf_topk",
 ]
 
 

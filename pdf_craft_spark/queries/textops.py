@@ -303,6 +303,98 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- TF-IDF keyword extraction ----------------------------------------------
+# Top-5 scoring terms per document — the keyword-extraction stage of a
+# training-data pipeline (doc tagging, topic routing, index keys).  The
+# idf factor is the RATIONAL surrogate (N / df) held as a scaled BIGINT
+# ((IDF_SCALE * N) DIV df) instead of log(N/df): integer-exact, so both
+# engines produce bit-identical scores with no float-log parity risk, and
+# monotone in df so the ranking discriminates the same direction (rare
+# terms up, ubiquitous terms down — more aggressively than log, which is
+# fine for top-k selection).  IDF_SCALE * N * tf must stay under 2^63:
+# at N = 1e9 docs and IDF_SCALE = 1e6 that allows tf < 9e3 — the scale
+# constant is the dial if either bound moves.
+#
+# Terms are maximal ASCII-letter runs of length >= 3, lowercased AFTER
+# the [A-Za-z] filter so only ASCII case-folding (identical in Java and
+# DuckDB) is ever applied; unicode lower() differences never enter.
+#
+# Plan shape: one explode + two hash aggregations (tf, then df derived
+# from the already-distinct tf rows — no second pass over raw text), one
+# equi-join of tf against the term-vocabulary df table (broadcast-able:
+# vocabulary is sublinear in corpus size), a broadcast 1-row doc count,
+# and a per-doc top-k window.  No Python anywhere.
+IDF_SCALE = 10**6
+_KW_TOPK = 5
+_KW_MIN_LEN = 3
+
+
+def keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "[^A-Za-z]+")).alias("raw"),
+    ).filter(F.length("raw") >= _KW_MIN_LEN).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    # materialize the term-frequency table ONCE: without this, Catalyst
+    # re-derives the tf subtree inside the df branch and tokenizes the
+    # raw text twice (verified: 2x Generate explode in the executed
+    # plan).  localCheckpoint is the local-mode stand-in for the written
+    # posting table a production pipeline would persist anyway.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "doc_id",
+            "term",
+            f"tf * (({IDF_SCALE} * n_docs) DIV df) AS score",
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KW_TOPK)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+KEYWORD_TFIDF_TOPK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lower(x) AS term
+  FROM documents, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(x)
+  WHERE length(x) >= {_KW_MIN_LEN}
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (({IDF_SCALE} * n.n_docs) // df.df) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, rk, term, score FROM (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+  FROM s
+) WHERE rk <= {_KW_TOPK}
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_token_bpe": text_token_bpe,
@@ -311,6 +403,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_scrub_pii": text_scrub_pii,
     "boilerplate_global_strip": boilerplate_global_strip,
+    "keyword_tfidf_topk": keyword_tfidf_topk,
 }
 
 ORACLES = {
@@ -321,4 +414,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_scrub_pii": TEXT_SCRUB_PII_SQL,
     "boilerplate_global_strip": BOILERPLATE_GLOBAL_STRIP_SQL,
+    "keyword_tfidf_topk": KEYWORD_TFIDF_TOPK_SQL,
 }

@@ -163,12 +163,97 @@ SELECT * FROM lvl ORDER BY grain, bucket, event_type
 """
 
 
+# --- as-of join: latest preceding click per purchase -------------------------
+# The third canonical join shape Spark lacks (alongside the range join
+# above): for every purchase, the SINGLE most recent click by the same
+# user strictly before it, with unbounded lookback.  The naive plan is an
+# inequality join + argmax per purchase — quadratic per user.  The
+# scalable Spark shape is the merge-sorted-streams formulation: union-tag
+# both event kinds, sort each user's stream once, and carry the last seen
+# click forward with last(..., ignorenulls) over an unbounded-preceding
+# row window.  ONE shuffle (the window partition), ZERO joins, linear in
+# the stream — the same plan a 1000-executor cluster wants, because each
+# user's stream is processed by exactly one task regardless of lookback
+# depth.  Determinism: the window orders by (ts, is_click, event_id) with
+# purchases (0) before clicks (1) at equal ts, so an equal-ts click is
+# NOT visible to the purchase (strictly-before), and ties among clicks at
+# the same ts resolve to the max event_id.
+#
+# The oracle is genuinely independent: DuckDB's native ASOF LEFT JOIN
+# operator finds the greatest c.ts < p.ts, and a follow-up equi-join on
+# that timestamp applies the same max-event_id tie-break.  -1 sentinels
+# keep the no-preceding-click rows non-nullable in both engines.
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") != "timestamp_ntz":
+        raise TypeError(
+            "asof_join_last_click requires a TIMESTAMP_NTZ ts column; "
+            "cast explicitly (mind the session timezone) first"
+        )
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_id = F.when(F.col("is_click") == 1, F.col("event_id"))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    return (
+        tagged.withColumn("click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.coalesce("click_id", F.lit(-1)).cast("long").alias("click_id"),
+            F.coalesce(
+                F.expr("timestampdiff(MICROSECOND, click_ts, ts)"), F.lit(-1)
+            )
+            .cast("long")
+            .alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_JOIN_LAST_CLICK_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.purchase_id, p.user_id, p.p_ts, c.ts AS last_ts
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.p_ts > c.ts
+)
+SELECT m.purchase_id,
+       m.user_id,
+       coalesce(max(c.event_id), -1) AS click_id,
+       coalesce(CAST(date_diff('microsecond', m.last_ts, m.p_ts) AS BIGINT),
+                -1) AS gap_us
+FROM m LEFT JOIN c
+  ON c.user_id = m.user_id AND c.ts = m.last_ts
+GROUP BY 1, 2, m.last_ts, m.p_ts
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "range_join_click_attribution": range_join_click_attribution,
     "hypertable_rollup_events": hypertable_rollup_events,
+    "asof_join_last_click": asof_join_last_click,
 }
 
 ORACLES = {
     "range_join_click_attribution": RANGE_JOIN_CLICK_ATTRIBUTION_SQL,
     "hypertable_rollup_events": HYPERTABLE_ROLLUP_EVENTS_SQL,
+    "asof_join_last_click": ASOF_JOIN_LAST_CLICK_SQL,
 }

@@ -213,3 +213,30 @@ def test_funnel_single_user_exchange(spark):
     plan = _executed_plan(QUERIES["funnel_conversion"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 3, plan
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    """The as-of join must execute as the merge-sorted-streams plan: one
+    user_id shuffle feeding one window, and NO join operator at all —
+    reintroducing an inequality join would make it quadratic per user."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["asof_join_last_click"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_keyword_tfidf_no_cartesian_single_text_scan(spark):
+    """tf/df/top-k must derive from ONE pass over the text column: the
+    tf table is materialized (localCheckpoint = the written posting
+    table) and df re-aggregates those rows, so the final plan contains
+    ZERO tokenizing explodes — both branches read the materialized tf.
+    The only nested-loop join is the broadcast 1-row doc count."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["keyword_tfidf_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Generate explode") == 0, plan
+    assert "ExistingRDD" in plan, plan
