@@ -319,11 +319,21 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 # the [A-Za-z] filter so only ASCII case-folding (identical in Java and
 # DuckDB) is ever applied; unicode lower() differences never enter.
 #
-# Plan shape: one explode + two hash aggregations (tf, then df derived
-# from the already-distinct tf rows — no second pass over raw text), one
-# equi-join of tf against the term-vocabulary df table (broadcast-able:
-# vocabulary is sublinear in corpus size), a broadcast 1-row doc count,
-# and a per-doc top-k window.  No Python anywhere.
+# Plan shape: ONE tokenizing explode feeding a single linear pipeline —
+# tf via hash aggregation, df via a whole-partition count window over
+# the tf rows (NOT a self-join: joining tf against a groupBy of itself
+# makes Catalyst re-derive the tf subtree and tokenize the text twice),
+# a broadcast 1-row doc count, and a per-doc top-k window.  Each stage
+# boundary is an explicit repartition(defaultParallelism, keys) that the
+# downstream agg/window reuses (hashpartitioning on the same keys
+# satisfies the required clustering, so no extra exchange appears):
+# the post-explode frame is skinny high-cardinality rows, and letting
+# those stages inherit a byte-heavy session's wide shuffle setting (128
+# partitions, AQE coalesce off) pays hundreds of near-empty tasks — the
+# same scheduling-overhead disease the PageRank loop had.  At scale the
+# explicit width would be sized from the term-row volume instead; AQE
+# coalescing does this automatically in default sessions.  No Python
+# anywhere.
 IDF_SCALE = 10**6
 _KW_TOPK = 5
 _KW_MIN_LEN = 3
@@ -332,6 +342,7 @@ _KW_MIN_LEN = 3
 def keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    par = spark.sparkContext.defaultParallelism
     docs = _docs(spark, sf_dir)
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     terms = docs.select(
@@ -340,19 +351,15 @@ def keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("raw") >= _KW_MIN_LEN).select(
         "doc_id", F.lower(F.col("raw")).alias("term")
     )
-    # materialize the term-frequency table ONCE: without this, Catalyst
-    # re-derives the tf subtree inside the df branch and tokenizes the
-    # raw text twice (verified: 2x Generate explode in the executed
-    # plan).  localCheckpoint is the local-mode stand-in for the written
-    # posting table a production pipeline would persist anyway.
     tf = (
-        terms.groupBy("doc_id", "term")
+        terms.repartition(par, "doc_id", "term")
+        .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wdf = W.partitionBy("term")
     scored = (
-        tf.join(df, "term")
+        tf.repartition(par, "term")
+        .withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n_docs))
         .selectExpr(
             "doc_id",
@@ -362,7 +369,8 @@ def keyword_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.repartition(par, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KW_TOPK)
         .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "score")
         .orderBy("doc_id", "rk")

@@ -228,15 +228,17 @@ def test_asof_join_is_single_window_no_join(spark):
 
 
 def test_keyword_tfidf_no_cartesian_single_text_scan(spark):
-    """tf/df/top-k must derive from ONE pass over the text column: the
-    tf table is materialized (localCheckpoint = the written posting
-    table) and df re-aggregates those rows, so the final plan contains
-    ZERO tokenizing explodes — both branches read the materialized tf.
-    The only nested-loop join is the broadcast 1-row doc count."""
+    """tf/df/top-k must be ONE linear pipeline over a single tokenizing
+    explode: df comes from a whole-partition count window over the tf
+    rows, NOT a tf-joined-with-groupBy-of-tf self-join (which makes
+    Catalyst re-derive the tf subtree and tokenize the text twice).
+    Exactly three key exchanges — (doc_id,term), (term), (doc_id) — all
+    explicitly sized; the only nested-loop join is the broadcast 1-row
+    doc count."""
     from pdf_craft_spark.queries import QUERIES
 
     plan = _executed_plan(QUERIES["keyword_tfidf_topk"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
-    assert plan.count("Generate explode") == 0, plan
-    assert "ExistingRDD" in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
