@@ -72,6 +72,9 @@ HEADLINE = [
     "pagerank_purchase_graph",
     "asof_join_last_click",
     "keyword_tfidf_topk",
+    "text_repetition_filter",
+    "scd2_customer_history",
+    "sim_sq8_topk",
 ]
 
 

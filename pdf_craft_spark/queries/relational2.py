@@ -312,3 +312,85 @@ QUERIES["a1_cube_revenue"] = a1_cube_revenue
 ORACLES["a1_cube_revenue"] = A1_CUBE_REVENUE_SQL
 QUERIES["unpivot_status_counts"] = unpivot_status_counts
 ORACLES["unpivot_status_counts"] = UNPIVOT_STATUS_COUNTS_SQL
+
+
+# --- SCD type-2 merge (the warehouse MERGE shape) ---------------------------
+# Slowly-changing-dimension history maintenance: a CDC updates batch is
+# merged into the current dimension snapshot; matched keys get their open
+# row CLOSED (valid_to = new version, is_current = false) plus a fresh
+# open row carrying the new attributes, unmatched keys pass through.
+# This is exactly what Delta/Iceberg `MERGE INTO` does under the hood —
+# expressed engine-neutrally as one equi-join + union so the plan is
+# inspectable: the delta side (~10% of keys here) is broadcast (small
+# delta vs big dim is the canonical CDC asymmetry; at equal sizes AQE
+# would fall back to sort-merge on the same plan).  Nothing is quadratic,
+# nothing is driver-side; version stamps are integers (0 = snapshot,
+# 1 = this batch, 9999 = open-row sentinel — NULL avoided deliberately:
+# the hash canonicalizers treat NULL ordering engine-specifically).
+#
+# The updates batch is derived deterministically from the dimension
+# itself (md5-percentile of the key < 10 -> segment rewrite + balance
+# credit) so both engines see the identical delta without external data.
+SCD2_UPD_PCT = 10
+SCD2_OPEN = 9999
+
+
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    pct = md5_prefix_long_sql("CAST(c_custkey AS STRING)", 4, "spark") + " % 100"
+    cust = _t(spark, sf_dir, "customer")
+    upd = cust.selectExpr("c_custkey", "c_acctbal", f"({pct}) AS pct").filter(
+        F.col("pct") < SCD2_UPD_PCT
+    ).select(
+        "c_custkey", (F.col("c_acctbal") + F.lit(100.0)).alias("bal_new")
+    )
+    old_rows = (
+        cust.join(F.broadcast(upd), "c_custkey", "left")
+        .selectExpr(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            "CAST(0 AS BIGINT) AS valid_from",
+            f"CAST(CASE WHEN bal_new IS NULL THEN {SCD2_OPEN} ELSE 1 END AS BIGINT) AS valid_to",
+            "bal_new IS NULL AS is_current",
+        )
+    )
+    new_rows = upd.selectExpr(
+        "c_custkey",
+        "'REACTIVATED' AS c_mktsegment",
+        "bal_new AS c_acctbal",
+        "CAST(1 AS BIGINT) AS valid_from",
+        f"CAST({SCD2_OPEN} AS BIGINT) AS valid_to",
+        "TRUE AS is_current",
+    )
+    return old_rows.unionByName(new_rows).orderBy("c_custkey", "valid_from")
+
+
+from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _md5pl
+
+SCD2_CUSTOMER_HISTORY_SQL = f"""
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS bal_new
+  FROM customer
+  WHERE ({_md5pl("CAST(c_custkey AS VARCHAR)", 4, "duck")} % 100) < {SCD2_UPD_PCT}
+), old_rows AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from,
+         CAST(CASE WHEN u.c_custkey IS NULL THEN {SCD2_OPEN} ELSE 1 END AS BIGINT) AS valid_to,
+         u.c_custkey IS NULL AS is_current
+  FROM customer c LEFT JOIN upd u USING (c_custkey)
+), new_rows AS (
+  SELECT c_custkey, 'REACTIVATED' AS c_mktsegment, bal_new AS c_acctbal,
+         CAST(1 AS BIGINT) AS valid_from,
+         CAST({SCD2_OPEN} AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM upd
+)
+SELECT * FROM (SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows)
+ORDER BY c_custkey, valid_from
+"""
+
+
+QUERIES["scd2_customer_history"] = scd2_customer_history
+ORACLES["scd2_customer_history"] = SCD2_CUSTOMER_HISTORY_SQL

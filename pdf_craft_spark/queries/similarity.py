@@ -813,3 +813,108 @@ ORACLES = {
 if SIM_IVF_TOPK_SQL is not None:
     ORACLES["sim_ivf_topk"] = SIM_IVF_TOPK_SQL
     ORACLES["sim_recall"] = _recall_duck_sql(ORACLE_SF_DIR)
+
+
+# --- SQ8 scalar-quantized top-k (the compressed-index scan) -----------------
+# The memory-bound ANN pattern at 100 TB: score against the int8-quantized
+# index (4-8x smaller than raw doubles, so 4-8x more of the corpus fits in
+# executor memory / page cache) and accept the quantization error instead
+# of touching the full-precision vectors.  Same symmetric per-vector
+# quantizer as embed_quantize_int8 (scale = max|x|, q = floor(x*127/scale
+# + 0.5)); the approximate inner product is the EXACT integer dot of the
+# two code vectors rescaled by (sq*sc)/127^2 — all-integer accumulation
+# means the only floats are three deterministic IEEE multiplies, so the
+# DuckDB oracle is bit-identical.  The quantized table is materialized
+# before the scoring join (localCheckpoint = the written SQ8 index a real
+# deployment stores; without it Catalyst inlines the interpreted
+# transform() into both join inputs and re-quantizes per candidate pair —
+# the round-3 hard lesson).  Query side is the broadcast N_QUERIES rows;
+# scoring is a linear scan, never quadratic in the corpus.
+_SQ_SCALE = (
+    "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+    "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+)
+_SQ_CODES = (
+    "CASE WHEN sc = 0.0 THEN transform(embedding, x -> 0) "
+    "ELSE transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INT)) END"
+)
+_DOT_I = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    quant = (
+        emb.selectExpr("vec_id", f"({_SQ_SCALE}) AS sc", "embedding")
+        .selectExpr("vec_id", "sc", f"({_SQ_CODES}) AS qv")
+        .localCheckpoint(eager=True)
+    )
+    q = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sc").alias("sq"),
+        F.col("qv").alias("qe"),
+    )
+    c = quant.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sc").alias("scv"),
+        F.col("qv").alias("cv"),
+    )
+    joined = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot_i = _DOT_I.format(a="qe", b="cv")
+    scored = joined.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round(((CAST(({dot_i}) AS DOUBLE) * sq) * scv) / CAST(16129.0 AS DOUBLE), 6)"
+        " AS score_q",
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "score_q")
+        .orderBy("query_id", "rank")
+    )
+
+
+_DOT_I_DUCK = (
+    "list_reduce(list_transform(range(1, {n} + 1), "
+    "i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)), (acc, v) -> acc + v)"
+)
+
+SIM_SQ8_TOPK_SQL = f"""
+WITH s AS (
+  SELECT vec_id,
+         coalesce(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 0.0) AS sc,
+         embedding
+  FROM embeddings
+), q0 AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc = 0.0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc + 0.5) AS INT)) END AS qv
+  FROM s
+), qq AS (
+  SELECT vec_id AS query_id, sc AS sq, qv AS qe FROM q0 WHERE vec_id < {N_QUERIES}
+), cc AS (
+  SELECT vec_id AS neighbor_id, sc AS scv, qv AS cv FROM q0
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(((CAST(({_DOT_I_DUCK.format(a="qe", b="cv", n=DIM)}) AS DOUBLE)
+                 * sq) * scv) / CAST(16129.0 AS DOUBLE), 6) AS score_q
+  FROM qq CROSS JOIN cc WHERE query_id <> neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+QUERIES["sim_sq8_topk"] = sim_sq8_topk
+ORACLES["sim_sq8_topk"] = SIM_SQ8_TOPK_SQL

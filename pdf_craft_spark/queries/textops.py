@@ -424,3 +424,126 @@ ORACLES = {
     "boilerplate_global_strip": BOILERPLATE_GLOBAL_STRIP_SQL,
     "keyword_tfidf_topk": KEYWORD_TFIDF_TOPK_SQL,
 }
+
+
+# --- n-gram repetition filter (Gopher-style quality signals) ----------------
+# Two repetition signals per document, in the style of the Gopher /
+# MassiveText quality rules (Rae et al. 2021, table A1):
+#   top2_ppm — characters covered by the single most-covering word 2-gram
+#              (count * gram length), as parts-per-million of the text.
+#              High values mean one phrase dominates the document.
+#   dup3_ppm — characters covered by ALL word 3-grams that occur >= 2
+#              times (overlap-counted, capped at 1e6).  High values mean
+#              internally repeated content.
+# keep = both signals under their thresholds — the actual drop decision a
+# training-data pipeline would apply before packing.
+#
+# All-integer scoring: coverage is count*length (BIGINT), the fraction is
+# (1e6 * chars) DIV nch — no float ever enters, so cross-engine parity is
+# exact by construction.  Plan shape: ONE tokenizing projection feeds one
+# inline-explode of both gram sizes (tagged structs, a single Generate),
+# two hash aggregations (per-gram counts, then per-doc max/sum — the
+# first is partial-aggregated map-side), and one doc_id equi-join back to
+# the documents spine so gram-less docs (< 2 tokens) still get a row.
+# At 100 TB every stage is a straight shuffle on high-cardinality keys;
+# nothing is driver-side and nothing is quadratic.
+REP_TOP2_MAX_PPM = 150_000
+REP_DUP3_MAX_PPM = 100_000
+_PPM = 1_000_000
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    g2 = (
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), "
+        "i -> concat_ws(' ', toks[i], toks[i + 1])) "
+        "ELSE array() END"
+    )
+    g3 = (
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), "
+        "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) "
+        "ELSE array() END"
+    )
+    grams = (
+        docs.selectExpr(
+            "doc_id",
+            "length(text) AS nch",
+            r"filter(split(text, '\\s+'), t -> t != '') AS toks",
+        )
+        .selectExpr(
+            "doc_id",
+            "nch",
+            f"concat(transform(({g2}), g -> named_struct('n', 2, 'g', g)), "
+            f"transform(({g3}), g -> named_struct('n', 3, 'g', g))) AS gs",
+        )
+        .selectExpr("doc_id", "nch", "inline(gs)")
+    )
+    counts = grams.groupBy("doc_id", "nch", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    perdoc = counts.groupBy("doc_id", "nch").agg(
+        F.max(
+            F.expr("CASE WHEN n = 2 THEN c * length(g) ELSE CAST(0 AS BIGINT) END")
+        ).alias("top2_chars"),
+        F.sum(
+            F.expr(
+                "CASE WHEN n = 3 AND c >= 2 THEN c * length(g) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("dup3_chars"),
+    )
+    joined = docs.select("doc_id").join(perdoc, "doc_id", "left")
+    scored = joined.selectExpr(
+        "doc_id",
+        f"CASE WHEN coalesce(nch, 0) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE least(CAST({_PPM} AS BIGINT), "
+        f"(CAST({_PPM} AS BIGINT) * coalesce(top2_chars, 0)) DIV nch) END AS top2_ppm",
+        f"CASE WHEN coalesce(nch, 0) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE least(CAST({_PPM} AS BIGINT), "
+        f"(CAST({_PPM} AS BIGINT) * coalesce(dup3_chars, 0)) DIV nch) END AS dup3_ppm",
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "top2_ppm",
+        "dup3_ppm",
+        f"top2_ppm <= {REP_TOP2_MAX_PPM} AND dup3_ppm <= {REP_DUP3_MAX_PPM} AS keep",
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_FILTER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, length(text) AS nch,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, nch, 2 AS n, toks[i] || ' ' || toks[i + 1] AS g
+  FROM t CROSS JOIN unnest(range(1, len(toks))) AS r(i)
+  UNION ALL
+  SELECT doc_id, nch, 3 AS n,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM t CROSS JOIN unnest(range(1, len(toks) - 1)) AS r(i)
+), c AS (
+  SELECT doc_id, nch, n, g, count(*) AS c FROM g GROUP BY ALL
+), p AS (
+  SELECT doc_id, nch,
+         max(CASE WHEN n = 2 THEN c * length(g) ELSE 0 END) AS top2_chars,
+         sum(CASE WHEN n = 3 AND c >= 2 THEN c * length(g) ELSE 0 END) AS dup3_chars
+  FROM c GROUP BY doc_id, nch
+), s AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(p.nch, 0) = 0 THEN 0
+              ELSE least({_PPM}, ({_PPM} * coalesce(p.top2_chars, 0)) // p.nch)
+              END AS BIGINT) AS top2_ppm,
+         CAST(CASE WHEN coalesce(p.nch, 0) = 0 THEN 0
+              ELSE least({_PPM}, ({_PPM} * coalesce(p.dup3_chars, 0)) // p.nch)
+              END AS BIGINT) AS dup3_ppm
+  FROM documents d LEFT JOIN p USING (doc_id)
+)
+SELECT doc_id, top2_ppm, dup3_ppm,
+       top2_ppm <= {REP_TOP2_MAX_PPM} AND dup3_ppm <= {REP_DUP3_MAX_PPM} AS keep
+FROM s ORDER BY doc_id
+"""
+
+
+QUERIES["text_repetition_filter"] = text_repetition_filter
+ORACLES["text_repetition_filter"] = TEXT_REPETITION_FILTER_SQL

@@ -242,3 +242,40 @@ def test_keyword_tfidf_no_cartesian_single_text_scan(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert plan.count("Generate explode") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_repetition_filter_single_generate_no_cartesian(spark):
+    """Both gram sizes must ride ONE tagged-struct inline explode (a
+    second Generate would mean the text is tokenized twice); the spine
+    join back to documents is an equi-join, never a nested loop."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["text_repetition_filter"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+
+
+def test_scd2_merge_is_broadcast_left_join(spark):
+    """The CDC merge joins the big dim against the small delta exactly
+    once, broadcast, LeftOuter — no shuffle of the dimension side and no
+    nested loop."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["scd2_customer_history"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+
+
+def test_sq8_scores_materialized_codes_not_requantized(spark):
+    """The quantized index must be materialized (ExistingRDD from the
+    localCheckpoint) so the interpreted transform() is evaluated once per
+    vector, never inlined into the scoring join; the only nested loop is
+    the broadcast N_QUERIES-row side."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["sim_sq8_topk"](spark, SF_DIR))
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "transform" not in plan.split("BroadcastNestedLoopJoin")[-1], plan
