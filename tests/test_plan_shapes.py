@@ -244,16 +244,20 @@ def test_keyword_tfidf_no_cartesian_single_text_scan(spark):
     assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
-def test_repetition_filter_single_generate_no_cartesian(spark):
-    """Both gram sizes must ride ONE tagged-struct inline explode (a
-    second Generate would mean the text is tokenized twice); the spine
-    join back to documents is an equi-join, never a nested loop."""
+def test_repetition_filter_codegen_grams_no_cartesian(spark):
+    """Grams must come from the codegen pipeline — ONE tokenizing
+    posexplode plus ONE stack unpivot (a transform()-lambda gram builder
+    was measured 4-10x slower and would show as extra Generates or
+    re-tokenization); the spine join back to documents is an equi-join,
+    never a nested loop."""
     from pdf_craft_spark.queries import QUERIES
 
     plan = _executed_plan(QUERIES["text_repetition_filter"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("Generate") == 1, plan
+    assert plan.count("Generate posexplode") == 1, plan
+    assert plan.count("Generate stack") == 1, plan
+    assert plan.count("Generate") == 2, plan
 
 
 def test_scd2_merge_is_broadcast_left_join(spark):
