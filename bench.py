@@ -75,6 +75,7 @@ HEADLINE = [
     "text_repetition_filter",
     "scd2_customer_history",
     "sim_sq8_topk",
+    "anomaly_hourly_events",
 ]
 
 

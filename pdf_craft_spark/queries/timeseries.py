@@ -257,3 +257,106 @@ ORACLES = {
     "hypertable_rollup_events": HYPERTABLE_ROLLUP_EVENTS_SQL,
     "asof_join_last_click": ASOF_JOIN_LAST_CLICK_SQL,
 }
+
+
+# --- hourly anomaly flags (integer-exact z-score) ---------------------------
+# Operational anomaly detection over the event stream: per event type,
+# hourly counts on a COMPLETE hour scaffold (empty hours count as 0 —
+# computing stats only over observed hours would bias the mean exactly
+# when traffic drops, the case anomaly detection exists for), flagged
+# when the count deviates from the type's mean by more than 3 standard
+# deviations.
+#
+# The z-score test is ALL-INTEGER: with S = sum(c), S2 = sum(c^2) over n
+# hours, |c - S/n| > 3*sqrt((n*S2 - S^2)/n^2) is equivalent to
+#     (n*c - S)^2 > 9*(n*S2 - S^2)
+# so no float (mean, stddev, sqrt) ever enters and cross-engine parity is
+# exact by construction.  Magnitude bound: |n*c| must fit BIGINT squared —
+# fine up to ~3e9 count-hours; beyond that promote to DECIMAL(38,0) on
+# both sides.
+#
+# Plan shape: one 1-row bounds agg exploded into the hour spine, a tiny
+# types x hours scaffold (both sides are bounded dims — the nested-loop
+# here is over ~10^2 x 10^5 rows at any corpus size, never corpus-driven),
+# one hash agg of the raw events, a left join to zero-fill, a per-type
+# stats agg re-aggregated FROM the hourly counts (partials, not raw), and
+# a broadcast join of the ~|types| stats row back onto the scaffold.
+ANOMALY_Z2 = 9  # flag beyond 3 sigma (squared)
+
+
+def anomaly_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.selectExpr(
+        "date_trunc('hour', min(ts)) AS h0", "date_trunc('hour', max(ts)) AS h1"
+    )
+    hours = bounds.selectExpr(
+        "explode(sequence(h0, h1, interval 1 hour)) AS hour_ts"
+    )
+    types = ev.select("event_type").distinct()
+    scaffold = types.crossJoin(F.broadcast(hours))
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # materialize the zero-filled hourly counts ONCE: both the stats agg
+    # and the final flag projection read them, and without this Catalyst
+    # re-derives the whole scaffold+agg subtree (second events scan,
+    # second nested loop) inside the stats branch.  localCheckpoint is
+    # the local-mode stand-in for the persisted hourly rollup table a
+    # production deployment keeps anyway (see hypertable_rollup_events).
+    full = (
+        scaffold.join(counts, ["event_type", "hour_ts"], "left")
+        .selectExpr("event_type", "hour_ts", "CAST(coalesce(c, 0) AS BIGINT) AS c")
+        .localCheckpoint(eager=True)
+    )
+    stats = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    return (
+        full.join(F.broadcast(stats), "event_type")
+        .selectExpr(
+            "event_type",
+            "date_format(hour_ts, 'yyyy-MM-dd HH:00') AS hour",
+            "c AS n_events",
+            f"(n * c - s) * (n * c - s) > {ANOMALY_Z2} * (n * s2 - s * s) AS is_anomaly",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ANOMALY_HOURLY_EVENTS_SQL = f"""
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
+                                INTERVAL 1 HOUR)) AS hour_ts
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), scaffold AS (
+  SELECT t.event_type, h.hour_ts FROM types t CROSS JOIN hours h
+), counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS c
+  FROM events GROUP BY 1, 2
+), filled AS (
+  SELECT s.event_type, s.hour_ts,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM scaffold s LEFT JOIN counts c USING (event_type, hour_ts)
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM filled GROUP BY event_type
+)
+SELECT f.event_type,
+       strftime(f.hour_ts, '%Y-%m-%d %H:00') AS hour,
+       f.c AS n_events,
+       (st.n * f.c - st.s) * (st.n * f.c - st.s)
+         > {ANOMALY_Z2} * (st.n * st.s2 - st.s * st.s) AS is_anomaly
+FROM filled f JOIN stats st USING (event_type)
+ORDER BY f.event_type, hour
+"""
+
+
+QUERIES["anomaly_hourly_events"] = anomaly_hourly_events
+ORACLES["anomaly_hourly_events"] = ANOMALY_HOURLY_EVENTS_SQL

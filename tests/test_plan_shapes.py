@@ -283,3 +283,20 @@ def test_sq8_scores_materialized_codes_not_requantized(spark):
     assert "ExistingRDD" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "transform" not in plan.split("BroadcastNestedLoopJoin")[-1], plan
+
+
+def test_anomaly_scaffold_bounded_joins(spark):
+    """The zero-filled hourly counts must be materialized once
+    (ExistingRDD) and feed BOTH the stats agg and the flag projection —
+    without that Catalyst re-derives the scaffold+agg subtree, scanning
+    the event table twice.  No nested loop may survive into the final
+    plan (the bounded types x hours scaffold sits behind the
+    materialization), and the stats attach is a broadcast equi-join."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["anomaly_hourly_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

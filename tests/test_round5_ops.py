@@ -219,3 +219,46 @@ def test_sq8_recall_vs_exact_inner_product():
     )
     assert len(ex) == N_QUERIES * TOP_K
     assert len(ex & sq) / len(ex) >= 0.9
+
+
+def test_anomaly_zero_fill_and_integer_z_test():
+    """DuckDB-only semantics pin for anomaly_hourly_events: (a) hours
+    with no events appear zero-filled (dropping them would bias the mean
+    exactly when traffic dies — the case the detector exists for); (b)
+    the all-integer test (n*c - s)^2 > 9*(n*s2 - s^2) flags exactly the
+    hours the float z-score |c-mean| > 3*stddev_pop flags."""
+    import duckdb
+
+    from pdf_craft_spark.queries.timeseries import ANOMALY_HOURLY_EVENTS_SQL
+
+    con = duckdb.connect()
+    # 10 quiet hours of 2 events + one 40-event spike + one EMPTY hour gap
+    # (the window must be wide enough that the spike's own contribution to
+    # the population stddev doesn't mask it: here 3*sd ~= 31.7 < |40-5|)
+    rows = []
+    eid = 0
+    for h in range(12):
+        if h == 3:
+            continue  # hour 3 empty — must still appear zero-filled
+        for i in range(40 if h == 2 else 2):
+            rows.append(f"({eid}, TIMESTAMP '2024-01-01 {h:02d}:10:00', 'click')")
+            eid += 1
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") v(event_id, ts, event_type)"
+    )
+    got = con.execute(ANOMALY_HOURLY_EVENTS_SQL).fetchall()
+    by_hour = {r[1]: (r[2], r[3]) for r in got}
+    assert len(got) == 12  # complete scaffold incl. the empty hour
+    assert by_hour["2024-01-01 03:00"] == (0, False)  # zero-filled
+    # float reference: mean/stddev_pop over the same 6 zero-filled counts
+    import statistics
+
+    counts = [c for c, _ in (by_hour[h] for h in sorted(by_hour))]
+    mu = statistics.mean(counts)
+    sd = statistics.pstdev(counts)
+    for h in sorted(by_hour):
+        c, flag = by_hour[h]
+        assert flag == (abs(c - mu) > 3 * sd), (h, c, mu, sd)
+    assert by_hour["2024-01-01 02:00"][1] is True  # the spike is caught
