@@ -76,6 +76,7 @@ HEADLINE = [
     "scd2_customer_history",
     "sim_sq8_topk",
     "anomaly_hourly_events",
+    "cms_heavy_hitters",
 ]
 
 

@@ -414,3 +414,117 @@ BLOOM_MEMBERSHIP_PROBE_SQL = _bloom_sql()
 
 QUERIES["bloom_membership_probe"] = bloom_membership_probe
 ORACLES["bloom_membership_probe"] = BLOOM_MEMBERSHIP_PROBE_SQL
+
+
+# --- Count-Min frequency sketch (heavy hitters) -----------------------------
+# The fourth sketch: distinct (HLL) / quantile (histogram) / membership
+# (Bloom) / FREQUENCY (Count-Min).  d=4 independent md5-salted hash rows
+# x w=256 buckets; an item's estimate is the MIN over rows of its bucket
+# counts.  Counts only ever collide upward, so est >= exact is a
+# structural invariant (exposed as the overcount column).  The merge
+# operator is bucket-wise ADD (like the histogram sketch): shard
+# sketches of disjoint streams sum into the stream's sketch, so at
+# 100 TB the state is d*w BIGINTs per shard regardless of row count, and
+# the build is one map-side-combined aggregation over per-row JVM md5s
+# (codegen — no Python, no joins on the build side).
+#
+# Stream: orders keyed by customer — ~1000 distinct keys >> 256 buckets,
+# i.e. the genuine CMS regime where every bucket holds several keys and
+# estimates really do overcount; the top-10 heavy hitters are reported
+# with exact count, estimate, and the overcount the collisions cost.
+# The probe side joins the tiny materialized sketch (d*w rows,
+# broadcast) against the distinct-key dim.
+_CMS_D = 4
+_CMS_W = 256
+_CMS_TOPK = 10
+
+
+def _cms_bucket(engine: str, r: int) -> str:
+    key = "CAST(o_custkey AS STRING)" if engine == "spark" else "CAST(o_custkey AS VARCHAR)"
+    return "({h}) % {w}".format(
+        w=_CMS_W, h=_md5_long("'%d|' || %s" % (r, key), 8, engine)
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    items = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey"
+    )
+    stack_args = ", ".join(
+        f"{r}, {_cms_bucket('spark', r)}" for r in range(_CMS_D)
+    )
+    sketch = (
+        items.selectExpr(f"stack({_CMS_D}, {stack_args}) AS (r, bucket)")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # materialize the per-key exact counts once: the probe branch AND the
+    # final join both read them, and without this Catalyst re-derives the
+    # aggregate (a third scan of orders) inside the probe subtree
+    exact = (
+        items.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    probes = exact.selectExpr(
+        "o_custkey", f"stack({_CMS_D}, {stack_args}) AS (r, bucket)"
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("o_custkey")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    w = W.orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+    return (
+        exact.join(est, "o_custkey")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _CMS_TOPK)
+        .selectExpr(
+            "rk",
+            "o_custkey",
+            "exact_cnt",
+            "cms_est",
+            "cms_est - exact_cnt AS overcount",
+        )
+        .orderBy("rk")
+    )
+
+
+def _cms_buckets_duck() -> str:
+    return " ".join(
+        f"WHEN {r} THEN {_cms_bucket('duck', r)}" for r in range(_CMS_D)
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH hashed AS (
+  SELECT o_custkey, u.r,
+         CASE u.r {_cms_buckets_duck()} END AS bucket
+  FROM orders CROSS JOIN unnest([{", ".join(str(r) for r in range(_CMS_D))}]) u(r)
+), sketch AS (
+  SELECT r, bucket, count(*) AS cnt FROM hashed GROUP BY r, bucket
+), exact AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM orders GROUP BY o_custkey
+), probes AS (
+  SELECT DISTINCT o_custkey, r, bucket FROM hashed
+), est AS (
+  SELECT p.o_custkey, CAST(min(s.cnt) AS BIGINT) AS cms_est
+  FROM probes p JOIN sketch s USING (r, bucket)
+  GROUP BY p.o_custkey
+)
+SELECT rk, o_custkey, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM (
+  SELECT e.o_custkey, e.exact_cnt, est.cms_est,
+         CAST(row_number() OVER (ORDER BY e.exact_cnt DESC, e.o_custkey ASC)
+              AS BIGINT) AS rk
+  FROM exact e JOIN est USING (o_custkey)
+)
+WHERE rk <= {_CMS_TOPK} ORDER BY rk
+"""
+
+
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = CMS_HEAVY_HITTERS_SQL

@@ -300,3 +300,16 @@ def test_anomaly_scaffold_bounded_joins(spark):
     assert "ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_sketch_broadcast_probe_two_scans(spark):
+    """The d*w-row sketch must broadcast onto the probe side; the probe
+    dim derives from the exact aggregate (no third scan of orders) and
+    nothing goes nested-loop."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["cms_heavy_hitters"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan

@@ -262,3 +262,48 @@ def test_anomaly_zero_fill_and_integer_z_test():
         c, flag = by_hour[h]
         assert flag == (abs(c - mu) > 3 * sd), (h, c, mu, sd)
     assert by_hour["2024-01-01 02:00"][1] is True  # the spike is caught
+
+
+def test_cms_overcount_invariant_and_shard_merge():
+    """DuckDB-only CMS properties over ALL keys (not just the top-10):
+    (a) est >= exact for every key — Count-Min can only collide upward;
+    (b) bucket-wise ADD is the merge operator: sketches of two disjoint
+    shards sum to the whole stream's sketch exactly."""
+    import duckdb
+
+    from pdf_craft_spark.queries.sketches import _CMS_D, _cms_bucket
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/orders.parquet')"
+    )
+    buckets = " ".join(
+        f"WHEN {r} THEN {_cms_bucket('duck', r)}" for r in range(_CMS_D)
+    )
+    hashed = f"""
+    SELECT o_custkey, o_orderkey, u.r, CASE u.r {buckets} END AS bucket
+    FROM orders CROSS JOIN unnest([0, 1, 2, 3]) u(r)
+    """
+    # (a) full-domain overcount invariant
+    bad = con.execute(f"""
+    WITH h AS ({hashed}),
+    sketch AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY r, bucket),
+    exact AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey),
+    probes AS (SELECT DISTINCT o_custkey, r, bucket FROM h),
+    est AS (SELECT p.o_custkey, min(s.cnt) AS e
+            FROM probes p JOIN sketch s USING (r, bucket) GROUP BY p.o_custkey)
+    SELECT count(*) FROM exact JOIN est USING (o_custkey) WHERE e < c
+    """).fetchone()[0]
+    assert bad == 0
+    # (b) shard merge: even/odd orderkey shards sum to the whole sketch
+    diff = con.execute(f"""
+    WITH h AS ({hashed}),
+    whole AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY r, bucket),
+    sh AS (SELECT r, bucket, o_orderkey % 2 AS shard, count(*) AS cnt
+           FROM h GROUP BY r, bucket, shard),
+    merged AS (SELECT r, bucket, sum(cnt) AS cnt FROM sh GROUP BY r, bucket)
+    SELECT count(*) FROM whole w FULL JOIN merged m USING (r, bucket)
+    WHERE w.cnt IS DISTINCT FROM m.cnt
+    """).fetchone()[0]
+    assert diff == 0
