@@ -77,6 +77,7 @@ HEADLINE = [
     "sim_sq8_topk",
     "anomaly_hourly_events",
     "cms_heavy_hitters",
+    "graph_triangle_stats",
 ]
 
 

@@ -156,3 +156,96 @@ PAGERANK_PURCHASE_GRAPH_SQL = _pagerank_sql()
 
 QUERIES = {"pagerank_purchase_graph": pagerank_purchase_graph}
 ORACLES = {"pagerank_purchase_graph": PAGERANK_PURCHASE_GRAPH_SQL}
+
+
+# --- triangle / wedge statistics over the near-dup graph --------------------
+# The third graph operator (PageRank here, connected components in
+# dedup_components): per-node triangle and wedge counts plus the local
+# clustering coefficient over the minhash-LSH near-duplicate graph — the
+# structure signal that separates tight duplicate CLUSTERS (triangles)
+# from chain-like false-positive strings (wedges without triangles).
+#
+# Shape: the pair list is materialized ONCE (localCheckpoint — without
+# it Catalyst re-derives the whole shingle->minhash->band pipeline into
+# every one of the four references below); triangles come from the
+# classic oriented edge-join — edges are (lo, hi) ordered, so
+# e(a,b) ⋈ e(b,c) ⋈ semi e(a,c) enumerates each triangle exactly once
+# with no direction dedup pass.  Everything else is integer arithmetic:
+# wedges = C(degree, 2), clustering_ppm = 1e6 * triangles div wedges.
+# At web scale the standard refinement is degree-ordering the
+# orientation (lower-degree endpoint first) to bound the join fan-out on
+# skewed nodes; id-ordering is the right default for the near-dup graph
+# whose max degree is bounded by the dedup cutoffs upstream.
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = pairs.selectExpr("doc_a AS d").unionAll(pairs.selectExpr("doc_b AS d"))
+    deg = nodes.groupBy("d").agg(F.count(F.lit(1)).alias("degree"))
+    cand = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .join(pairs.selectExpr("doc_a AS b", "doc_b AS c"), "b")
+        .select("a", "b", "c")
+    )
+    tri = cand.join(
+        pairs.selectExpr("doc_a AS a", "doc_b AS c"), ["a", "c"], "leftsemi"
+    )
+    tn = (
+        tri.selectExpr("explode(array(a, b, c)) AS d")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tn, "d", "left")
+        .selectExpr(
+            "d AS doc_id",
+            "degree",
+            "(degree * (degree - 1)) DIV 2 AS n_wedges",
+            "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles",
+            "CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) "
+            "ELSE (1000000 * coalesce(n_triangles, 0)) "
+            "DIV ((degree * (degree - 1)) DIV 2) END AS clustering_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _triangle_stats_sql() -> str:
+    from pdf_craft_spark.queries.dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+), nodes AS (
+  SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs
+), deg AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY d
+), cand AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+), tri AS (
+  SELECT a, b, c FROM cand WHERE EXISTS (
+    SELECT 1 FROM pairs p WHERE p.doc_a = cand.a AND p.doc_b = cand.c)
+), tn AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS d FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY d
+)
+SELECT deg.d AS doc_id, deg.degree,
+       CAST((deg.degree * (deg.degree - 1)) // 2 AS BIGINT) AS n_wedges,
+       coalesce(tn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CAST(CASE WHEN deg.degree < 2 THEN 0
+            ELSE (1000000 * coalesce(tn.n_triangles, 0))
+                 // ((deg.degree * (deg.degree - 1)) // 2) END AS BIGINT)
+         AS clustering_ppm
+FROM deg LEFT JOIN tn ON deg.d = tn.d
+ORDER BY doc_id
+"""
+
+
+GRAPH_TRIANGLE_STATS_SQL = _triangle_stats_sql()
+
+QUERIES["graph_triangle_stats"] = graph_triangle_stats
+ORACLES["graph_triangle_stats"] = GRAPH_TRIANGLE_STATS_SQL

@@ -313,3 +313,19 @@ def test_cms_sketch_broadcast_probe_two_scans(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_triangle_stats_reads_materialized_pairs(spark):
+    """All four references to the near-dup pair list must read the
+    materialized table (ExistingRDD) — a parquet scan in the plan means
+    Catalyst re-derived the shingle->minhash->band pipeline per
+    reference; the triangle closure is equi-join + LeftSemi, never a
+    nested loop."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["graph_triangle_stats"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan

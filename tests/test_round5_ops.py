@@ -307,3 +307,27 @@ def test_cms_overcount_invariant_and_shard_merge():
     WHERE w.cnt IS DISTINCT FROM m.cnt
     """).fetchone()[0]
     assert diff == 0
+
+
+def test_triangle_stats_on_known_graph():
+    """Swap the pairs CTE for K4 + a pendant edge and check every number:
+    K4's inner nodes have 3 wedges / 3 triangles (clustering 1.0), the
+    node carrying the pendant has 6 wedges / 3 triangles (0.5), the
+    pendant leaf has none.  Also pins that the oriented edge-join counts
+    each triangle exactly once per member node."""
+    import duckdb
+
+    from pdf_craft_spark.queries.graphq import GRAPH_TRIANGLE_STATS_SQL
+
+    head, tail = GRAPH_TRIANGLE_STATS_SQL.split("), nodes AS (", 1)
+    sql = (
+        "WITH pairs AS (SELECT * FROM (VALUES (1, 2), (1, 3), (1, 4), "
+        "(2, 3), (2, 4), (3, 4), (4, 5)) v(doc_a, doc_b)), nodes AS ("
+        + tail
+    )
+    got = {r[0]: r[1:] for r in duckdb.connect().execute(sql).fetchall()}
+    assert got[1] == (3, 3, 3, 1_000_000)
+    assert got[2] == (3, 3, 3, 1_000_000)
+    assert got[3] == (3, 3, 3, 1_000_000)
+    assert got[4] == (4, 6, 3, 500_000)
+    assert got[5] == (1, 0, 0, 0)
