@@ -78,6 +78,14 @@ HEADLINE = [
     "anomaly_hourly_events",
     "cms_heavy_hitters",
     "graph_triangle_stats",
+    # round-5 session-6 additions: behavior/maintenance/index/data-quality
+    "event_transition_matrix",
+    "incremental_agg_maintenance",
+    "timeseries_gap_fill",
+    "inverted_index_postings",
+    "zorder_cluster_key",
+    "dq_expectations_orders",
+    "er_fuzzy_match_customers",
 ]
 
 

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pdf_craft_spark.queries import (
     behavior,
+    dataquality,
+    indexing,
     bookmetaq,
     graphq,
     checkpointq,
@@ -55,6 +57,8 @@ for mod in (
     sourcesq,
     behavior,
     graphq,
+    indexing,
+    dataquality,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -139,12 +139,64 @@ ORDER BY 1, 2
 """
 
 
+# --- Markov transition matrix ------------------------------------------------
+# First-order event-type transition counts + probabilities: for every user,
+# order events by (ts, event_id) — the id tie-break makes equal-timestamp
+# rows deterministic — take lead(event_type), count (from, to) pairs, and
+# derive per-from-state probabilities in integer ppm ((1e6 * n) DIV
+# row_total, so no float division enters the comparison).  One shuffle on
+# user_id for the lead window; the (from, to) aggregate is a ≤25-row
+# reduction, and its row-total window runs over that tiny frame.
+TRANSITION_PPM = 1_000_000
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(W.partitionBy("from_type")))
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "CAST(n AS BIGINT) AS n",
+            f"CAST(({TRANSITION_PPM} * n) DIV row_total AS BIGINT) AS ppm",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(({TRANSITION_PPM} * n)
+            // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS ppm
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
 }

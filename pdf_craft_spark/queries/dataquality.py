@@ -1,0 +1,197 @@
+"""Data-quality operators: an expectations-style validation sweep (the
+Great-Expectations / Deequ shape — declared constraints checked in ONE
+pass over the table plus one referential-integrity join) and a blocked
+fuzzy-match entity-resolution pass (candidate generation via blocking
+keys, then an edit-distance predicate — never an all-pairs comparison).
+
+Both are pure Catalyst and integer-exact, so the DuckDB oracle matches
+hash-for-hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- expectations sweep -----------------------------------------------------
+# Six declared constraints over orders, evaluated as ONE conditional
+# aggregate (a single scan regardless of how many checks are declared —
+# the Deequ trick) unpivoted via stack(), plus the one check that needs a
+# second input: referential integrity o_custkey -> customer via a
+# left-anti join (sort-merge at scale; the probe side is the fact table,
+# the build side the dimension keys).  Output: one row per check with the
+# violation count and pass flag — the artifact a pipeline gate consumes.
+DQ_DATE_LO = "1990-01-01"
+DQ_DATE_HI = "2010-01-01"
+
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS null_key",
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key",
+        "CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0"
+        " END) AS BIGINT) AS bad_status",
+        "CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS nonpos_price",
+        f"CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{DQ_DATE_LO}' OR"
+        f" o_orderdate >= TIMESTAMP '{DQ_DATE_HI}' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS date_out_of_range",
+        "CAST(sum(CASE WHEN o_orderpriority NOT LIKE '_-%' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS bad_priority",
+    )
+    checks = wide.selectExpr(
+        "stack(6,"
+        " 'key_not_null', null_key,"
+        " 'key_unique', dup_key,"
+        " 'status_in_domain', bad_status,"
+        " 'price_positive', nonpos_price,"
+        " 'date_in_range', date_out_of_range,"
+        " 'priority_format', bad_priority"
+        ") AS (check_name, n_violations)",
+        "n_rows AS n_checked",
+    )
+    cust_keys = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+    orphans = (
+        orders.join(
+            cust_keys, orders.o_custkey == cust_keys.c_custkey, "left_anti"
+        )
+        .agg(F.count("*").alias("n_violations"))
+        .selectExpr("'custkey_references_customer' AS check_name", "n_violations")
+        .join(wide.select("n_rows"))
+        .selectExpr("check_name",
+                    "CAST(n_violations AS BIGINT) AS n_violations",
+                    "n_rows AS n_checked")
+    )
+    return (
+        checks.unionByName(orphans)
+        .selectExpr(
+            "check_name", "n_violations", "n_checked",
+            "n_violations = 0 AS passed"
+        )
+        .orderBy("check_name")
+    )
+
+
+DQ_EXPECTATIONS_ORDERS_SQL = f"""
+WITH wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_key,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0
+           END) AS BIGINT) AS bad_status,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nonpos_price,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{DQ_DATE_LO}' OR
+           o_orderdate >= TIMESTAMP '{DQ_DATE_HI}' THEN 1 ELSE 0 END)
+           AS BIGINT) AS date_out_of_range,
+         CAST(sum(CASE WHEN o_orderpriority NOT LIKE '_-%' THEN 1 ELSE 0 END)
+           AS BIGINT) AS bad_priority
+  FROM orders
+), checks AS (
+  SELECT 'key_not_null' AS check_name, null_key AS n_violations, n_rows AS n_checked FROM wide
+  UNION ALL SELECT 'key_unique', dup_key, n_rows FROM wide
+  UNION ALL SELECT 'status_in_domain', bad_status, n_rows FROM wide
+  UNION ALL SELECT 'price_positive', nonpos_price, n_rows FROM wide
+  UNION ALL SELECT 'date_in_range', date_out_of_range, n_rows FROM wide
+  UNION ALL SELECT 'priority_format', bad_priority, n_rows FROM wide
+  UNION ALL
+  SELECT 'custkey_references_customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+         n_rows
+  FROM wide
+)
+SELECT "check_name", n_violations, n_checked, n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+# --- blocked fuzzy-match entity resolution ----------------------------------
+# The record-linkage shape: BLOCK on cheap exact keys (nation + the first
+# six digits of the name's serial — candidates within a block differ only
+# in the last three characters), generate candidate pairs via a
+# self-equi-join on the block key (the plan is a hash join, never a
+# cartesian), then apply the expensive predicate — levenshtein ≤ 1 —
+# only inside blocks.  Reported per nation: candidate-pair count vs
+# match count, i.e. exactly the blocking-efficiency ledger an ER pipeline
+# monitors.  levenshtein() is the classic DP edit distance in both
+# engines — integer, divergence-free.
+ER_LEV_MAX = 1
+
+
+def er_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_name", "c_nationkey",
+        "substr(c_name, 10, 6) AS blk",
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("lev"),
+    )
+    return (
+        pairs.groupBy("nationkey")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("lev") <= ER_LEV_MAX, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_matches"),
+        )
+        .selectExpr(
+            "CAST(nationkey AS BIGINT) AS nationkey",
+            "CAST(n_candidates AS BIGINT) AS n_candidates",
+            "CAST(n_matches AS BIGINT) AS n_matches",
+        )
+        .orderBy("nationkey")
+    )
+
+
+ER_FUZZY_MATCH_CUSTOMERS_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 6) AS blk
+  FROM customer
+), pairs AS (
+  SELECT a.c_nationkey AS nationkey,
+         levenshtein(a.c_name, b.c_name) AS lev
+  FROM cust a JOIN cust b
+    ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+   AND a.c_custkey < b.c_custkey
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN lev <= {ER_LEV_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches
+FROM pairs
+GROUP BY 1
+ORDER BY nationkey
+"""
+
+
+QUERIES = {
+    "dq_expectations_orders": dq_expectations_orders,
+    "er_fuzzy_match_customers": er_fuzzy_match_customers,
+}
+
+ORACLES = {
+    "dq_expectations_orders": DQ_EXPECTATIONS_ORDERS_SQL,
+    "er_fuzzy_match_customers": ER_FUZZY_MATCH_CUSTOMERS_SQL,
+}

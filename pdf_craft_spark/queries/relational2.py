@@ -394,3 +394,68 @@ ORDER BY c_custkey, valid_from
 
 QUERIES["scd2_customer_history"] = scd2_customer_history
 ORACLES["scd2_customer_history"] = SCD2_CUSTOMER_HISTORY_SQL
+
+
+# --- incremental aggregate maintenance (materialized-view refresh) ----------
+# The continuous-pipeline shape: a standing (month, status) revenue
+# aggregate is maintained INCREMENTALLY — the committed base (md5-pct of
+# the order key < 80) was aggregated once; a new ingest batch (pct >= 80)
+# is aggregated alone and MERGED into the base via a full-outer
+# coalesce-and-add on the group keys.  Because the partials are
+# DECIMAL(18,2) sums (exact, associative), merged-partials == full
+# recompute bit-for-bit — and that is precisely what the oracle checks:
+# the DuckDB side aggregates ALL orders from scratch, so a green hash
+# PROVES the incremental maintenance is lossless, not merely plausible.
+# At 100 TB this is the only affordable refresh: the delta is a day's
+# partition, the base aggregate is ~|groups| rows, and the merge is a
+# broadcast-sized join — raw history is never rescanned.
+INC_AGG_BASE_PCT = 80
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    pct = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 4, "spark") + " % 100"
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "substr(CAST(o_orderdate AS STRING), 1, 7) AS month",
+        "o_orderstatus AS status",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+        f"({pct}) AS pct",
+    )
+
+    def agg(side: DataFrame) -> DataFrame:
+        return side.groupBy("month", "status").agg(
+            F.count("*").alias("n"), F.sum("price").alias("rev")
+        )
+
+    base = agg(orders.filter(F.col("pct") < INC_AGG_BASE_PCT))
+    delta = agg(orders.filter(F.col("pct") >= INC_AGG_BASE_PCT))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), ["month", "status"], "full_outer")
+        .selectExpr(
+            "month",
+            "status",
+            "CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n",
+            "round(CAST(coalesce(b.rev, CAST(0 AS DECIMAL(18,2)))"
+            " + coalesce(d.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2)"
+            " AS revenue",
+        )
+    )
+    return merged.orderBy("month", "status")
+
+
+INCREMENTAL_AGG_MAINTENANCE_SQL = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
+ORACLES["incremental_agg_maintenance"] = INCREMENTAL_AGG_MAINTENANCE_SQL

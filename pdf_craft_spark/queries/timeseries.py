@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -360,3 +360,106 @@ ORDER BY f.event_type, hour
 
 QUERIES["anomaly_hourly_events"] = anomaly_hourly_events
 ORACLES["anomaly_hourly_events"] = ANOMALY_HOURLY_EVENTS_SQL
+
+
+# --- gap fill + linear interpolation ----------------------------------------
+# The observability backfill shape (Timescale `time_bucket_gapfill` +
+# `interpolate`): a sparse hourly count series (a rare event slice —
+# errors from a 1%-of-users cohort, so every SF has real gaps) is
+# completed onto a dense hour scaffold, and missing hours are LINEARLY
+# INTERPOLATED between their nearest known neighbors.  The neighbor
+# lookup is last/first(ignorenulls) over the hour-ordered frame — the
+# classic gap-fill window idiom — and the interpolation is all-integer:
+#   (prev_n·(next_h−h) + next_n·(h−prev_h)) DIV (next_h − prev_h)
+# keeps the numerator non-negative (both terms are products of counts and
+# forward/backward distances), so floor-vs-truncate division divergence
+# between engines can never trigger.  The scaffold spans min..max known
+# hour, so interior rows always have both neighbors.  Scale: the window
+# is a single ordered frame, but its size is the HOUR SPAN of the corpus
+# (8.8k rows/year), not the data volume — the heavy work is the grouped
+# count, which shuffles once on the hour key.
+GAP_FILL_TYPE = "error"
+GAP_FILL_USER_MOD = 97
+
+
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    known = (
+        ev.filter(
+            (F.col("event_type") == GAP_FILL_TYPE)
+            & (F.col("user_id") % GAP_FILL_USER_MOD == 0)
+        )
+        .selectExpr(
+            "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00',"
+            " date_trunc('hour', ts)) AS h"
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n_known"))
+    )
+    scaffold = known.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).selectExpr("explode(sequence(lo, hi)) AS h")
+    w_prev = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    known_h = F.when(F.col("n_known").isNotNull(), F.col("h"))
+    filled = (
+        scaffold.join(known, "h", "left")
+        .withColumn("prev_n", F.last("n_known", ignorenulls=True).over(w_prev))
+        .withColumn("prev_h", F.last(known_h, ignorenulls=True).over(w_prev))
+        .withColumn("next_n", F.first("n_known", ignorenulls=True).over(w_next))
+        .withColumn("next_h", F.first(known_h, ignorenulls=True).over(w_next))
+    )
+    return filled.selectExpr(
+        "CAST(h AS BIGINT) AS h",
+        "CAST(timestampadd(HOUR, h, TIMESTAMP '1970-01-01 00:00:00')"
+        " AS STRING) AS hour_ts",
+        "CAST(CASE WHEN n_known IS NOT NULL THEN n_known"
+        "     ELSE (prev_n * (next_h - h) + next_n * (h - prev_h))"
+        "          DIV (next_h - prev_h) END AS BIGINT) AS n",
+        "n_known IS NULL AS filled",
+    ).orderBy("h")
+
+
+TIMESERIES_GAP_FILL_SQL = f"""
+WITH known AS (
+  SELECT date_diff('hour', TIMESTAMP '1970-01-01', date_trunc('hour', ts))
+           AS h,
+         CAST(count(*) AS BIGINT) AS n_known
+  FROM events
+  WHERE event_type = '{GAP_FILL_TYPE}' AND user_id % {GAP_FILL_USER_MOD} = 0
+  GROUP BY 1
+), bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM known
+), scaffold AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                (SELECT hi FROM bounds), 1)) AS h
+), f AS (
+  SELECT s.h, k.n_known,
+    last_value(k.n_known IGNORE NULLS) OVER
+      (ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_n,
+    last_value(CASE WHEN k.n_known IS NOT NULL THEN s.h END IGNORE NULLS)
+      OVER (ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS prev_h,
+    first_value(k.n_known IGNORE NULLS) OVER
+      (ORDER BY s.h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_n,
+    first_value(CASE WHEN k.n_known IS NOT NULL THEN s.h END IGNORE NULLS)
+      OVER (ORDER BY s.h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS next_h
+  FROM scaffold s LEFT JOIN known k USING (h)
+)
+SELECT CAST(h AS BIGINT) AS h,
+       CAST(TIMESTAMP '1970-01-01' + h * INTERVAL 1 HOUR AS VARCHAR)
+         AS hour_ts,
+       CAST(CASE WHEN n_known IS NOT NULL THEN n_known
+            ELSE (prev_n * (next_h - h) + next_n * (h - prev_h))
+                 // (next_h - prev_h) END AS BIGINT) AS n,
+       n_known IS NULL AS filled
+FROM f
+ORDER BY h
+"""
+
+
+QUERIES["timeseries_gap_fill"] = timeseries_gap_fill
+ORACLES["timeseries_gap_fill"] = TIMESERIES_GAP_FILL_SQL

@@ -329,3 +329,89 @@ def test_triangle_stats_reads_materialized_pairs(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The lead window and nothing else sees event volume: exactly one
+    hashpartitioning exchange on user_id before the tiny (from, to)
+    aggregate; no joins at all."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["event_transition_matrix"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_incremental_agg_merge_joins_aggregates_not_raw(spark):
+    """The full-outer merge must join the two ~|groups|-row aggregates —
+    both join inputs sit above a HashAggregate, the orders scan feeds the
+    aggregates (2 scans of the pct-split source, never a third), and
+    nothing goes nested-loop."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["incremental_agg_maintenance"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_gap_fill_scaffold_from_bounds_no_nested_loop(spark):
+    """The dense scaffold derives from the 1-row bounds aggregate
+    (sequence explode), the known counts attach via an equi-join, and the
+    neighbor windows run over the hour frame — no cartesian anywhere."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["timeseries_gap_fill"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_inverted_index_one_token_shuffle(spark):
+    """Token volume is shuffled exactly once (the (term, doc) partial
+    count); the term-level window + aggregate ride the term
+    repartitioning.  No joins, no nested loops."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["inverted_index_postings"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # two key exchanges total: (term, doc_id) for the partial count,
+    # term for the window/final agg
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_zorder_pure_arithmetic_single_agg(spark):
+    """The Morton interleave is row-local codegen arithmetic: one scan,
+    one aggregate exchange, no joins, no Python."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["zorder_cluster_key"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dq_expectations_anti_join_not_nested(spark):
+    """The referential check is a real anti equi-join (broadcast or
+    shuffled), never a nested loop; the conditional-aggregate sweep costs
+    one orders scan, the anti-join probe a second."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["dq_expectations_orders"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    nested = [seg for seg in plan.split("BroadcastNestedLoopJoin")[1:]]
+    # the only permissible nested loop is the 1-row n_rows attach
+    assert len(nested) <= 1, plan
+
+
+def test_er_blocking_is_equi_join(spark):
+    """Candidate generation must be a hash/sort-merge equi-join on the
+    blocking key — an ER pass that plans as a cartesian with a filter
+    would be quadratic in the customer count."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["er_fuzzy_match_customers"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
