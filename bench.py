@@ -86,6 +86,8 @@ HEADLINE = [
     "zorder_cluster_key",
     "dq_expectations_orders",
     "er_fuzzy_match_customers",
+    "market_basket_pairs",
+    "json_extract_props",
 ]
 
 

@@ -189,14 +189,98 @@ ORDER BY from_type, to_type
 """
 
 
+# --- market-basket affinity --------------------------------------------------
+# Frequent co-purchased part pairs with support and integer-ppm lift —
+# the Apriori/FP-growth L2 layer expressed relationally.  The pair
+# generation is a self-equi-join on the ORDER key (never on part), so
+# fan-out is per-basket (≤ C(basket,2), baskets are ≤13 items here) and
+# the plan stays a hash join; MB_MIN_SUP then prunes the hapax pair tail
+# before the lift joins.  Lift is all-integer ppm:
+# (1e6·support·n_orders) DIV (cnt_a·cnt_b) — no float ratio enters the
+# comparison.  The per-part counts attach via two joins on the pruned
+# pair list (thousands of rows), and the 1-row order count broadcasts.
+MB_MIN_SUP = 2
+MB_PPM = 1_000_000
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MB_MIN_SUP)
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            cnt.selectExpr("l_partkey AS pa", "cnt AS cnt_a"), "pa"
+        )
+        .join(cnt.selectExpr("l_partkey AS pb", "cnt AS cnt_b"), "pb")
+        .join(F.broadcast(n_orders))
+        .selectExpr(
+            "CAST(pa AS BIGINT) AS pa",
+            "CAST(pb AS BIGINT) AS pb",
+            "CAST(support AS BIGINT) AS support",
+            f"CAST(({MB_PPM} * support * n_orders) DIV (cnt_a * cnt_b)"
+            " AS BIGINT) AS lift_ppm",
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+MARKET_BASKET_PAIRS_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {MB_MIN_SUP}
+), cnt AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+)
+SELECT CAST(p.pa AS BIGINT) AS pa,
+       CAST(p.pb AS BIGINT) AS pb,
+       p.support,
+       CAST(({MB_PPM} * p.support * n.n_orders) // (ca.cnt * cb.cnt)
+            AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN cnt ca ON ca.l_partkey = p.pa
+JOIN cnt cb ON cb.l_partkey = p.pb
+CROSS JOIN n
+ORDER BY pa, pb
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "event_transition_matrix": event_transition_matrix,
+    "market_basket_pairs": market_basket_pairs,
 }
 
 ORACLES = {
     "funnel_conversion": FUNNEL_CONVERSION_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
+    "market_basket_pairs": MARKET_BASKET_PAIRS_SQL,
 }

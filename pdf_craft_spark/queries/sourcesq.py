@@ -129,3 +129,62 @@ ORDER BY fmt
 
 QUERIES = {"source_roundtrip_fidelity": source_roundtrip_fidelity}
 ORACLES = {"source_roundtrip_fidelity": SOURCE_ROUNDTRIP_FIDELITY_SQL}
+
+
+# --- semi-structured JSON extraction ----------------------------------------
+# The events table carries a JSON props column (the semi-structured
+# payload every real event stream has).  Extraction happens ONCE in a
+# projection — get_json_object / json_extract_string are engine-native
+# JSON path evaluation, no Python — and the typed value then flows into a
+# normal grouped aggregate.  NULL-safe by construction: a missing key or
+# malformed document yields NULL in both engines and drops out of the
+# aggregates identically.  At scale this is the schema-on-read pattern:
+# the parse cost rides the scan, and only the extracted integer shuffles.
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(n_with_k AS BIGINT) AS n_with_k",
+            "CAST(sum_k AS BIGINT) AS sum_k",
+            "CAST(min_k AS BIGINT) AS min_k",
+            "CAST(max_k AS BIGINT) AS max_k",
+            "CAST(n_distinct_k AS BIGINT) AS n_distinct_k",
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_PROPS_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM parsed
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+QUERIES["json_extract_props"] = json_extract_props
+ORACLES["json_extract_props"] = JSON_EXTRACT_PROPS_SQL

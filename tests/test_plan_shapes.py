@@ -415,3 +415,27 @@ def test_er_blocking_is_equi_join(spark):
     plan = _executed_plan(QUERIES["er_fuzzy_match_customers"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_market_basket_pair_join_on_order_key(spark):
+    """Pair generation must be an equi-join on l_orderkey (basket-bounded
+    fan-out) — a cartesian or part-keyed join would be quadratic in the
+    part count.  The 1-row order count is the only permissible nested
+    loop."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["market_basket_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "l_orderkey" in plan, plan
+
+
+def test_json_extract_no_python_single_scan(spark):
+    """JSON path extraction stays engine-native: one scan, no Python
+    evaluators, no joins."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["json_extract_props"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
