@@ -394,3 +394,139 @@ STREAMING_DEDUP_EXACT_SQL = _streaming_dedup_sql()
 
 QUERIES["streaming_dedup_exact"] = streaming_dedup_exact
 ORACLES["streaming_dedup_exact"] = STREAMING_DEDUP_EXACT_SQL
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful SESSION WINDOWS as a real streaming job: the native
+    ``session_window`` gap-merge (gap = 1 day) over the event stream's
+    (user_id, ts) rows, fed as three strictly time-ordered micro-batches
+    split on calendar day — so sessions that SPAN a batch boundary must be
+    carried in the state store and merged when their continuation
+    arrives.  A final far-future flush row (sentinel user -1, filtered
+    from the output) advances the watermark past every real session's
+    end, so append mode emits the complete session set exactly once.
+
+    Why the batch oracle is exact: batches are time-split and the
+    watermark delay equals the gap, so an event that could merge into a
+    session always arrives while that session is still open (an event
+    with ts >= wm cannot belong to a session the watermark already
+    closed), and no event is ever late-dropped.  Streaming output ≡
+    batch island sessionization — which is exactly what the DuckDB
+    oracle computes (a step STRICTLY greater than the gap starts a new
+    island: Spark merges an event landing exactly on the previous
+    session's end — pinned in tests/test_streaming_sessionize.py;
+    session_end = last event + gap).  Session tz pinned UTC like the other event-time jobs."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _sessionize_utc(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+SESSION_GAP = "1 day"
+SESSION_USER_MOD = 11
+
+
+def _sessionize_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .filter(F.col("user_id") % SESSION_USER_MOD == 0)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    day = F.dayofmonth("ts")
+    flush = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    input_dir = os.path.join(work, "in")
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    try:
+        ev.filter(day <= 10).coalesce(1).write.parquet(
+            os.path.join(input_dir, "b0")
+        )
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(input_dir)
+        )
+        sess = (
+            stream.withWatermark("ts", SESSION_GAP)
+            .groupBy(
+                F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ev.filter((day > 10) & (day <= 20)).coalesce(1).write.parquet(
+                os.path.join(input_dir, "b1")
+            )
+            q.processAllAvailable()
+            ev.filter(day > 20).coalesce(1).write.parquet(
+                os.path.join(input_dir, "b2")
+            )
+            q.processAllAvailable()
+            flush.coalesce(1).write.parquet(os.path.join(input_dir, "b3"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "session_start"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "session_end"
+                ),
+                F.col("n_events").cast("long").alias("n_events"),
+            )
+            .orderBy("user_id", "session_start")
+        )
+        rows = final.collect()  # materialize before the tmp dir vanishes
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts FROM events WHERE user_id % {SESSION_USER_MOD} = 0
+), flag AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), grp AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S.%f')
+         AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM grp
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES["streaming_sessionize"] = streaming_sessionize
+ORACLES["streaming_sessionize"] = STREAMING_SESSIONIZE_SQL
