@@ -88,6 +88,8 @@ HEADLINE = [
     "er_fuzzy_match_customers",
     "market_basket_pairs",
     "json_extract_props",
+    "ntile_rfm_segments",
+    "skyline_pareto_parts",
 ]
 
 

@@ -284,3 +284,81 @@ ORACLES = {
     "event_transition_matrix": EVENT_TRANSITION_MATRIX_SQL,
     "market_basket_pairs": MARKET_BASKET_PAIRS_SQL,
 }
+
+
+# --- RFM segmentation --------------------------------------------------------
+# Recency/Frequency/Monetary quartile segmentation — the classic CRM
+# cube.  Per-customer metrics come from one orders aggregate (shuffles on
+# o_custkey, DECIMAL monetary so ordering and sums are exact); quartiles
+# are ntile(4) windows over the CUSTOMER DIMENSION with explicit
+# custkey tie-breaks, so the bucket assignment is deterministic and
+# engine-identical.  Scale note: the ntile windows sort the ~|customers|
+# dimension rows, not the fact table — at 100 TB you'd swap exact ntile
+# for approx-percentile cutoffs; the fact-table work (the aggregate) is
+# already the scalable shape.  Recency anchors to the corpus's own max
+# order date (1-row broadcast), not wall-clock, so results are stable.
+def ntile_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    base = per_cust.join(F.broadcast(anchor)).withColumn(
+        "rec_days", F.datediff(F.col("anchor"), F.col("last_order"))
+    )
+    r = F.ntile(4).over(W.orderBy("rec_days", "o_custkey"))
+    f = F.ntile(4).over(W.orderBy(F.desc("freq"), F.asc("o_custkey")))
+    m = F.ntile(4).over(W.orderBy(F.desc("mon"), F.asc("o_custkey")))
+    seg = base.select(
+        "o_custkey",
+        "mon",
+        r.alias("r_q"),
+        f.alias("f_q"),
+        m.alias("m_q"),
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count("*").alias("n_customers"), F.sum("mon").alias("rev"))
+        .selectExpr(
+            "CAST(r_q AS BIGINT) AS r_q",
+            "CAST(f_q AS BIGINT) AS f_q",
+            "CAST(m_q AS BIGINT) AS m_q",
+            "CAST(n_customers AS BIGINT) AS n_customers",
+            "round(CAST(rev AS DOUBLE), 2) AS revenue",
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+NTILE_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+  FROM orders GROUP BY 1
+), anchor AS (
+  SELECT max(o_orderdate) AS anchor FROM orders
+), seg AS (
+  SELECT o_custkey, mon,
+         ntile(4) OVER (ORDER BY datediff('day', last_order, anchor),
+                        o_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS m_q
+  FROM per_cust CROSS JOIN anchor
+)
+SELECT CAST(r_q AS BIGINT) AS r_q,
+       CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(mon) AS DOUBLE), 2) AS revenue
+FROM seg
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+QUERIES["ntile_rfm_segments"] = ntile_rfm_segments
+ORACLES["ntile_rfm_segments"] = NTILE_RFM_SEGMENTS_SQL

@@ -459,3 +459,65 @@ ORDER BY 1, 2
 
 QUERIES["incremental_agg_maintenance"] = incremental_agg_maintenance
 ORACLES["incremental_agg_maintenance"] = INCREMENTAL_AGG_MAINTENANCE_SQL
+
+
+# --- skyline / Pareto front -------------------------------------------------
+# The 2-D skyline: parts (one brand's catalog — dominance only makes
+# sense within a comparable family) not dominated on (price low, size
+# high).  The Spark side is the SCALABLE formulation: collapse to
+# per-price max size (one aggregate), order by price, and keep points
+# whose size strictly exceeds the running max over STRICTLY cheaper
+# prices (lag of the cumulative max) — O(n log n), window-parallel after
+# per-price reduction, no pairwise comparisons.  The DuckDB oracle is the
+# INDEPENDENT quadratic definition — NOT EXISTS a dominating row — so a
+# green hash proves the window algebra implements dominance, not merely
+# that two copies of the same algorithm agree.
+SKYLINE_BRAND = "Brand#13"
+
+
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == SKYLINE_BRAND
+    ).select("p_partkey", "p_retailprice", "p_size")
+    pp = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = W.orderBy("p_retailprice").rowsBetween(W.unboundedPreceding, -1)
+    frontier = (
+        pp.withColumn("best_before", F.max("msize").over(w))
+        .filter(
+            F.col("best_before").isNull()
+            | (F.col("msize") > F.col("best_before"))
+        )
+        .select("p_retailprice", "msize")
+    )
+    return (
+        parts.join(frontier, "p_retailprice")
+        .filter(F.col("p_size") == F.col("msize"))
+        .selectExpr(
+            "CAST(p_partkey AS BIGINT) AS p_partkey",
+            "p_retailprice",
+            "CAST(p_size AS BIGINT) AS p_size",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SKYLINE_PARETO_PARTS_SQL = f"""
+WITH parts AS (
+  SELECT p_partkey, p_retailprice, p_size FROM part
+  WHERE p_brand = '{SKYLINE_BRAND}'
+)
+SELECT CAST(a.p_partkey AS BIGINT) AS p_partkey,
+       a.p_retailprice,
+       CAST(a.p_size AS BIGINT) AS p_size
+FROM parts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM parts b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+QUERIES["skyline_pareto_parts"] = skyline_pareto_parts
+ORACLES["skyline_pareto_parts"] = SKYLINE_PARETO_PARTS_SQL

@@ -439,3 +439,26 @@ def test_json_extract_no_python_single_scan(spark):
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_rfm_fact_agg_then_dimension_windows(spark):
+    """The orders fact table is aggregated BEFORE the ntile windows (the
+    windows sort only the customer dimension); one fact scan for the
+    metrics + one for the 1-row anchor, anchor attach broadcast."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["ntile_rfm_segments"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_skyline_window_formulation_no_pairwise(spark):
+    """The Spark side must be the O(n log n) running-max window, never the
+    oracle's quadratic NOT EXISTS (which would plan as a nested loop)."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["skyline_pareto_parts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
