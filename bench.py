@@ -90,6 +90,8 @@ HEADLINE = [
     "json_extract_props",
     "ntile_rfm_segments",
     "skyline_pareto_parts",
+    "reservoir_sample_docs",
+    "event_path_trigrams",
 ]
 
 

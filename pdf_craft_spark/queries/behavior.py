@@ -362,3 +362,64 @@ ORDER BY 1, 2, 3
 
 QUERIES["ntile_rfm_segments"] = ntile_rfm_segments
 ORACLES["ntile_rfm_segments"] = NTILE_RFM_SEGMENTS_SQL
+
+
+# --- sequential pattern mining (trigram paths) -------------------------------
+# Top-k most frequent 3-event behavioral paths: two lead() offsets over
+# the SAME per-user (ts, event_id) window the transition matrix uses (one
+# shuffle, shared ordering), counted and globally ranked with a
+# deterministic (count desc, path asc) tie-break.  The path space is
+# |types|³ ≤ 125, so the global rank window runs over a tiny aggregate —
+# the event volume only ever flows through the lead window.
+PATH_TOPK = 20
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("e1"),
+            F.col("t2").alias("e2"),
+            F.col("t3").alias("e3"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        W.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    )
+    return (
+        tri.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= PATH_TOPK)
+        .selectExpr("rk", "e1", "e2", "e3", "CAST(n AS BIGINT) AS n")
+        .orderBy("rk")
+    )
+
+
+EVENT_PATH_TRIGRAMS_SQL = f"""
+WITH tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+), counts AS (
+  SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+  FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT)
+              AS rk
+  FROM counts
+)
+SELECT rk, e1, e2, e3, n
+FROM ranked WHERE rk <= {PATH_TOPK}
+ORDER BY rk
+"""
+
+
+QUERIES["event_path_trigrams"] = event_path_trigrams
+ORACLES["event_path_trigrams"] = EVENT_PATH_TRIGRAMS_SQL

@@ -535,3 +535,48 @@ ORDER BY d.doc_id
 
 QUERIES["sample_mixture_by_lang"] = sample_mixture_by_lang
 ORACLES["sample_mixture_by_lang"] = SAMPLE_MIXTURE_BY_LANG_SQL
+
+
+# --- deterministic reservoir sample -----------------------------------------
+# Uniform k-sample without replacement as TOP-K BY HASH PRIORITY — the
+# distributed reservoir: priority = md5(doc_id) is uniform and content-
+# stable, so the global k smallest-priority docs are a uniform sample
+# that is (a) reproducible across reruns/appends/repartitioning (unlike
+# rand()), and (b) MERGEABLE: top-k of a union == top-k of per-shard
+# top-ks, so executors reduce locally and ship k rows each — Spark plans
+# the orderBy().limit(k) as TakeOrderedAndProject, exactly that shape.
+# The tie-break is the hash itself (collision-free on distinct doc_ids).
+RESERVOIR_K = 100
+
+
+def reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "md5(CAST(doc_id AS STRING)) AS priority", "n_chars"
+    )
+    sample = docs.orderBy("priority").limit(RESERVOIR_K)
+    return sample.select(
+        F.row_number().over(W.orderBy("priority")).cast("long").alias("rk"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "priority",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("rk")
+
+
+RESERVOIR_SAMPLE_DOCS_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS priority, n_chars
+  FROM documents
+), topk AS (
+  SELECT * FROM pri ORDER BY priority LIMIT {RESERVOIR_K}
+)
+SELECT CAST(row_number() OVER (ORDER BY priority) AS BIGINT) AS rk,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       priority,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM topk
+ORDER BY rk
+"""
+
+
+QUERIES["reservoir_sample_docs"] = reservoir_sample_docs
+ORACLES["reservoir_sample_docs"] = RESERVOIR_SAMPLE_DOCS_SQL

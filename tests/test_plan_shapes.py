@@ -462,3 +462,24 @@ def test_skyline_window_formulation_no_pairwise(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_reservoir_is_take_ordered_no_global_sort(spark):
+    """The hash-priority sample must plan as TakeOrderedAndProject (per-
+    partition top-k reduce, k rows shipped per task) — a full global Sort
+    of the corpus here would be the non-scalable formulation."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["reservoir_sample_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_trigram_paths_single_user_shuffle(spark):
+    """Both lead offsets share one user_id window partitioning; the rank
+    window runs over the ≤125-row path aggregate."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["event_path_trigrams"](spark, SF_DIR))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
