@@ -92,6 +92,7 @@ HEADLINE = [
     "skyline_pareto_parts",
     "reservoir_sample_docs",
     "event_path_trigrams",
+    "dq_profile_documents",
 ]
 
 

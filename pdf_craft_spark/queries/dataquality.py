@@ -195,3 +195,94 @@ ORACLES = {
     "dq_expectations_orders": DQ_EXPECTATIONS_ORDERS_SQL,
     "er_fuzzy_match_customers": ER_FUZZY_MATCH_CUSTOMERS_SQL,
 }
+
+
+# --- column profiling --------------------------------------------------------
+# The profiling sibling of the expectations sweep: per-column row/null/
+# distinct counts and value ranges over documents, all computed in ONE
+# aggregate pass (multiple distinct aggregates plan via Expand — still a
+# single scan) and unpivoted to the per-column report a catalog ingests.
+# The free-text column profiles LENGTH bounds rather than lexicographic
+# min/max, so unicode collation differences between engines never enter.
+def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        # doc_id
+        "CAST(count(*) - count(doc_id) AS BIGINT) AS id_nulls",
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS id_distinct",
+        "CAST(min(doc_id) AS STRING) AS id_min",
+        "CAST(max(doc_id) AS STRING) AS id_max",
+        # lang
+        "CAST(count(*) - count(lang) AS BIGINT) AS lang_nulls",
+        "CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct",
+        "CAST(min(lang) AS STRING) AS lang_min",
+        "CAST(max(lang) AS STRING) AS lang_max",
+        # source
+        "CAST(count(*) - count(source) AS BIGINT) AS src_nulls",
+        "CAST(count(DISTINCT source) AS BIGINT) AS src_distinct",
+        "CAST(min(source) AS STRING) AS src_min",
+        "CAST(max(source) AS STRING) AS src_max",
+        # n_chars
+        "CAST(count(*) - count(n_chars) AS BIGINT) AS nc_nulls",
+        "CAST(count(DISTINCT n_chars) AS BIGINT) AS nc_distinct",
+        "CAST(min(n_chars) AS STRING) AS nc_min",
+        "CAST(max(n_chars) AS STRING) AS nc_max",
+        # text (length profile)
+        "CAST(count(*) - count(text) AS BIGINT) AS tx_nulls",
+        "CAST(count(DISTINCT length(text)) AS BIGINT) AS tx_distinct",
+        "CAST(min(length(text)) AS STRING) AS tx_min",
+        "CAST(max(length(text)) AS STRING) AS tx_max",
+    )
+    return wide.selectExpr(
+        "stack(5,"
+        " 'doc_id', id_nulls, id_distinct, id_min, id_max,"
+        " 'lang', lang_nulls, lang_distinct, lang_min, lang_max,"
+        " 'n_chars', nc_nulls, nc_distinct, nc_min, nc_max,"
+        " 'source', src_nulls, src_distinct, src_min, src_max,"
+        " 'text_len', tx_nulls, tx_distinct, tx_min, tx_max"
+        ") AS (col_name, n_null, n_distinct, min_repr, max_repr)",
+        "n_rows",
+    ).orderBy("col_name")
+
+
+DQ_PROFILE_DOCUMENTS_SQL = """
+WITH wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(doc_id) AS BIGINT) AS id_nulls,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS id_distinct,
+         CAST(min(doc_id) AS VARCHAR) AS id_min,
+         CAST(max(doc_id) AS VARCHAR) AS id_max,
+         CAST(count(*) - count(lang) AS BIGINT) AS lang_nulls,
+         CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+         CAST(min(lang) AS VARCHAR) AS lang_min,
+         CAST(max(lang) AS VARCHAR) AS lang_max,
+         CAST(count(*) - count(source) AS BIGINT) AS src_nulls,
+         CAST(count(DISTINCT source) AS BIGINT) AS src_distinct,
+         CAST(min(source) AS VARCHAR) AS src_min,
+         CAST(max(source) AS VARCHAR) AS src_max,
+         CAST(count(*) - count(n_chars) AS BIGINT) AS nc_nulls,
+         CAST(count(DISTINCT n_chars) AS BIGINT) AS nc_distinct,
+         CAST(min(n_chars) AS VARCHAR) AS nc_min,
+         CAST(max(n_chars) AS VARCHAR) AS nc_max,
+         CAST(count(*) - count(text) AS BIGINT) AS tx_nulls,
+         CAST(count(DISTINCT length(text)) AS BIGINT) AS tx_distinct,
+         CAST(min(length(text)) AS VARCHAR) AS tx_min,
+         CAST(max(length(text)) AS VARCHAR) AS tx_max
+  FROM documents
+), rows_out AS (
+  SELECT 'doc_id' AS col_name, id_nulls AS n_null, id_distinct AS n_distinct,
+         id_min AS min_repr, id_max AS max_repr, n_rows FROM wide
+  UNION ALL SELECT 'lang', lang_nulls, lang_distinct, lang_min, lang_max, n_rows FROM wide
+  UNION ALL SELECT 'n_chars', nc_nulls, nc_distinct, nc_min, nc_max, n_rows FROM wide
+  UNION ALL SELECT 'source', src_nulls, src_distinct, src_min, src_max, n_rows FROM wide
+  UNION ALL SELECT 'text_len', tx_nulls, tx_distinct, tx_min, tx_max, n_rows FROM wide
+)
+SELECT col_name, n_null, n_distinct, min_repr, max_repr, n_rows
+FROM rows_out
+ORDER BY col_name
+"""
+
+
+QUERIES["dq_profile_documents"] = dq_profile_documents
+ORACLES["dq_profile_documents"] = DQ_PROFILE_DOCUMENTS_SQL

@@ -483,3 +483,14 @@ def test_trigram_paths_single_user_shuffle(spark):
     plan = _executed_plan(QUERIES["event_path_trigrams"](spark, SF_DIR))
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_profile_single_scan(spark):
+    """All five column profiles (incl. the multi-distinct counts) must
+    come from ONE scan of documents — the Expand-based multi-distinct
+    plan, never five per-column scans."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["dq_profile_documents"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
