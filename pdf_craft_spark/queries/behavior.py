@@ -204,10 +204,16 @@ MB_PPM = 1_000_000
 
 
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the deduped basket list feeds FIVE plan branches (both pair sides,
+    # two per-part counts, the order count); materialize it once or
+    # Catalyst re-derives the scan+distinct per branch (measured: 5 scans
+    # / 18 aggregates, 2.3-4.1s -> 1 scan at sf0.1).  localCheckpoint ==
+    # the written basket table a production run would read.
     li = (
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
