@@ -48,7 +48,9 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS date_out_of_range",
         "CAST(sum(CASE WHEN o_orderpriority NOT LIKE '_-%' THEN 1 ELSE 0 END)"
         " AS BIGINT) AS bad_priority",
-    )
+    ).localCheckpoint(eager=True)  # 1 row; both references (stack sweep +
+    # orphan n_checked attach) must read it, or Catalyst re-derives the
+    # whole conditional aggregate — a third fact-table scan at 100 TB
     checks = wide.selectExpr(
         "stack(6,"
         " 'key_not_null', null_key,"

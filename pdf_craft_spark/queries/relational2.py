@@ -9,6 +9,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _md5pl
 from pdf_craft_spark.queries.similarity import _DOT
 
 
@@ -336,9 +337,7 @@ SCD2_OPEN = 9999
 
 
 def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
-
-    pct = md5_prefix_long_sql("CAST(c_custkey AS STRING)", 4, "spark") + " % 100"
+    pct = _md5pl("CAST(c_custkey AS STRING)", 4, "spark") + " % 100"
     cust = _t(spark, sf_dir, "customer")
     upd = cust.selectExpr("c_custkey", "c_acctbal", f"({pct}) AS pct").filter(
         F.col("pct") < SCD2_UPD_PCT
@@ -366,8 +365,6 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return old_rows.unionByName(new_rows).orderBy("c_custkey", "valid_from")
 
-
-from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _md5pl
 
 SCD2_CUSTOMER_HISTORY_SQL = f"""
 WITH upd AS (
@@ -413,9 +410,7 @@ INC_AGG_BASE_PCT = 80
 
 
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
-
-    pct = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 4, "spark") + " % 100"
+    pct = _md5pl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 100"
     orders = _t(spark, sf_dir, "orders").selectExpr(
         "substr(CAST(o_orderdate AS STRING), 1, 7) AS month",
         "o_orderstatus AS status",

@@ -136,13 +136,20 @@ ORACLES = {"source_roundtrip_fidelity": SOURCE_ROUNDTRIP_FIDELITY_SQL}
 # payload every real event stream has).  Extraction happens ONCE in a
 # projection — get_json_object / json_extract_string are engine-native
 # JSON path evaluation, no Python — and the typed value then flows into a
-# normal grouped aggregate.  NULL-safe by construction: a missing key or
-# malformed document yields NULL in both engines and drops out of the
-# aggregates identically.  At scale this is the schema-on-read pattern:
-# the parse cost rides the scan, and only the extracted integer shuffles.
+# normal grouped aggregate.  NULL-safe by validation, not by luck: the
+# extracted string is regex-checked as an integer literal BEFORE the
+# cast, because the engines' raw cast edges diverge (Spark 4 ANSI mode
+# throws on '6.5', DuckDB CAST rounds it to 7) — a missing key, a
+# non-integer number, or malformed JSON all become NULL in BOTH engines
+# and drop out of the aggregates identically.  At scale this is the
+# schema-on-read pattern: the parse cost rides the scan, and only the
+# extracted integer shuffles.
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    k = F.expr(
+        "CAST(CASE WHEN get_json_object(props, '$.k') RLIKE '^-?[0-9]+$'"
+        " THEN get_json_object(props, '$.k') END AS BIGINT)"
+    )
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -168,10 +175,17 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_EXTRACT_PROPS_SQL = """
-WITH parsed AS (
+WITH raw AS (
+  -- TRY_CAST validates: DuckDB's json_extract_string THROWS on
+  -- malformed JSON where Spark's get_json_object returns NULL
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         json_extract_string(TRY_CAST(props AS JSON), '$.k') AS ks
   FROM events
+), parsed AS (
+  SELECT event_type,
+         CAST(CASE WHEN regexp_full_match(coalesce(ks, ''), '-?[0-9]+')
+               THEN ks END AS BIGINT) AS k
+  FROM raw
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,

@@ -400,7 +400,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful SESSION WINDOWS as a real streaming job: the native
     ``session_window`` gap-merge (gap = 1 day) over the event stream's
     (user_id, ts) rows, fed as three strictly time-ordered micro-batches
-    split on calendar day — so sessions that SPAN a batch boundary must be
+    split at time-tertile cuts DERIVED FROM THE DATA's own [min, max] ts
+    span (a fixed calendar split would silently lose the time-ordering
+    precondition on a corpus spanning multiple months) — so sessions
+    that SPAN a batch boundary must be
     carried in the state store and merged when their continuation
     arrives.  A final far-future flush row (sentinel user -1, filtered
     from the output) advances the watermark past every real session's
@@ -434,7 +437,11 @@ def _sessionize_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % SESSION_USER_MOD == 0)
         .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     )
-    day = F.dayofmonth("ts")
+    # 1-row stats collect (house-permitted): the two batch-cut instants
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    c1 = lo + span / 3
+    c2 = lo + 2 * (span / 3)
     flush = spark.range(1).select(
         F.lit(-1).cast("long").alias("user_id"),
         F.to_timestamp(F.lit("2030-01-01 00:00:00")).alias("ts"),
@@ -443,7 +450,7 @@ def _sessionize_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_dir = os.path.join(work, "in")
     name = f"sess_{uuid.uuid4().hex[:10]}"
     try:
-        ev.filter(day <= 10).coalesce(1).write.parquet(
+        ev.filter(F.col("ts") < F.lit(c1)).coalesce(1).write.parquet(
             os.path.join(input_dir, "b0")
         )
         stream = (
@@ -468,11 +475,11 @@ def _sessionize_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            ev.filter((day > 10) & (day <= 20)).coalesce(1).write.parquet(
-                os.path.join(input_dir, "b1")
-            )
+            ev.filter(
+                (F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2))
+            ).coalesce(1).write.parquet(os.path.join(input_dir, "b1"))
             q.processAllAvailable()
-            ev.filter(day > 20).coalesce(1).write.parquet(
+            ev.filter(F.col("ts") >= F.lit(c2)).coalesce(1).write.parquet(
                 os.path.join(input_dir, "b2")
             )
             q.processAllAvailable()

@@ -404,6 +404,11 @@ def test_dq_expectations_anti_join_not_nested(spark):
     nested = [seg for seg in plan.split("BroadcastNestedLoopJoin")[1:]]
     # the only permissible nested loop is the 1-row n_rows attach
     assert len(nested) <= 1, plan
+    # the sweep aggregate is materialized once (ExistingRDD); orders is
+    # scanned exactly twice (sweep + anti-join probe), customer once —
+    # a third orders scan means the n_rows attach re-derived the sweep
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
 
 
 def test_er_blocking_is_equi_join(spark):
