@@ -93,6 +93,7 @@ HEADLINE = [
     "reservoir_sample_docs",
     "event_path_trigrams",
     "dq_profile_documents",
+    "graph_label_propagation",
 ]
 
 

@@ -249,3 +249,106 @@ GRAPH_TRIANGLE_STATS_SQL = _triangle_stats_sql()
 
 QUERIES["graph_triangle_stats"] = graph_triangle_stats
 ORACLES["graph_triangle_stats"] = GRAPH_TRIANGLE_STATS_SQL
+
+
+# --- label propagation communities ------------------------------------------
+# The fourth graph operator: synchronous label propagation over the
+# near-dup graph.  LPA's usual nondeterminism (random tie-breaks, async
+# update order) is removed the house way: SYNCHRONOUS rounds, new label
+# = the most frequent label among neighbors with ties broken by SMALLEST
+# label, FIXED round count — every round is then a pure function of the
+# previous labeling, identical in both engines, and the DuckDB oracle
+# unrolls the same rounds as generated CTEs (the PageRank discipline,
+# minus the arithmetic because labels are ids, not mass).  Each round is
+# one edge-keyed join + one (v,label) count + one per-v argmax window —
+# the Pregel shape, lineage cut per round via localCheckpoint (the
+# written iteration table at prod).  Communities out: per-node final
+# label + community size.
+LPA_ITERS = 2
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.selectExpr("doc_a AS v", "doc_b AS u")
+        .unionAll(pairs.selectExpr("doc_b AS v", "doc_a AS u"))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("v").distinct().selectExpr("v", "v AS lab")
+    for _ in range(LPA_ITERS):
+        freq = (
+            edges.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rk = F.row_number().over(
+            W.partitionBy("v").orderBy(F.desc("c"), F.asc("lab"))
+        )
+        labels = (
+            freq.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=True)
+        )
+    size = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(size, "lab")
+        .selectExpr(
+            "v AS doc_id",
+            "CAST(lab AS BIGINT) AS community",
+            "CAST(community_size AS BIGINT) AS community_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _label_propagation_sql() -> str:
+    from pdf_craft_spark.queries.dedup import DEDUP_MINHASH_LSH_SQL
+
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""f{i} AS (
+  SELECT e.v, l.lab, count(*) AS c
+  FROM edges e JOIN l{i - 1} l ON l.v = e.u
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rk
+    FROM f{i}
+  ) WHERE rk = 1
+)""")
+    last = f"l{LPA_ITERS}"
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+), edges AS (
+  SELECT doc_a AS v, doc_b AS u FROM pairs
+  UNION ALL
+  SELECT doc_b AS v, doc_a AS u FROM pairs
+), l0 AS (
+  SELECT DISTINCT v, v AS lab FROM edges
+), {", ".join(rounds)}, csize AS (
+  SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+  FROM {last} GROUP BY 1
+)
+SELECT {last}.v AS doc_id,
+       CAST({last}.lab AS BIGINT) AS community,
+       csize.community_size
+FROM {last} JOIN csize USING (lab)
+ORDER BY doc_id
+"""
+
+
+GRAPH_LABEL_PROPAGATION_SQL = _label_propagation_sql()
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLES["graph_label_propagation"] = GRAPH_LABEL_PROPAGATION_SQL

@@ -499,3 +499,17 @@ def test_profile_single_scan(spark):
     plan = _executed_plan(QUERIES["dq_profile_documents"](spark, SF_DIR))
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_label_propagation_rounds_read_materialized_tables(spark):
+    """Each LPA round must read the materialized edge/label tables
+    (ExistingRDD) — a parquet scan means Catalyst re-derived the
+    minhash pipeline into an iteration; the argmax is a window over the
+    (v,label) aggregate, no nested loops anywhere."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["graph_label_propagation"](spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -331,3 +331,34 @@ def test_triangle_stats_on_known_graph():
     assert got[3] == (3, 3, 3, 1_000_000)
     assert got[4] == (4, 6, 3, 500_000)
     assert got[5] == (1, 0, 0, 0)
+
+
+def test_label_propagation_on_known_graph():
+    """Swap the pairs CTE for two cliques bridged by one edge: K3
+    {1,2,3} and K3 {4,5,6} joined by (3,4).  After round 1 every node
+    holds its neighborhood min; round 2's frequency argmax keeps the two
+    communities labeled 1 and 4 — the bridge must NOT merge them under
+    the most-frequent/smallest-tie rule.  Checks sizes and the exact
+    final labeling."""
+    import duckdb
+
+    from pdf_craft_spark.queries.graphq import GRAPH_LABEL_PROPAGATION_SQL
+
+    head, tail = GRAPH_LABEL_PROPAGATION_SQL.split("), edges AS (", 1)
+    sql = (
+        "WITH pairs AS (SELECT * FROM (VALUES (1, 2), (1, 3), (2, 3), "
+        "(4, 5), (4, 6), (5, 6), (3, 4)) v(doc_a, doc_b)), edges AS ("
+        + tail
+    )
+    got = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
+    # hand-traced for the deterministic rule: round 1 maps each node to
+    # its neighborhood min (1->2, 2->1, 3->1, 4->3, 5->4, 6->4); round
+    # 2's frequency argmax settles the first clique on label 1 while the
+    # second clique — still mid-oscillation after 2 sync rounds — lands
+    # on {4: label 4 (freq 2), 5: 3, 6: 3}.  The exact values pin BOTH
+    # the tie rule (min label at equal frequency) and the fixed
+    # synchronous round count; the bridge never merges the cliques.
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 1), 5: (3, 2), 6: (3, 2),
+    }, got
