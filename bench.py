@@ -94,6 +94,7 @@ HEADLINE = [
     "event_path_trigrams",
     "dq_profile_documents",
     "graph_label_propagation",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -516,3 +516,101 @@ ORDER BY p_partkey
 
 QUERIES["skyline_pareto_parts"] = skyline_pareto_parts
 ORACLES["skyline_pareto_parts"] = SKYLINE_PARETO_PARTS_SQL
+
+
+# --- CDC snapshot diff -------------------------------------------------------
+# The table-diff operator every ingestion pipeline needs: old snapshot
+# vs new snapshot -> typed change rows (I/U/D), computed as ONE
+# full-outer join on the key with column comparison — inserts are
+# new-side-only keys, deletes old-side-only, updates keys present on
+# both sides with any tracked column changed; unchanged rows vanish.
+# The "new" snapshot is derived deterministically from the dimension
+# itself (md5-pct: <5 deleted, 5..14 balance-updated, >=95 cloned as
+# inserts under shifted keys), so both engines diff identical inputs.
+# At scale this is a key-partitioned join of two snapshots — the shape
+# Iceberg/Delta CDC readers materialize incrementally; doing it
+# relationally is the fallback every lakehouse needs when a table has
+# no change log.
+CDC_DEL_PCT = 5
+CDC_UPD_PCT = 15
+CDC_INS_PCT = 95
+CDC_INS_KEY_SHIFT = 10_000_000
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct = _md5pl("CAST(c_custkey AS STRING)", 4, "spark") + " % 100"
+    old = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_mktsegment", "c_acctbal", f"({pct}) AS pct"
+    )
+    new = old.filter(F.col("pct") >= CDC_DEL_PCT).selectExpr(
+        "c_custkey",
+        f"CASE WHEN pct < {CDC_UPD_PCT} THEN 'UPDATED' ELSE c_mktsegment END"
+        " AS c_mktsegment",
+        f"CASE WHEN pct < {CDC_UPD_PCT} THEN c_acctbal + 100.0 ELSE c_acctbal"
+        " END AS c_acctbal",
+    ).unionByName(
+        old.filter(F.col("pct") >= CDC_INS_PCT).selectExpr(
+            f"c_custkey + {CDC_INS_KEY_SHIFT} AS c_custkey",
+            "'NEW' AS c_mktsegment",
+            "c_acctbal",
+        )
+    )
+    o = old.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("old_seg"),
+        F.col("c_acctbal").alias("old_bal"),
+    )
+    n = new.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("new_seg"),
+        F.col("c_acctbal").alias("new_bal"),
+    )
+    return (
+        o.join(n, "key", "full_outer")
+        .selectExpr(
+            "key",
+            "CASE WHEN old_seg IS NULL THEN 'I'"
+            "     WHEN new_seg IS NULL THEN 'D'"
+            "     ELSE 'U' END AS op",
+            "old_seg", "new_seg", "old_bal", "new_bal",
+        )
+        .filter(
+            "op != 'U' OR old_seg != new_seg OR old_bal != new_bal"
+        )
+        .orderBy("key")
+    )
+
+
+CDC_SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         ({_md5pl("CAST(c_custkey AS VARCHAR)", 4, "duck")} % 100) AS pct
+  FROM customer
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN pct < {CDC_UPD_PCT} THEN 'UPDATED' ELSE c_mktsegment END
+           AS c_mktsegment,
+         CASE WHEN pct < {CDC_UPD_PCT} THEN c_acctbal + 100.0 ELSE c_acctbal
+           END AS c_acctbal
+  FROM old WHERE pct >= {CDC_DEL_PCT}
+  UNION ALL
+  SELECT c_custkey + {CDC_INS_KEY_SHIFT}, 'NEW', c_acctbal
+  FROM old WHERE pct >= {CDC_INS_PCT}
+), d AS (
+  SELECT coalesce(o.c_custkey, n.c_custkey) AS key,
+         CASE WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN n.c_custkey IS NULL THEN 'D'
+              ELSE 'U' END AS op,
+         o.c_mktsegment AS old_seg, n.c_mktsegment AS new_seg,
+         o.c_acctbal AS old_bal, n.c_acctbal AS new_bal
+  FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+)
+SELECT key, op, old_seg, new_seg, old_bal, new_bal
+FROM d
+WHERE op != 'U' OR old_seg != new_seg OR old_bal != new_bal
+ORDER BY key
+"""
+
+
+QUERIES["cdc_snapshot_diff"] = cdc_snapshot_diff
+ORACLES["cdc_snapshot_diff"] = CDC_SNAPSHOT_DIFF_SQL

@@ -513,3 +513,31 @@ def test_label_propagation_rounds_read_materialized_tables(spark):
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Both join inputs read bucketed tables with matching specs, so the
+    join must consume them with ZERO exchanges on either side — the only
+    exchange in the whole plan is the post-join nation aggregate.  (The
+    plan is captured inside the query run, before its temp tables drop.)"""
+    from pdf_craft_spark.queries import QUERIES
+    import pdf_craft_spark.queries.sourcesq as sq
+
+    QUERIES["bucketed_join_colocate"](spark, SF_DIR).collect()
+    plan = sq._LAST_BUCKETED_PLAN
+    assert "SortMergeJoin" in plan, plan
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning(c_custkey" not in join_subtree, plan
+    assert "Exchange hashpartitioning(o_custkey" not in join_subtree, plan
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
+def test_cdc_diff_single_full_outer(spark):
+    """The snapshot diff is ONE full-outer equi-join on the key; no
+    nested loops, and the customer source feeds both sides (≤2 scans)."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["cdc_snapshot_diff"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan, plan
