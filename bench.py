@@ -95,6 +95,8 @@ HEADLINE = [
     "dq_profile_documents",
     "graph_label_propagation",
     "cdc_snapshot_diff",
+    "rolling_revenue_7d",
+    "sequence_gap_detection",
 ]
 
 

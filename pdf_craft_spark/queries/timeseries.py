@@ -463,3 +463,112 @@ ORDER BY h
 
 QUERIES["timeseries_gap_fill"] = timeseries_gap_fill
 ORACLES["timeseries_gap_fill"] = TIMESERIES_GAP_FILL_SQL
+
+
+# --- rolling 7-day revenue (RANGE frame) ------------------------------------
+# The moving-aggregate shape with a true RANGE frame: per order DAY, the
+# revenue and order count over that day and the 6 VALUE-preceding days —
+# a RANGE frame over the integer day key, so calendar gaps are honored
+# (a ROWS frame would silently span them).  Daily pre-aggregation first:
+# the window then slides over ≤|days| rows, not the fact table, and the
+# DECIMAL partials re-aggregate exactly.  One shuffle for the daily agg;
+# the ordered window runs over the day spine.
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS day",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("price").alias("rev"))
+    )
+    w = W.orderBy("day").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("n_7d", F.sum("n").over(w))
+        .withColumn("rev_7d", F.sum("rev").over(w))
+        .selectExpr(
+            "CAST(day AS BIGINT) AS day",
+            "CAST(date_add(DATE '1970-01-01', CAST(day AS INT)) AS STRING)"
+            " AS day_date",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(n_7d AS BIGINT) AS n_7d",
+            "round(CAST(rev AS DOUBLE), 2) AS revenue",
+            "round(CAST(rev_7d AS DOUBLE), 2) AS revenue_7d",
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_REVENUE_7D_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(CAST(DATE '1970-01-01' + to_days(CAST(day AS INT)) AS DATE)
+            AS VARCHAR) AS day_date,
+       n,
+       CAST(sum(n) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND
+                         CURRENT ROW) AS BIGINT) AS n_7d,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST(sum(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE), 2)
+         AS revenue_7d
+FROM daily
+ORDER BY day
+"""
+
+
+QUERIES["rolling_revenue_7d"] = rolling_revenue_7d
+ORACLES["rolling_revenue_7d"] = ROLLING_REVENUE_7D_SQL
+
+
+# --- gaps and islands over the event-id sequence ----------------------------
+# The sequence-integrity operator: given an id stream with holes (a 3%
+# deterministic drop stands in for lost deliveries), report every
+# missing RANGE as (gap_start, gap_end, gap_len) — the gaps half of the
+# classic gaps-and-islands pattern, via lag() over the ordered surviving
+# ids.  The window orders the GLOBAL id sequence; at scale you'd run it
+# per partition-key (e.g. per shard/day) — the per-user variant is
+# exactly what sessionize already does with time instead of ids.
+GAP_DROP_MOD = 31
+
+
+def sequence_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").selectExpr("event_id AS id").filter(
+        F.col("id") % GAP_DROP_MOD != 0
+    )
+    w = W.orderBy("id")
+    return (
+        ev.withColumn("prev", F.lag("id").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1))
+        .selectExpr(
+            "CAST(prev + 1 AS BIGINT) AS gap_start",
+            "CAST(id - 1 AS BIGINT) AS gap_end",
+            "CAST(id - prev - 1 AS BIGINT) AS gap_len",
+        )
+        .orderBy("gap_start")
+    )
+
+
+SEQUENCE_GAP_DETECTION_SQL = f"""
+WITH ids AS (
+  SELECT event_id AS id FROM events WHERE event_id % {GAP_DROP_MOD} != 0
+), lagged AS (
+  SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids
+)
+SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(id - 1 AS BIGINT) AS gap_end,
+       CAST(id - prev - 1 AS BIGINT) AS gap_len
+FROM lagged
+WHERE prev IS NOT NULL AND id - prev > 1
+ORDER BY gap_start
+"""
+
+
+QUERIES["sequence_gap_detection"] = sequence_gap_detection
+ORACLES["sequence_gap_detection"] = SEQUENCE_GAP_DETECTION_SQL

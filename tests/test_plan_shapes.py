@@ -541,3 +541,14 @@ def test_cdc_diff_single_full_outer(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FullOuter" in plan, plan
+
+
+def test_rolling_window_slides_over_daily_aggregate(spark):
+    """The RANGE frame must slide over the pre-aggregated day spine, not
+    raw orders: one scan, one agg exchange, the window above the agg."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["rolling_revenue_7d"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan and "Window" in plan, plan
