@@ -27,18 +27,25 @@ def test_order_is_least_recently_verified_first():
     assert rounds == sorted(rounds), "registry must be ordered oldest-verified first"
 
 
-def test_rotation_covers_every_query_within_two_rounds():
-    """With the observed cap, the queries a sweep skips are exactly the
-    most recently verified — so they lead the next round's order."""
+def test_rotation_skips_only_the_most_recently_verified():
+    """Cap-agnostic rotation invariant: every query a sweep skips must be
+    at least as recently verified as every query it checks — i.e. the
+    order is monotone in last-verified round, so staleness is bounded by
+    ceil(|registry| / cap) rounds and nothing can starve.  (The registry
+    has outgrown 2x the observed cap, so the stronger within-two-rounds
+    claim no longer holds by arithmetic — full coverage now takes
+    ceil(105/50) = 3 rounds, which the oldest-first order achieves.)"""
     keys = list(QUERIES)
     skipped = keys[OBSERVED_CAP:]
     if not skipped:
         return
-    latest = max(_LAST_VERIFIED.values(), default=-1)
+    newest_swept = max(
+        _LAST_VERIFIED.get(q, -1) for q in keys[:OBSERVED_CAP]
+    )
     for q in skipped:
-        assert _LAST_VERIFIED.get(q, -1) == latest, (
-            f"{q} would be skipped this round but was not verified in the "
-            f"latest recorded round {latest} — rotation is broken"
+        assert _LAST_VERIFIED.get(q, -1) >= newest_swept, (
+            f"{q} would be skipped this round but is staler than a swept "
+            f"query — rotation is broken"
         )
 
 
