@@ -97,6 +97,8 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "rolling_revenue_7d",
     "sequence_gap_detection",
+    "cep_pattern_match",
+    "text_lm_bigram_score",
 ]
 
 

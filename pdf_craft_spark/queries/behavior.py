@@ -429,3 +429,54 @@ ORDER BY rk
 
 QUERIES["event_path_trigrams"] = event_path_trigrams
 ORACLES["event_path_trigrams"] = EVENT_PATH_TRIGRAMS_SQL
+
+
+# --- CEP pattern match (MATCH_RECOGNIZE-lite) --------------------------------
+# Complex-event-processing over per-user event sequences: each user's
+# events collapse to an ordered symbol string (first letter of the
+# type, (ts, event_id)-sorted so ties are deterministic), and a regular
+# expression — 's[vc]*p': signup, then only views/clicks, then purchase
+# — classifies the sequence.  This is the portable core of SQL
+# MATCH_RECOGNIZE: the sequence build is one user-keyed aggregate, the
+# pattern runs engine-native (Java regex vs RE2 agree on this
+# alternation-free class), and per-user state is bounded by that user's
+# event count.  Pattern symbols: s=signup c=click v=view p=purchase
+# e=error.
+CEP_PATTERN = "s[vc]*p"
+
+
+def cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))),"
+            " x -> substr(x.event_type, 1, 1)), '')"
+        ).alias("seq")
+    )
+    return seqs.selectExpr(
+        "user_id",
+        "CAST(length(seq) AS BIGINT) AS seq_len",
+        "substr(seq, 1, 20) AS seq_head",
+        f"seq RLIKE '{CEP_PATTERN}' AS matched",
+    ).orderBy("user_id")
+
+
+CEP_PATTERN_MATCH_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       substr(seq, 1, 20) AS seq_head,
+       regexp_matches(seq, '{CEP_PATTERN}') AS matched
+FROM seqs
+ORDER BY user_id
+"""
+
+
+QUERIES["cep_pattern_match"] = cep_pattern_match
+ORACLES["cep_pattern_match"] = CEP_PATTERN_MATCH_SQL

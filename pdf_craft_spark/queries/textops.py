@@ -555,3 +555,99 @@ FROM s ORDER BY doc_id
 
 QUERIES["text_repetition_filter"] = text_repetition_filter
 ORACLES["text_repetition_filter"] = TEXT_REPETITION_FILTER_SQL
+
+
+# --- bigram language-model coverage filter ----------------------------------
+# The CCNet/Gopher-style LM quality gate, integer-exact: a bigram table
+# "trained" on the train split (content-hash pct < 90, the same split
+# rule split_train_val_test ships) scores every held-out doc by the
+# fraction of its word bigrams the table knows — coverage in ppm, the
+# divergence-free stand-in for perplexity (a real LM's float logprobs
+# can never hash-match across engines; the coverage rank order is what a
+# filter thresholds anyway).  Tokens are the house ASCII-word rule;
+# bigrams come from posexplode + a lead window (codegen, the
+# text_repetition_filter lesson); the trained table is DISTINCT bigrams
+# — broadcast-sized for any closed vocabulary, exactly like a real
+# pipeline broadcasts its LM scoring table.
+LM_TRAIN_PCT = 90
+
+
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pdf_craft_spark.queries.dedup import hash_pct
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text", hash_pct().alias("pct")
+    )
+    toks = docs.select(
+        "doc_id",
+        "pct",
+        F.posexplode(
+            F.expr("regexp_extract_all(text, '[A-Za-z]{3,}', 0)")
+        ).alias("pos", "t"),
+    ).select("doc_id", "pct", "pos", F.lower("t").alias("t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("t2", F.lead("t").over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", "pct", F.concat_ws(" ", "t", "t2").alias("bg"))
+    )
+    trained = (
+        bigrams.filter(F.col("pct") < LM_TRAIN_PCT).select("bg").distinct()
+    )
+    val = bigrams.filter(F.col("pct") >= LM_TRAIN_PCT)
+    known = F.broadcast(trained.withColumn("known", F.lit(1)))
+    return (
+        val.join(known, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("known"), F.lit(0))).alias("n_known"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "CAST(n_known AS BIGINT) AS n_known",
+            "CAST((1000000 * n_known) DIV n_bigrams AS BIGINT)"
+            " AS coverage_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_bigram_sql() -> str:
+    from pdf_craft_spark.queries.dedup import HASH_PCT_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {HASH_PCT_SQL} AS pct,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z]{{3,}}'), 1)
+           AS pos,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]{{3,}}'))) AS t
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, pct,
+         t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM toks
+  QUALIFY lead(t) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), trained AS (
+  SELECT DISTINCT bg FROM bigrams WHERE pct < {LM_TRAIN_PCT}
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_known,
+       CAST((1000000 * sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM bigrams b LEFT JOIN trained t USING (bg)
+WHERE b.pct >= {LM_TRAIN_PCT}
+GROUP BY 1
+ORDER BY doc_id
+"""
+
+
+TEXT_LM_BIGRAM_SCORE_SQL = _lm_bigram_sql()
+
+QUERIES["text_lm_bigram_score"] = text_lm_bigram_score
+ORACLES["text_lm_bigram_score"] = TEXT_LM_BIGRAM_SCORE_SQL

@@ -552,3 +552,26 @@ def test_rolling_window_slides_over_daily_aggregate(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "HashAggregate" in plan and "Window" in plan, plan
+
+
+def test_cep_single_user_aggregate(spark):
+    """The symbol-sequence build is one user-keyed aggregate; the regex
+    runs in the projection — no joins, no Python evaluators."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["cep_pattern_match"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_lm_bigram_trained_table_broadcasts(spark):
+    """The trained bigram table must attach via a broadcast hash join —
+    the LM scoring-table pattern; val bigrams never re-shuffle onto the
+    trained side."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["text_lm_bigram_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
