@@ -99,6 +99,7 @@ HEADLINE = [
     "sequence_gap_detection",
     "cep_pattern_match",
     "text_lm_bigram_score",
+    "setsim_prefix_join",
 ]
 
 

@@ -575,3 +575,16 @@ def test_lm_bigram_trained_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_setsim_prefix_probes_materialized_shingles(spark):
+    """All shingle references (ranking, both prefix probe sides, the
+    verify intersection, sizes) must read the ONE materialized table
+    (ExistingRDD, no parquet re-scan of documents), and every join stays
+    an equi hash join."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["setsim_prefix_join"](spark, SF_DIR))
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
