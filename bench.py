@@ -100,6 +100,7 @@ HEADLINE = [
     "cep_pattern_match",
     "text_lm_bigram_score",
     "setsim_prefix_join",
+    "knn_graph_block",
 ]
 
 

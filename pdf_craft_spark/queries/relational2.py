@@ -614,3 +614,71 @@ ORDER BY key
 
 QUERIES["cdc_snapshot_diff"] = cdc_snapshot_diff
 ORACLES["cdc_snapshot_diff"] = CDC_SNAPSHOT_DIFF_SQL
+
+
+# --- k-NN graph construction (blocked) --------------------------------------
+# The neighbor-graph build step underlying NN-descent / HNSW / spectral
+# methods: for EVERY vector, its top-K exact-cosine neighbors within its
+# label block (the coarse-quantizer blocking dedup_embedding_cosine
+# already uses — at scale the blocks come from IVF assignment, and
+# NN-descent refines across blocks).  One block-keyed self-equi-join,
+# per-vector row_number over (cos desc, neighbor asc) — ties broken by
+# id so the graph is deterministic; cosines rounded to 6 places before
+# ranking so both engines rank identical values.  Fan-out is block-
+# bounded (|block|² per label), never corpus².
+KNN_K = 3
+
+
+def knn_graph_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nrm"),
+    )
+    a = emb.selectExpr("vec_id AS va", "label", "embedding AS ea", "nrm AS na")
+    b = emb.selectExpr("vec_id AS vb", "label", "embedding AS eb", "nrm AS nb")
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / F.sqrt(F.col("na") * F.col("nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("va") != F.col("vb"))
+        .select("label", "va", "vb", cos.alias("cos_sim"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("va").orderBy(F.desc("cos_sim"), F.asc("vb"))
+    )
+    return (
+        pairs.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+        .selectExpr("va AS vec_id", "rk", "vb AS neighbor", "cos_sim")
+        .orderBy("vec_id", "rk")
+    )
+
+
+KNN_GRAPH_BLOCK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         {_DOT_DUCK64.format(a="embedding", b="embedding")} AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round({_DOT_DUCK64.format(a="a.embedding", b="b.embedding")}
+               / sqrt(a.nrm * b.nrm), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id != b.vec_id
+), ranked AS (
+  SELECT va, vb, cos_sim,
+         CAST(row_number() OVER (PARTITION BY va
+                                 ORDER BY cos_sim DESC, vb) AS BIGINT) AS rk
+  FROM pairs
+)
+SELECT va AS vec_id, rk, vb AS neighbor, cos_sim
+FROM ranked WHERE rk <= {KNN_K}
+ORDER BY vec_id, rk
+"""
+
+
+QUERIES["knn_graph_block"] = knn_graph_block
+ORACLES["knn_graph_block"] = KNN_GRAPH_BLOCK_SQL

@@ -588,3 +588,14 @@ def test_setsim_prefix_probes_materialized_shingles(spark):
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_graph_blocked_equi_join(spark):
+    """Pair generation must equi-join on the label block — never a
+    corpus-level cartesian; ranking rides the per-vector window."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["knn_graph_block"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
