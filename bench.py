@@ -101,6 +101,7 @@ HEADLINE = [
     "text_lm_bigram_score",
     "setsim_prefix_join",
     "knn_graph_block",
+    "bpe_merge_candidates",
 ]
 
 

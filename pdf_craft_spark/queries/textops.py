@@ -651,3 +651,77 @@ TEXT_LM_BIGRAM_SCORE_SQL = _lm_bigram_sql()
 
 QUERIES["text_lm_bigram_score"] = text_lm_bigram_score
 ORACLES["text_lm_bigram_score"] = TEXT_LM_BIGRAM_SCORE_SQL
+
+
+# --- BPE merge-candidate selection (tokenizer training, step 1) -------------
+# The first iteration of byte-pair-encoding training, exactly as the
+# classic algorithm runs it: collapse the corpus to a WORD-FREQUENCY
+# table (the heavy part — one token-volume shuffle; BPE never rescans
+# raw text), then count adjacent character pairs per distinct word
+# WEIGHTED by word frequency and rank the merge candidates.  The
+# char-pair expansion is a higher-order transform over the distinct-word
+# table — interpreted, but over |vocabulary| rows, not the corpus; the
+# corpus-sized work all happened in the word count.  Deterministic
+# (count desc, pair asc) ranking; top-20 = the merges a tokenizer
+# trainer would take.
+BPE_MERGE_TOPK = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(text, '[A-Za-z]{2,}', 0)")
+            ).alias("w")
+        )
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substr(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    rk = F.row_number().over(W.orderBy(F.desc("n"), F.asc("pair")))
+    return (
+        agg.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= BPE_MERGE_TOPK)
+        .selectExpr("rk", "pair", "CAST(n AS BIGINT) AS n")
+        .orderBy("rk")
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH words AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]{{2,}}'))) AS w
+  FROM documents
+), wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY 1
+), pairs AS (
+  SELECT freq,
+         unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM wf
+), agg AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1
+), ranked AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+  FROM agg
+)
+SELECT rk, pair, n FROM ranked WHERE rk <= {BPE_MERGE_TOPK}
+ORDER BY rk
+"""
+
+
+QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
+ORACLES["bpe_merge_candidates"] = BPE_MERGE_CANDIDATES_SQL

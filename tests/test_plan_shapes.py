@@ -599,3 +599,17 @@ def test_knn_graph_blocked_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_bpe_pairs_expand_from_word_table_not_corpus(spark):
+    """The char-pair transform must run above the word-frequency
+    aggregate (vocabulary-sized), with exactly one corpus scan feeding
+    the word count; no joins."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["bpe_merge_candidates"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # two Generates: token explode (corpus side) + pair explode (vocab
+    # side), separated by the word-count aggregate
+    assert plan.count("Generate") == 2 and "HashAggregate" in plan, plan
