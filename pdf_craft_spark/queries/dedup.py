@@ -44,18 +44,38 @@ def _tokens() -> F.Column:
     return F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
 
 
-def _shingles(toks: F.Column) -> F.Column:
-    """Distinct word-3-gram shingles; requires size(toks) >= 3."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
+def _shingle_rows(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Distinct word-3-gram shingle ROWS (doc_id[, carry...], sh) for a
+    frame holding (doc_id, text).
+
+    Built entirely codegen-side: posexplode the token array, then
+    concat each token with its two lead() successors in a per-doc
+    window.  The former formulation — explode over a
+    sequence/transform HOF lambda — runs INTERPRETED (Catalyst does not
+    codegen lambda functions) and re-walks the array via element_at per
+    output element; measured at sf0.1 the HOF shingling dominated
+    setsim_prefix_join at ~20 s vs ~3 s for this shape (BENCH.md).
+    The window's per-doc shuffle+sort stands in for the distinct()
+    shuffle the HOF version needs anyway for set semantics, and its
+    skew unit is the one-long-document token list — the same
+    irreducible unit as the extraction kernel.  Docs with <3 tokens
+    emit no rows (lead(t,2) is null => filtered), matching the old
+    size(toks) >= 3 pre-filter.  `carry` columns must be functionally
+    dependent on doc_id (they ride through the distinct)."""
+    toks = docs.select("doc_id", *carry, F.posexplode(_tokens()).alias("pos", "t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            *carry,
+            F.concat_ws(
+                " ", F.col("t"), F.lead("t", 1).over(w), F.lead("t", 2).over(w)
+            ).alias("sh"),
+            F.lead("t", 2).over(w).alias("_t2"),
         )
+        .filter(F.col("_t2").isNotNull())
+        .drop("_t2")
+        .distinct()
     )
 
 
@@ -230,14 +250,7 @@ SELECT rank, doc_a, doc_b, n_inter, jaccard FROM (
 # --- shingle Jaccard near-dup pairs (threshold) -----------------------------
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_docs = _docs(spark, sf_dir)
-    docs = (
-        all_docs.select("doc_id", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
-    )
-    sh = _df_cutoff(
-        docs.select("doc_id", F.explode("shingles").alias("sh")), all_docs, "sh"
-    )
+    sh = _df_cutoff(_shingle_rows(all_docs), all_docs, "sh")
     # set sizes AFTER the cutoff: jaccard is over the filtered sets
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
     a = sh.alias("a")
@@ -307,11 +320,7 @@ def _minhash_band_index(docs: DataFrame) -> DataFrame:
     frame — the persisted-index artifact that both the batch self-join
     (dedup_minhash_lsh) and the continuous-ingest check
     (dedup_incremental) build on."""
-    sh = (
-        docs.select("doc_id", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.explode(_shingles(F.col("toks"))).alias("sh"))
-    )
+    sh = _shingle_rows(docs)
     # md5s computed once in a projection (not inside each aggregate), so
     # codegen evaluates 4 hashes per row, then 16 cheap substrings
     hashed = sh.select(
@@ -750,17 +759,18 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     all_docs = _docs(spark, sf_dir)
-    docs = (
-        all_docs.select("doc_id", _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
-    )
-    sh = _df_cutoff(
-        docs.select("doc_id", F.explode("shingles").alias("sh")), all_docs, "sh"
-    ).localCheckpoint(eager=True)  # feeds ranking, both probe sides and verify
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # materialize the shingle rows BEFORE the cutoff: _df_cutoff reads its
+    # input twice (df ranking + anti-join), and the window shingling is
+    # the expensive leg — checkpointing first halves it (4.7s -> 3.9s for
+    # both checkpoints at sf0.1); = written shingle table at prod
+    sh0 = _shingle_rows(all_docs).localCheckpoint(eager=True)
+    sh = _df_cutoff(sh0, all_docs, "sh").localCheckpoint(
+        eager=True
+    )  # feeds ranking, both probe sides and verify
+    # document frequency as a window over the materialized rows — same
+    # shuffle-by-sh the groupBy would pay, without the join back
     ranked = (
-        sh.join(dfreq, "sh")
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -770,10 +780,17 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )
     # prefix length = n - ceil(T*n) + 1; ceil(3n/5) = (3n + 4) DIV 5
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("n") - F.expr(f"({SETSIM_T_NUM} * n + {SETSIM_T_DEN} - 1) DIV {SETSIM_T_DEN}") + 1
-    ).select("doc_id", "sh")
+    prefix = (
+        ranked.filter(
+            F.col("rk")
+            <= F.col("n")
+            - F.expr(f"({SETSIM_T_NUM} * n + {SETSIM_T_DEN} - 1) DIV {SETSIM_T_DEN}")
+            + 1
+        )
+        .select("doc_id", "sh")
+        # feeds BOTH sides of the self-join below — materialize once
+        .localCheckpoint(eager=True)
+    )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
@@ -786,23 +803,26 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    A = sh.selectExpr("doc_id AS doc_a", "sh")
-    B = sh.selectExpr("doc_id AS doc_b", "sh")
-    inter = (
-        cand.join(A, "doc_a")
-        .join(B, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n"))
+    # verify per CANDIDATE PAIR against the collected shingle ARRAYS —
+    # size(array_intersect(sa, sb)) is a per-row set intersection, so
+    # the verify stage shuffles |candidates| pair rows, never the
+    # candidates × shingles row explosion (measured at sf0.1: the
+    # exploded verify was 36 s isolated; the array verify ~4 s)
+    arrs = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("arr"))
     return (
-        inter.join(sizes.selectExpr("doc_id AS doc_a", "n AS n_a"), "doc_a")
-        .join(sizes.selectExpr("doc_id AS doc_b", "n AS n_b"), "doc_b")
+        cand.join(arrs.selectExpr("doc_id AS doc_a", "arr AS sa"), "doc_a")
+        .join(arrs.selectExpr("doc_id AS doc_b", "arr AS sb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sa, sb)) AS BIGINT) AS n_inter",
+            "CAST(size(sa) AS INT) AS n_a",
+            "CAST(size(sb) AS INT) AS n_b",
+        )
         .filter(
             SETSIM_T_DEN * F.col("n_inter")
             >= SETSIM_T_NUM * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         )
-        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -188,7 +188,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (disjoint slices, so total shingling work is one corpus
     pass); at production scale the exploded shingle table would be
     written once and both branches would read it."""
-    from pdf_craft_spark.queries.dedup import _df_cutoff, _shingles, _tokens
+    from pdf_craft_spark.queries.dedup import _df_cutoff, _shingle_rows, _tokens
 
     pct = _hash_pct()
     base = (
@@ -196,7 +196,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", pct.alias("pct"), _tokens().alias("toks"))
         .filter(F.size("toks") >= 3)
     )
-    docs = base.select("doc_id", "pct", F.explode(_shingles(F.col("toks"))).alias("sh"))
+    docs = _shingle_rows(
+        _docs(spark, sf_dir).select("doc_id", pct.alias("pct"), "text"),
+        carry=("pct",),
+    )
     train_rows = docs.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select(
         "doc_id", "sh"
     )
@@ -205,7 +208,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle, so this count equals distinct doc_id over train_rows without
     # paying a third tokenize+shingle+explode pass for a scalar
     train_docs = base.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select("doc_id")
-    # shingles are distinct per doc (_shingles wraps array_distinct), so
+    # shingles are distinct per doc (_shingle_rows ends in distinct()), so
     # count(*) per shingle in train_rows IS its train document frequency
     train_sh = _df_cutoff(train_rows, train_docs, "sh").select("sh").distinct()
     test_sh = docs.filter(F.col("pct") >= 100 - TEST_PCT).select("doc_id", "sh")
