@@ -854,3 +854,54 @@ ORDER BY doc_a, doc_b
 
 QUERIES["setsim_prefix_join"] = setsim_prefix_join
 ORACLES["setsim_prefix_join"] = SETSIM_PREFIX_JOIN_SQL
+
+
+# --- near-dup cluster canonicalization ---------------------------------------
+# The step after connected components in every production dedup pipeline:
+# each cluster keeps ONE representative (the longest document, ties to the
+# smallest doc_id) and maps every member to it.  One window shuffle keyed
+# by component on top of the CC labels — skew is bounded by the largest
+# near-dup cluster, the same unit the CC loop already carries; the
+# representative choice is a deterministic function of (n_chars, doc_id)
+# so reruns and repartitioning cannot flip winners.
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    scored = comp.join(docs, "doc_id")
+    w = (
+        W.partitionBy("component")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "component",
+            F.first("doc_id").over(w).alias("keep_id"),
+        )
+        .withColumn("kept", F.col("doc_id") == F.col("keep_id"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH comp AS (
+  SELECT doc_id, component FROM ({DEDUP_COMPONENTS_SQL})
+), scored AS (
+  SELECT c.doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, component,
+       first_value(doc_id) OVER (
+         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS keep_id,
+       doc_id = first_value(doc_id) OVER (
+         PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS kept
+FROM scored ORDER BY doc_id
+"""
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = DEDUP_KEEP_BEST_SQL

@@ -417,3 +417,56 @@ ORACLES = {
     "set_distinct_pairs": SET_DISTINCT_PAIRS_SQL,
     "a9_event_metrics": A9_EVENT_METRICS_SQL,
 }
+
+
+# --- correlated-subquery decorrelation (TPC-H Q17 shape) --------------------
+# The classic "rows below a per-group statistic of their own group" query:
+# revenue from lineitems whose quantity is under 20% of their part's average.
+# Naively a correlated scalar subquery per row; the scalable plan
+# DECORRELATES it into one per-part aggregate + one equi-join — both
+# co-partitioned on l_partkey, so Catalyst plans a single shuffle that the
+# partial (map-side) aggregate has already thinned.  The 0.2*avg predicate
+# is cross-multiplied (5 * qty * cnt < sum_qty) so it stays in exact
+# DECIMAL/BIGINT arithmetic — no float division on either engine.
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li.join(stats, "l_partkey").filter(
+        F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return (
+        small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            _dec_sum("l_extendedprice", "revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q17_SMALL_QUANTITY_REVENUE_SQL = """
+WITH stats AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1
+), small AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l JOIN stats s USING (l_partkey)
+  WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * s.cnt < s.sum_qty
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM small JOIN part p ON p.p_partkey = small.l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["q17_small_quantity_revenue"] = q17_small_quantity_revenue
+ORACLES["q17_small_quantity_revenue"] = Q17_SMALL_QUANTITY_REVENUE_SQL

@@ -583,3 +583,83 @@ ORDER BY rk
 
 QUERIES["reservoir_sample_docs"] = reservoir_sample_docs
 ORACLES["reservoir_sample_docs"] = RESERVOIR_SAMPLE_DOCS_SQL
+
+
+# --- overlapping fixed-token chunking (RAG / embedding prep) -----------------
+# Split every document into CHUNK_TOKENS-token windows advancing by
+# CHUNK_STRIDE tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE), the standard
+# retrieval / embedding preprocessing step.  Entirely whole-stage-codegen
+# Catalyst: tokenize once, compute the chunk count in integer arithmetic,
+# explode a 0..n_chunks-1 sequence, and slice() the token array per chunk —
+# no lambda HOFs, no Python, no shuffle at all (explode + slice are
+# per-row; rows stay where the scan put them).  At 100 TB this is a pure
+# map stage whose output is the embedding kernel's input; the last chunk
+# starts at the smallest stride multiple covering the tail, so every token
+# lands in >= 1 chunk and no chunk is a strict subset of its predecessor.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import _tokens
+
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _tokens().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n") <= C, F.lit(1)).otherwise(
+                F.expr(f"CAST((n - {C} + {S} - 1) DIV {S} AS INT) + 1")
+            ),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, C).alias("ctoks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("ctoks").cast("int").alias("n_tokens"),
+            F.concat_ws(" ", "ctoks").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_DOCUMENTS_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+), nchunks AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST((n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} AS INT) + 1
+         END AS n_chunks
+  FROM sized
+), chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+         toks[CAST(u.i AS INT) * {CHUNK_STRIDE} + 1 :
+              CAST(u.i AS INT) * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS ctoks
+  FROM nchunks, UNNEST(range(0, n_chunks)) AS u(i)
+)
+SELECT doc_id, chunk_idx, CAST(len(ctoks) AS INT) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM chunks ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["chunk_documents_overlap"] = chunk_documents_overlap
+ORACLES["chunk_documents_overlap"] = CHUNK_DOCUMENTS_OVERLAP_SQL
