@@ -537,3 +537,198 @@ ORDER BY user_id, session_start
 
 QUERIES["streaming_sessionize"] = streaming_sessionize
 ORACLES["streaming_sessionize"] = STREAMING_SESSIONIZE_SQL
+
+
+# --- stream-stream interval join ---------------------------------------------
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner interval join (click attribution): an
+    impression stream and a click stream, both watermarked 10 minutes,
+    joined on user_id with click_time in [imp_time, imp_time + 10 min] —
+    Spark's symmetric hash join keeps bounded per-side state because the
+    interval condition upper-bounds how long an impression can still
+    match a future click.
+
+    Two micro-batch rounds pin the late-data contract: batch 0 carries
+    all impressions + the on-time click set; batch 1 carries more
+    on-time clicks (accepted, they join) AND a click set timestamped
+    BEFORE the post-batch-0 global watermark — dropped by the join's
+    state filter, proved because any survivor would add rows to the lag
+    histogram and break the oracle hash.  The global watermark is
+    min(max(imp_time), max(click_time)) - 10 min over batch 0 (one
+    watermark per query, min across watermarked columns), and the oracle
+    DERIVES it from the data rather than hardcoding 12:09.  By
+    construction no event lands exactly ON the watermark (on-time
+    batch-1 clicks sit >= 1 min above it on a dense corpus), so the
+    kept-iff-strictly-newer boundary never decides a row.  State
+    eviction is exercised but vacuous here: an impression is evictable
+    once wm > imp_time + 10 min, which batch 1's watermark never reaches
+    for any batch-0 impression — so the oracle's survivor rule is the
+    late-input filter alone.
+
+    The returned frame is the lag histogram (pairs + distinct users per
+    click-minus-impression minute), so the driver compare stays a few
+    rows while any semantic drift anywhere in the join changes it.
+
+    Scale: state is per-user and watermark-bounded (10-minute horizon),
+    the join shuffles both streams on user_id once — the standard
+    production attribution topology."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _stream_join_utc(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def _stream_join_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id"
+    )
+    base = F.to_timestamp(F.lit("2026-01-01 12:00:00"))
+    m = (F.col("event_id") % 20).cast("int")
+    c = (F.col("event_id") % 7).cast("int")
+
+    imps = ev.select(
+        F.col("event_id").alias("imp_id"),
+        "user_id",
+        F.timestamp_add("MINUTE", m, base).alias("imp_time"),
+    )
+    c0 = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.timestamp_add("MINUTE", m + c, base).alias("click_time"),
+    )
+    c1_ok = ev.filter((F.col("event_id") % 11 == 0) & (m >= 2)).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.timestamp_add("MINUTE", m + 8, base).alias("click_time"),
+    )
+    c1_late = ev.filter(F.col("event_id") % 13 == 0).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.timestamp_add("MINUTE", F.lit(3), base).alias("click_time"),
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    imp_dir = os.path.join(work, "imp")
+    clk_dir = os.path.join(work, "clk")
+    name = f"ssj_{uuid.uuid4().hex[:10]}"
+    try:
+        imps.coalesce(1).write.parquet(os.path.join(imp_dir, "b0"))
+        c0.coalesce(1).write.parquet(os.path.join(clk_dir, "b0"))
+        si = (
+            spark.readStream.schema("imp_id long, user_id long, imp_time timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(imp_dir)
+            .withWatermark("imp_time", "10 minutes")
+        )
+        sc = (
+            spark.readStream.schema("click_id long, user_id long, click_time timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(clk_dir)
+            .withWatermark("click_time", "10 minutes")
+        )
+        joined = (
+            si.alias("i")
+            .join(
+                sc.alias("c"),
+                (F.col("i.user_id") == F.col("c.user_id"))
+                & (F.col("c.click_time") >= F.col("i.imp_time"))
+                & (
+                    F.col("c.click_time")
+                    <= F.col("i.imp_time") + F.expr("INTERVAL 10 MINUTES")
+                ),
+                "inner",
+            )
+            .select(
+                "imp_id",
+                "click_id",
+                F.col("i.user_id").alias("user_id"),
+                "imp_time",
+                "click_time",
+            )
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            c1_ok.unionByName(c1_late).coalesce(1).write.parquet(
+                os.path.join(clk_dir, "b1")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(name)
+            .select(
+                (
+                    (F.unix_micros("click_time") - F.unix_micros("imp_time"))
+                    / 60_000_000
+                )
+                .cast("int")
+                .alias("lag_min"),
+                "user_id",
+            )
+            .groupBy("lag_min")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .orderBy("lag_min")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_STREAM_JOIN_SQL = """
+WITH imps AS (
+  SELECT event_id AS imp_id, user_id,
+         TIMESTAMP '2026-01-01 12:00:00' + to_minutes(event_id % 20) AS imp_time
+  FROM events
+), c0 AS (
+  SELECT event_id AS click_id, user_id,
+         TIMESTAMP '2026-01-01 12:00:00'
+           + to_minutes(event_id % 20 + event_id % 7) AS click_time
+  FROM events WHERE event_id % 3 = 0
+), c1_ok AS (
+  SELECT event_id AS click_id, user_id,
+         TIMESTAMP '2026-01-01 12:00:00' + to_minutes(event_id % 20 + 8) AS click_time
+  FROM events WHERE event_id % 11 = 0 AND event_id % 20 >= 2
+-- Spark's single global watermark after batch 0: min over both
+-- watermarked columns of max(event_time) - 10 min, derived from data
+), wm AS (
+  SELECT least((SELECT max(imp_time) FROM imps),
+               (SELECT max(click_time) FROM c0)) - INTERVAL 10 MINUTE AS w
+-- batch-1 rows strictly below the watermark are dropped by the join's
+-- state filter; survivors (possible only on a sparse corpus) join normally
+), c1_late AS (
+  SELECT event_id AS click_id, user_id,
+         TIMESTAMP '2026-01-01 12:00:00' + to_minutes(3) AS click_time
+  FROM events
+  WHERE event_id % 13 = 0
+    AND TIMESTAMP '2026-01-01 12:00:00' + to_minutes(3) >= (SELECT w FROM wm)
+), clicks AS (
+  SELECT * FROM c0 UNION ALL SELECT * FROM c1_ok UNION ALL SELECT * FROM c1_late
+), pairs AS (
+  SELECT i.user_id,
+         CAST(date_diff('minute', i.imp_time, c.click_time) AS INT) AS lag_min
+  FROM imps i JOIN clicks c ON i.user_id = c.user_id
+  WHERE c.click_time >= i.imp_time
+    AND c.click_time <= i.imp_time + INTERVAL 10 MINUTE
+)
+SELECT lag_min, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["streaming_stream_join"] = streaming_stream_join
+ORACLES["streaming_stream_join"] = STREAMING_STREAM_JOIN_SQL
