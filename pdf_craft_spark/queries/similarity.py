@@ -918,3 +918,153 @@ SELECT query_id, rank, neighbor_id, score_q FROM (
 
 QUERIES["sim_sq8_topk"] = sim_sq8_topk
 ORACLES["sim_sq8_topk"] = SIM_SQ8_TOPK_SQL
+
+
+# --- distributed integer-exact Lloyd k-means ---------------------------------
+# Unlike ivf_fit (a SAMPLED driver-side fit feeding an index), this is the
+# FULL distributed Lloyd iteration — every vector participates in every
+# round, the per-round reduction is a single partial-agg shuffle, and the
+# only driver traffic is K×DIM centroid ints per round.  All arithmetic is
+# integer-exact so Spark and DuckDB agree bit-for-bit with no fit literals:
+# components quantize to floor(x*QSCALE) (float→double is exact, double
+# mult + floor are IEEE-identical in both engines), distances are BIGINT
+# sums of squares, the argmin tie-breaks to the smallest cluster id, and
+# the centroid update is exact rational floor-mean via
+# (s - pmod(s, n)) / n — no float division anywhere, so no
+# summation-order or rounding divergence is possible.
+#
+# Scale shape per round: component rows (N×DIM, built once and
+# materialized) broadcast-join the K centroid COLUMNS on pos — the
+# distance to all K centroids accumulates in ONE groupBy(vec_id) pass
+# with K agg columns (map-side combine thins the shuffle to one row per
+# vec_id per partition); the update is a groupBy(cluster, pos) over the
+# same materialized rows.  No lambda HOFs (interpreted), no per-row
+# Python, no cartesian.
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+KMEANS_QSCALE = 1000
+
+
+def kmeans_int_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = KMEANS_K
+    q = (
+        _emb(spark, sf_dir)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("x").cast("double") * KMEANS_QSCALE)
+            .cast("long")
+            .alias("qv"),
+        )
+        .localCheckpoint(eager=True)  # reused by every round; = written table
+    )
+    # init: the K smallest vec_ids' quantized vectors (deterministic,
+    # engine-independent — no RNG to reconcile)
+    cents: dict[tuple[int, int], int] = {
+        (int(r["vec_id"]), int(r["pos"])): int(r["qv"])
+        for r in q.filter(F.col("vec_id") < K).collect()
+    }
+    dim = max(p for _, p in cents) + 1
+    assign = None
+    for _ in range(KMEANS_ROUNDS):
+        rows = [
+            (p, *[cents[(j, p)] for j in range(K)]) for p in range(dim)
+        ]
+        cdf = spark.createDataFrame(
+            rows, "pos int, " + ", ".join(f"c{j} long" for j in range(K))
+        )
+        dists = (
+            q.join(F.broadcast(cdf), "pos")
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.sum(
+                        (F.col("qv") - F.col(f"c{j}"))
+                        * (F.col("qv") - F.col(f"c{j}"))
+                    ).alias(f"d{j}")
+                    for j in range(K)
+                ]
+            )
+        )
+        mind = F.least(*[F.col(f"d{j}") for j in range(K)])
+        cluster = F.coalesce(
+            *[F.when(F.col(f"d{j}") == mind, F.lit(j)) for j in range(K)]
+        )  # when-chain order = tie-break to the smallest cluster id
+        assign = dists.select(
+            "vec_id", cluster.cast("int").alias("cluster"), mind.alias("dist")
+        ).localCheckpoint(eager=True)
+        upd = (
+            q.join(assign.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "pos")
+            .agg(F.expr("CAST((sum(qv) - pmod(sum(qv), count(1))) div count(1) AS LONG)").alias("qv"))
+            .collect()
+        )
+        new_cents = dict(cents)  # empty clusters keep their previous centroid
+        for r in upd:
+            new_cents[(int(r["cluster"]), int(r["pos"]))] = int(r["qv"])
+        cents = new_cents
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_duck_sql() -> str:
+    """The same Lloyd rounds unrolled as chained CTEs — fully
+    self-contained (init is the first-K rule, every step integer-exact),
+    so unlike the IVF oracle no data-dependent literals are embedded."""
+    K, R = KMEANS_K, KMEANS_ROUNDS
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, CAST(u.i AS INT) AS pos,
+         CAST(floor(CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE) * {KMEANS_QSCALE}) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+), c0 AS (
+  SELECT CAST(vec_id AS INT) AS cluster, pos, qv FROM q WHERE vec_id < {K}
+)"""
+    ]
+    for t in range(R):
+        parts.append(
+            f""", a{t} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+    FROM (SELECT q.vec_id, c.cluster, sum((q.qv - c.qv) * (q.qv - c.qv)) AS dist
+          FROM q JOIN c{t} c USING (pos) GROUP BY 1, 2)
+  ) WHERE rk = 1
+)"""
+        )
+        if t < R - 1:
+            parts.append(
+                f""", n{t} AS (
+  SELECT a.cluster, q.pos, sum(q.qv) AS s, count(*) AS n
+  FROM q JOIN a{t} a USING (vec_id) GROUP BY 1, 2
+), c{t + 1} AS (
+  SELECT cluster, pos, (s - ((s % n + n) % n)) // n AS qv FROM n{t}
+  UNION ALL
+  SELECT c.cluster, c.pos, c.qv FROM c{t} c
+  WHERE c.cluster NOT IN (SELECT DISTINCT cluster FROM n{t})
+)"""
+            )
+    parts.append(
+        f"""
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(dist) AS BIGINT) AS inertia,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM a{R - 1} GROUP BY 1 ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+KMEANS_INT_EMBEDDINGS_SQL = _kmeans_duck_sql()
+
+QUERIES["kmeans_int_embeddings"] = kmeans_int_embeddings
+ORACLES["kmeans_int_embeddings"] = KMEANS_INT_EMBEDDINGS_SQL
