@@ -315,11 +315,10 @@ ORDER BY doc_a, doc_b
 # per shingle row once, and the min-agg's partial (map-side) combine
 # reduces the shuffle to 16 short strings per document — the shuffle was
 # never the cost.  Keep the explode + groupBy-min shape.
-def _minhash_band_index(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_key) LSH band index for a (doc_id, text)
-    frame — the persisted-index artifact that both the batch self-join
-    (dedup_minhash_lsh) and the continuous-ingest check
-    (dedup_incremental) build on."""
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15) MinHash signature table for a (doc_id, text)
+    frame — the persisted sketch both the band index and the
+    estimate-vs-exact calibration read."""
     sh = _shingle_rows(docs)
     # md5s computed once in a projection (not inside each aggregate), so
     # codegen evaluates 4 hashes per row, then 16 cheap substrings
@@ -338,9 +337,21 @@ def _minhash_band_index(docs: DataFrame) -> DataFrame:
             for i in range(4)
         ],
     )
-    sig = keys.groupBy("doc_id").agg(
+    return keys.groupBy("doc_id").agg(
         *[F.min(f"k{j}").alias(f"s{j}") for j in range(N_HASHES)]
     )
+
+
+def _minhash_band_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band index for a (doc_id, text)
+    frame — the persisted-index artifact that both the batch self-join
+    (dedup_minhash_lsh) and the continuous-ingest check
+    (dedup_incremental) build on."""
+    sig = _minhash_sigs(docs)
+    return _bands_from_sig(sig)
+
+
+def _bands_from_sig(sig: DataFrame) -> DataFrame:
     return sig.select(
         "doc_id",
         F.array(
@@ -905,3 +916,105 @@ FROM scored ORDER BY doc_id
 
 QUERIES["dedup_keep_best"] = dedup_keep_best
 ORACLES["dedup_keep_best"] = DEDUP_KEEP_BEST_SQL
+
+
+# --- minhash estimate-vs-exact calibration -----------------------------------
+# The sketch-quality gate for the minhash family (what sim_recall is to
+# the ANN family): for every LSH candidate pair, the signature-agreement
+# estimate (matching minhashes / 16) against the EXACT shingle Jaccard,
+# rolled up as an error histogram in integer ppm.  If the signature
+# layout, banding, or shingle recipe ever drifts from true Jaccard
+# behavior, the histogram moves and the oracle hash breaks — the
+# estimator's calibration is a DRIVER ROW, not a pytest claim.
+# Scale: signatures and shingle arrays are each built once (persisted
+# index tables at prod — localCheckpoint here); candidates come from the
+# band equi-join, never all-pairs; the exact verify is per-pair
+# array_intersect, so the costly leg is |candidates| rows.
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_docs = _docs(spark, sf_dir)
+    sig = _minhash_sigs(all_docs).localCheckpoint(eager=True)
+    bands = _bands_from_sig(sig).localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(N_HASHES)
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_match")
+    )
+    arrs = (
+        _shingle_rows(all_docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("arr"))
+        .localCheckpoint(eager=True)
+    )
+    ppm = (
+        est.join(arrs.selectExpr("doc_id AS doc_a", "arr AS arr_a"), "doc_a")
+        .join(arrs.selectExpr("doc_id AS doc_b", "arr AS arr_b"), "doc_b")
+        .selectExpr(
+            "CAST(n_match AS BIGINT) * 62500 AS est_ppm",
+            "(1000000 * CAST(size(array_intersect(arr_a, arr_b)) AS BIGINT))"
+            " div (size(arr_a) + size(arr_b) - size(array_intersect(arr_a, arr_b)))"
+            " AS jacc_ppm",
+        )
+    )
+    return (
+        ppm.selectExpr("abs(est_ppm - jacc_ppm) AS err_ppm", "jacc_ppm")
+        .groupBy(F.expr("CAST(err_ppm div 100000 AS INT)").alias("err_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("err_ppm").alias("sum_err_ppm"),
+            F.sum("jacc_ppm").alias("sum_jacc_ppm"),
+        )
+        .orderBy("err_decile")
+    )
+
+
+MINHASH_ESTIMATE_ERROR_SQL = f"""
+WITH {_minhash_band_ctes()}
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), est AS (
+  SELECT p.doc_a, p.doc_b,
+         ({" + ".join(f"CAST(sa.s{j} = sb.s{j} AS INT)" for j in range(N_HASHES))})
+           AS n_match
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+), ppm AS (
+  SELECT CAST(e.n_match AS BIGINT) * 62500 AS est_ppm,
+         (1000000 * CAST(len(list_intersect(ma.shingles, mb.shingles)) AS BIGINT))
+           // (len(ma.shingles) + len(mb.shingles)
+               - len(list_intersect(ma.shingles, mb.shingles))) AS jacc_ppm
+  FROM est e
+  JOIN msh ma ON ma.doc_id = e.doc_a
+  JOIN msh mb ON mb.doc_id = e.doc_b
+)
+SELECT CAST(abs(est_ppm - jacc_ppm) // 100000 AS INT) AS err_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_ppm - jacc_ppm)) AS BIGINT) AS sum_err_ppm,
+       CAST(sum(jacc_ppm) AS BIGINT) AS sum_jacc_ppm
+FROM ppm GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["minhash_estimate_error"] = minhash_estimate_error
+ORACLES["minhash_estimate_error"] = MINHASH_ESTIMATE_ERROR_SQL
