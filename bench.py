@@ -102,6 +102,12 @@ HEADLINE = [
     "setsim_prefix_join",
     "knn_graph_block",
     "bpe_merge_candidates",
+    # round-5 session-7 additions
+    "q17_small_quantity_revenue",
+    "dedup_keep_best",
+    "chunk_documents_overlap",
+    "kmeans_int_embeddings",
+    "minhash_estimate_error",
 ]
 
 

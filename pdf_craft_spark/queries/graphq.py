@@ -352,3 +352,92 @@ GRAPH_LABEL_PROPAGATION_SQL = _label_propagation_sql()
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLES["graph_label_propagation"] = GRAPH_LABEL_PROPAGATION_SQL
+
+
+# --- recursive hierarchy flattening ------------------------------------------
+# The classic recursive-CTE workload (org charts, category trees, thread
+# hierarchies) Spark SQL lacks natively: flatten every node of a forest to
+# (root_id, depth, root_size).  The hierarchy is synthesized
+# deterministically from doc_id (roots are doc_id < 7, else parent =
+# doc_id div 7 — a base-7 forest, depth ~ log7 N), matching the DuckDB
+# WITH RECURSIVE oracle exactly.
+#
+# Plan: the ancestor walk is a driver-bounded iterative loop — each round
+# joins the still-walking frontier against the broadcast-or-shuffled
+# parent table and advances (cur, depth); nodes whose cur is a root stop
+# participating, so the frontier SHRINKS to the deepest chain.  Rounds =
+# max depth = O(log N) (4 at sf0.01, ~7 at 10^12 docs), each one
+# equi-join + no aggregation; localCheckpoint cuts lineage per round
+# (written iteration table at prod).  For pathological depth the
+# pointer-jumping variant (self-composing the ancestor function, rounds =
+# log2 depth) is the escalation path; for b-ary forests the linear walk
+# is already log-bounded and cheaper per round.  Convergence is CHECKED —
+# a cycle in the parent column raises instead of silently looping.
+def hierarchy_flatten_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    nodes = docs.selectExpr(
+        "doc_id AS child",
+        "CASE WHEN doc_id < 7 THEN NULL ELSE doc_id div 7 END AS parent",
+    ).localCheckpoint(eager=True)
+    state = nodes.selectExpr("child AS doc_id", "child AS cur", "CAST(0 AS INT) AS depth")
+    for _ in range(64):
+        nxt = (
+            state.join(nodes, state["cur"] == nodes["child"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("parent", "cur").alias("cur"),
+                (F.col("depth") + F.when(F.col("parent").isNotNull(), 1).otherwise(0)).alias(
+                    "depth"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        advanced = nxt.join(
+            state.selectExpr("doc_id", "depth AS od"), "doc_id"
+        ).filter(F.col("depth") != F.col("od")).count()
+        state = nxt
+        if advanced == 0:
+            break
+    else:
+        raise RuntimeError(
+            "hierarchy_flatten_docs: ancestor walk did not converge within "
+            "64 rounds — cycle in the parent relation?"
+        )
+    w = W.partitionBy("cur")
+    return state.select(
+        "doc_id",
+        F.col("cur").cast("long").alias("root_id"),
+        F.col("depth").cast("int").alias("depth"),
+        F.count(F.lit(1)).over(w).cast("long").alias("root_size"),
+    ).orderBy("doc_id")
+
+
+HIERARCHY_FLATTEN_DOCS_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS child,
+         CASE WHEN doc_id < 7 THEN NULL ELSE doc_id // 7 END AS parent
+  FROM documents
+), walk(doc_id, cur, depth) AS (
+  SELECT child, child, 0 FROM nodes
+  UNION ALL
+  SELECT w.doc_id, n.parent, w.depth + 1
+  FROM walk w JOIN nodes n ON n.child = w.cur
+  WHERE n.parent IS NOT NULL
+), flat AS (
+  SELECT doc_id, cur, depth FROM (
+    SELECT doc_id, cur, depth,
+           row_number() OVER (PARTITION BY doc_id ORDER BY depth DESC) AS rk
+    FROM walk
+  ) WHERE rk = 1
+)
+SELECT doc_id, CAST(cur AS BIGINT) AS root_id, CAST(depth AS INT) AS depth,
+       CAST(count(*) OVER (PARTITION BY cur) AS BIGINT) AS root_size
+FROM flat ORDER BY doc_id
+"""
+
+QUERIES["hierarchy_flatten_docs"] = hierarchy_flatten_docs
+ORACLES["hierarchy_flatten_docs"] = HIERARCHY_FLATTEN_DOCS_SQL
