@@ -682,3 +682,59 @@ ORDER BY vec_id, rk
 
 QUERIES["knn_graph_block"] = knn_graph_block
 ORACLES["knn_graph_block"] = KNN_GRAPH_BLOCK_SQL
+
+
+# --- point-in-time join against the SCD2 dimension ---------------------------
+# The query SCD2 exists to serve: each fact row joins the dimension
+# VERSION that was valid at its own time, never the current one (the
+# classic training-data leakage bug is joining facts to today's
+# attributes).  Facts carry an integer as-of version v (o_orderkey % 2 —
+# half the orders happen before the CDC update, half after), and the join
+# is custkey-equi + interval containment v in [valid_from, valid_to).
+# Scale shape: this is NOT a range join — SCD2 guarantees non-overlapping
+# intervals per key, so the equi-join on custkey has per-key fan-out =
+# version count (<= 2 here) and the containment filter then keeps exactly
+# one version per fact row; one shuffle on custkey, map-side-combined
+# rollup after.  PIT correctness is hash-proved: orders with v=0 against
+# updated customers aggregate under the OLD segment, v=1 under the new
+# one — any drift from exactly-one-version-per-fact changes the counts.
+def pit_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_customer_history(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS price",
+        "CAST(o_orderkey % 2 AS BIGINT) AS v",
+    )
+    j = orders.join(
+        hist,
+        (orders["o_custkey"] == hist["c_custkey"])
+        & (orders["v"] >= hist["valid_from"])
+        & (orders["v"] < hist["valid_to"]),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PIT_JOIN_ORDERS_SCD2_SQL = f"""
+WITH hist AS ({SCD2_CUSTOMER_HISTORY_SQL}),
+facts AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(o_orderkey % 2 AS BIGINT) AS v
+  FROM orders
+)
+SELECT h.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(f.price) AS DOUBLE), 2) AS revenue
+FROM facts f JOIN hist h
+  ON h.c_custkey = f.o_custkey AND f.v >= h.valid_from AND f.v < h.valid_to
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["pit_join_orders_scd2"] = pit_join_orders_scd2
+ORACLES["pit_join_orders_scd2"] = PIT_JOIN_ORDERS_SCD2_SQL
