@@ -738,3 +738,47 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["pit_join_orders_scd2"] = pit_join_orders_scd2
 ORACLES["pit_join_orders_scd2"] = PIT_JOIN_ORDERS_SCD2_SQL
+
+
+# --- custom GROUPING SETS ------------------------------------------------------
+# The multidimensional family's general form: an explicit set list that
+# neither ROLLUP nor CUBE can express — the full pair plus BOTH one-way
+# margins, no grand total.  grouping_id() disambiguates a NULL that means
+# "aggregated away" from a NULL in the data, which is what makes custom
+# sets safe on nullable dimensions.  Same execution shape as cube/rollup:
+# Spark expands the sets map-side and aggregates in ONE shuffle (an
+# Expand node feeding a partial agg), not one pass per set.
+def a1_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.round(F.sum(price).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+A1_GROUPING_SETS_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+QUERIES["a1_grouping_sets_revenue"] = a1_grouping_sets_revenue
+ORACLES["a1_grouping_sets_revenue"] = A1_GROUPING_SETS_REVENUE_SQL
