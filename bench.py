@@ -505,6 +505,16 @@ def main() -> None:
         query_secs[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # release the query's persisted intermediates (localCheckpoint
+        # index tables) between queries — each sweep entry is an
+        # independent job and must not inherit storage-memory pressure
+        # from its predecessors' leftovers (measured: with ~70 queries
+        # accumulating blocks in one 8g driver, late checkpoint-heavy
+        # queries ran 2x slower off spilled blocks).  Outside the timed
+        # window by construction.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     # the extraction headline needs enough docs that the 1%-of-docs
     # long-book tail is a population, not one pinned task dominating the
