@@ -732,3 +732,87 @@ FROM pairs GROUP BY 1 ORDER BY 1
 
 QUERIES["streaming_stream_join"] = streaming_stream_join
 ORACLES["streaming_stream_join"] = STREAMING_STREAM_JOIN_SQL
+
+
+# --- stream-static enrichment join -------------------------------------------
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third canonical streaming join topology (after stream-stream
+    and the stateful accumulators): a fact STREAM enriched against a
+    STATIC dimension snapshot.  Spark re-plans the join per micro-batch
+    with the dimension as an ordinary batch relation — broadcast when
+    small, so the stream side never shuffles; no watermark, no state
+    store (the static side is a snapshot, not a changing input).
+
+    Two order file-batches (split by o_orderkey parity) stream through a
+    join against the customer dimension and land in a memory sink; the
+    final frame is the per-segment rollup, which equals the plain batch
+    join — THE invariant stream-static enrichment must satisfy (each
+    micro-batch sees the same dimension snapshot).  Any per-batch
+    re-planning drift (lost rows, double joins) breaks the count/revenue
+    hash.  Revenue goes through DECIMAL(18,2) so summation order cannot
+    split the engines."""
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    work = tempfile.mkdtemp(prefix="stream_enrich_")
+    in_dir = os.path.join(work, "in")
+    name = f"sse_{uuid.uuid4().hex[:10]}"
+    try:
+        b0.coalesce(1).write.parquet(os.path.join(in_dir, "b0"))
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        enriched = stream.join(dim, stream["o_custkey"] == dim["c_custkey"]).select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            b1.coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            spark.table(name)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["streaming_static_enrich"] = streaming_static_enrich
+ORACLES["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_SQL
