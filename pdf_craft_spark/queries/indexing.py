@@ -194,3 +194,98 @@ ORACLES = {
     "inverted_index_postings": INVERTED_INDEX_POSTINGS_SQL,
     "zorder_cluster_key": ZORDER_CLUSTER_KEY_SQL,
 }
+
+
+# --- spatial grid join ---------------------------------------------------------
+# The spatial-join primitive done the scalable way: points bucket into
+# R-sized grid cells, each point probes its own + 8 neighbor cells via an
+# EQUI-join on cell id (the spatial analogue of LSH multiprobe), and the
+# exact integer distance test runs only inside candidate cells — never an
+# all-pairs surface.  Coordinates are md5-derived integers and the radius
+# test is dist² ≤ R² in BIGINT, so both engines agree exactly (no float
+# geometry).  The oracle is the INDEPENDENT quadratic formulation (join
+# on the distance predicate alone), so a green hash proves the grid
+# decomposition finds exactly the true neighbor set — cell-boundary pairs
+# included.  Output is the neighbor-count histogram: any missed or
+# duplicated pair shifts it.
+# Scale: one narrow projection (coords), one cell equi-join with 9x probe
+# fan-out on one side, per-cell candidate work bounded by density x R²;
+# at 10^12 points you'd bucket-partition by cell — the same plan.
+SPATIAL_EXTENT = 100_000
+SPATIAL_R = 1_500
+
+
+def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    E, R = SPATIAL_EXTENT, SPATIAL_R
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .selectExpr(
+            "c_custkey AS id",
+            f"CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % {E} AS x",
+            f"CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 7, 6), 16, 10) AS BIGINT) % {E} AS y",
+        )
+        .selectExpr("id", "x", "y", f"x DIV {R} AS cx", f"y DIV {R} AS cy")
+        .localCheckpoint(eager=True)  # probe side and build side; = written table
+    )
+    probes = pts.selectExpr(
+        "id AS id_a",
+        "x AS xa",
+        "y AS ya",
+        "explode(sequence(cx - 1, cx + 1)) AS pcx",
+        "cy",
+    ).selectExpr("id_a", "xa", "ya", "pcx", "explode(sequence(cy - 1, cy + 1)) AS pcy")
+    pairs = (
+        probes.join(
+            pts.selectExpr("id AS id_b", "x AS xb", "y AS yb", "cx", "cy AS cyb"),
+            (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cyb")),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+            <= F.lit(R * R)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    counts = (
+        pairs.selectExpr("id_a AS id").unionAll(pairs.selectExpr("id_b AS id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    all_pts = pts.select("id").join(counts, "id", "left").selectExpr(
+        "coalesce(n_neighbors, 0) AS n_neighbors"
+    )
+    return (
+        all_pts.groupBy("n_neighbors")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .selectExpr("CAST(n_neighbors AS BIGINT) AS n_neighbors", "n_points")
+        .orderBy("n_neighbors")
+    )
+
+
+SPATIAL_GRID_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % {SPATIAL_EXTENT} AS x,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT) % {SPATIAL_EXTENT} AS y
+  FROM customer
+), pairs AS (
+  -- the INDEPENDENT quadratic truth: distance predicate only, no grid
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {SPATIAL_R * SPATIAL_R}
+), counts AS (
+  SELECT id, count(*) AS n_neighbors FROM (
+    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs
+  ) GROUP BY 1
+)
+SELECT CAST(coalesce(c.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts p LEFT JOIN counts c USING (id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["spatial_grid_join"] = spatial_grid_join
+ORACLES["spatial_grid_join"] = SPATIAL_GRID_JOIN_SQL
