@@ -108,6 +108,11 @@ HEADLINE = [
     "chunk_documents_overlap",
     "kmeans_int_embeddings",
     "minhash_estimate_error",
+    "hierarchy_flatten_docs",
+    "pit_join_orders_scd2",
+    "a1_grouping_sets_revenue",
+    "spatial_grid_join",
+    "index_conjunctive_query",
 ]
 
 

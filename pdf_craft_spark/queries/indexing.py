@@ -289,3 +289,74 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["spatial_grid_join"] = spatial_grid_join
 ORACLES["spatial_grid_join"] = SPATIAL_GRID_JOIN_SQL
+
+
+# --- conjunctive retrieval over the inverted index ----------------------------
+# The QUERY side of inverted_index_postings: an AND-of-terms retrieval.
+# Query terms are picked deterministically FROM the corpus statistics
+# (document-frequency ranks 5/10/15 — frequent enough that the AND
+# intersection is non-empty at every sf, selective enough to rank) and broadcast onto the term-doc table; a
+# doc matches when it contains ALL query terms, ranked by total tf.
+# Scale: the term-doc table is the persisted index (localCheckpoint here;
+# one token-volume shuffle to build); retrieval itself touches only the
+# query terms' postings via a broadcast semi-join — the big table never
+# reshuffles per query, which is the entire point of an inverted index.
+CONJ_DF_RANKS = (5, 10, 15)
+
+
+def index_conjunctive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")).alias("t"),
+    ).select("doc_id", F.lower("t").alias("term"))
+    td = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)  # the index table: built once, probed
+    )
+    qterms = (
+        td.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("df"), F.asc("term")))
+        )
+        .filter(F.col("r").isin(*CONJ_DF_RANKS))
+        .select("term")
+    )
+    hits = td.join(F.broadcast(qterms), "term")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("m"),
+            F.sum("cnt").alias("tf_total"),
+        )
+        .filter(F.col("m") == len(CONJ_DF_RANKS))
+        .selectExpr("doc_id", "CAST(tf_total AS BIGINT) AS tf_total")
+        .orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    )
+
+
+INDEX_CONJUNCTIVE_QUERY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '{_TOKEN_RE}'))) AS term
+  FROM documents
+), td AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), qterms AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS r
+    FROM td GROUP BY term
+  ) WHERE r IN {CONJ_DF_RANKS}
+)
+SELECT td.doc_id, CAST(sum(td.cnt) AS BIGINT) AS tf_total
+FROM td JOIN qterms USING (term)
+GROUP BY td.doc_id
+HAVING count(DISTINCT td.term) = {len(CONJ_DF_RANKS)}
+ORDER BY tf_total DESC, doc_id ASC
+"""
+
+QUERIES["index_conjunctive_query"] = index_conjunctive_query
+ORACLES["index_conjunctive_query"] = INDEX_CONJUNCTIVE_QUERY_SQL
