@@ -113,6 +113,7 @@ HEADLINE = [
     "a1_grouping_sets_revenue",
     "spatial_grid_join",
     "index_conjunctive_query",
+    "media_wav_features",
 ]
 
 

@@ -504,6 +504,105 @@ def png_stream_layers(
     ]
 
 
+# --- audio modality: RIFF/WAVE PCM16 payloads --------------------------------
+# Audio rows (doc_id % 3 = 2) carry a COMPLETE, spec-valid WAV container:
+# the 44-byte canonical PCM header (mono, 16-bit, 8 kHz — constant, so its
+# hex is a literal, rendered below via struct.pack semantics) followed by
+# WAV_N_SAMPLES little-endian int16 samples drawn from an md5 stream.  The
+# Spark kernel genuinely PARSES the bytes (magic checks, chunk walk,
+# np.frombuffer) — the real decode plumbing the multimodal contract wants —
+# while the DuckDB oracle recomputes the features arithmetically from the
+# same sample recipe, never parsing a byte: agreement proves the container
+# layout, the endianness handling, and the feature math all at once.
+WAV_N_SAMPLES = 64
+WAV_SAMPLE_RATE = 8000
+WAV_HEADER_HEX = (
+    "52494646A400000057415645666D7420100000000100"
+    "0100401F0000803E0000020010006461746180000000"
+)
+
+
+def decode_wav_pcm16(b: bytes):
+    """Parse a canonical PCM16 WAV: returns (sample_rate, samples int64
+    ndarray).  Raises on malformed containers — extraction must fail
+    loudly, not emit garbage features."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 44:
+        raise ValueError("shorter than the canonical PCM16 header")
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    if b[12:16] != b"fmt ":
+        raise ValueError("fmt chunk not where the canonical header puts it")
+    (sub1,) = struct.unpack("<I", b[16:20])
+    audio_fmt, ch = struct.unpack("<HH", b[20:24])
+    rate, _brate = struct.unpack("<II", b[24:32])
+    _balign, bits = struct.unpack("<HH", b[32:36])
+    if (sub1, audio_fmt, ch, bits) != (16, 1, 1, 16):
+        raise ValueError(f"unsupported wav layout {(sub1, audio_fmt, ch, bits)}")
+    if b[36:40] != b"data":
+        raise ValueError("data chunk missing")
+    (dsize,) = struct.unpack("<I", b[40:44])
+    if len(b) < 44 + dsize:
+        raise ValueError("truncated data chunk")
+    samples = np.frombuffer(b[44 : 44 + dsize], dtype="<i2").astype(np.int64)
+    return rate, samples
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_ref string, n_samples int, sample_rate int, duration_us long, "
+    "peak_abs long, sum_sq long, zero_cross long"
+)
+
+
+def extract_wav_features(media) -> "DataFrame":
+    """Arrow-batched WAV decode/feature kernel (mapInPandas) over the
+    audio rows.  All features are integers (sum of squares instead of a
+    float RMS) so the arithmetic oracle matches exactly.  Narrow op — no
+    shuffle; rows stay where the scan put them."""
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                rate, s = decode_wav_pcm16(bytes(content))
+                zc = int(((s[1:] < 0) != (s[:-1] < 0)).sum()) if len(s) > 1 else 0
+                rows.append(
+                    (
+                        ref,
+                        int(len(s)),
+                        int(rate),
+                        int(len(s)) * 1_000_000 // int(rate),
+                        int(np.abs(s).max()) if len(s) else 0,
+                        int((s * s).sum()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_us",
+                    "peak_abs",
+                    "sum_sq",
+                    "zero_cross",
+                ],
+            )
+
+    return media.filter(F.col("mime") == "audio/wav").mapInPandas(
+        kernel, schema=WAV_FEATURE_SCHEMA
+    )
+
+
 def media_payload_layers(engine: str) -> list[tuple[str, str]]:
     """Ordered (column, expr) layers building the synthetic payload hex
     from (doc_id, text): dims 4..23 from md5(text), pixel bytes from an
@@ -527,10 +626,15 @@ def media_payload_layers(engine: str) -> list[tuple[str, str]]:
     )
     layers = [("w", wexpr), ("h", hexpr), ("pix", pix)]
     layers += png_stream_layers(engine, "pix", "w", "h", "text", "s")
+    wav_data = "upper(" + " || ".join(
+        f"md5(text || '|au{k}')" for k in range(WAV_N_SAMPLES * 4 // 32)
+    ) + ")"
+    layers.append(("wavhex", f"'{WAV_HEADER_HEX}' || {wav_data}"))
     layers.append(
         (
             "payload_hex",
             "CASE WHEN doc_id % 3 = 0 THEN spng "
+            "WHEN doc_id % 3 = 2 THEN wavhex "
             "ELSE upper(md5(text) || md5(text || '|2') || md5(text || '|3')) END",
         )
     )

@@ -331,3 +331,60 @@ ORACLES = {
     "media_resize": MEDIA_RESIZE_SQL,
     "media_dhash_index": MEDIA_DHASH_INDEX_SQL,
 }
+
+
+# --- audio modality: WAV feature extraction -----------------------------------
+# The second REAL decode modality (PNG pixels being the first): audio rows
+# carry complete RIFF/WAVE PCM16 containers (functions/multimodal.py:
+# WAV_HEADER_HEX + md5-stream samples); the Spark kernel PARSES the bytes
+# (magic checks, chunk walk, little-endian int16 frombuffer), while the
+# oracle recomputes every integer feature arithmetically from the sample
+# recipe without touching a byte — agreement proves container layout,
+# endianness handling, and feature math simultaneously.
+def media_wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.functions.multimodal import extract_wav_features
+
+    return extract_wav_features(_media(spark, sf_dir)).orderBy("media_ref")
+
+
+def _wav_features_sql() -> str:
+    from pdf_craft_spark.functions.multimodal import WAV_N_SAMPLES, WAV_SAMPLE_RATE
+
+    n, rate = WAV_N_SAMPLES, WAV_SAMPLE_RATE
+    data_hex = " || ".join(f"md5(text || '|au{k}')" for k in range(n * 4 // 32))
+    return f"""
+WITH src AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+         upper({data_hex}) AS dhex
+  FROM documents WHERE doc_id % 3 = 2
+), s AS (
+  SELECT media_ref, u.i AS i,
+         CAST(('0x' || substr(dhex, CAST(4 * u.i + 3 AS INT), 2)) AS BIGINT) * 256
+         + CAST(('0x' || substr(dhex, CAST(4 * u.i + 1 AS INT), 2)) AS BIGINT) AS raw
+  FROM src, UNNEST(range(0, {n})) AS u(i)
+), v AS (
+  SELECT media_ref, i,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+  FROM s
+), z AS (
+  SELECT media_ref, val,
+         CASE WHEN lag(val) OVER (PARTITION BY media_ref ORDER BY i) IS NULL THEN 0
+              WHEN (val < 0) <> (lag(val) OVER (PARTITION BY media_ref ORDER BY i) < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM v
+)
+SELECT media_ref,
+       CAST({n} AS INT) AS n_samples,
+       CAST({rate} AS INT) AS sample_rate,
+       CAST({n * 1_000_000 // rate} AS BIGINT) AS duration_us,
+       CAST(max(abs(val)) AS BIGINT) AS peak_abs,
+       CAST(sum(val * val) AS BIGINT) AS sum_sq,
+       CAST(sum(zc) AS BIGINT) AS zero_cross
+FROM z GROUP BY media_ref ORDER BY media_ref
+"""
+
+
+MEDIA_WAV_FEATURES_SQL = _wav_features_sql()
+
+QUERIES["media_wav_features"] = media_wav_features_q
+ORACLES["media_wav_features"] = MEDIA_WAV_FEATURES_SQL

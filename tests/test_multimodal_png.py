@@ -135,3 +135,34 @@ def test_dhash_bits_pinned_and_roundtrip():
     assert out is not None and dhash_bits(out) == h
     # a uniform image has no gradient anywhere → all-zero hash
     assert dhash_bits(np.full((6, 7, 3), 99, dtype=np.uint8)) == "0" * 64
+
+
+# --- WAV modality -------------------------------------------------------------
+def test_decode_wav_pcm16_roundtrip_and_rejects():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pdf_craft_spark.functions.multimodal import (
+        WAV_HEADER_HEX,
+        WAV_N_SAMPLES,
+        WAV_SAMPLE_RATE,
+        decode_wav_pcm16,
+    )
+
+    samples = np.arange(-32768, -32768 + WAV_N_SAMPLES, dtype="<i2")
+    b = bytes.fromhex(WAV_HEADER_HEX) + samples.tobytes()
+    rate, got = decode_wav_pcm16(b)
+    assert rate == WAV_SAMPLE_RATE
+    assert got.tolist() == samples.astype("int64").tolist()
+    # the constant header's sizes must equal what struct.pack derives
+    dsize = WAV_N_SAMPLES * 2
+    assert bytes.fromhex(WAV_HEADER_HEX) == (
+        b"RIFF" + struct.pack("<I", 36 + dsize) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16)
+        + b"data" + struct.pack("<I", dsize)
+    )
+    for bad in (b"RIFX" + b[4:], b[:40], b[:44] + samples.tobytes()[:10]):
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(bad)
