@@ -114,6 +114,7 @@ HEADLINE = [
     "spatial_grid_join",
     "index_conjunctive_query",
     "media_wav_features",
+    "media_mp4_metadata",
 ]
 
 

@@ -603,6 +603,102 @@ def extract_wav_features(media) -> "DataFrame":
     )
 
 
+# --- video modality: ISO-BMFF (MP4) metadata containers ----------------------
+# Video rows (doc_id % 3 = 1) carry a minimal but SPEC-VALID ISO base
+# media file: an `ftyp` box (major brand isom) followed by `moov/mvhd`
+# v0 with timescale 1000 and an md5-derived duration — everything but the
+# 4 duration bytes is constant, so the container renders as two hex
+# literals around the duration field in both engines.  The Spark kernel
+# performs a REAL box walk (big-endian size+fourcc at every level,
+# recursing into moov) exactly like any MP4 demuxer's metadata pass; the
+# oracle recomputes the duration from the recipe arithmetic.
+MP4_TIMESCALE = 1000
+MP4_DUR_MOD = 86_400_000  # < 1 day of ms-ticks, fits uint32
+MP4_PREFIX_HEX = (
+    "000000106674797069736F6D00000200"
+    "000000746D6F6F760000006C6D766864"
+    "000000000000000000000000000003E8"
+)
+MP4_SUFFIX_HEX = (
+    "00010000010000000000000000000000000100000000000000000000000000000001000000000000"
+    "00000000000000004000000000000000000000000000000000000000000000000000000000000002"
+)
+
+
+def walk_mp4_boxes(b: bytes):
+    """REAL ISO-BMFF box walk: yields (fourcc, payload) for every
+    top-level box; raises ValueError on malformed size fields."""
+    import struct
+
+    i = 0
+    while i < len(b):
+        if i + 8 > len(b):
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        if size < 8 or i + size > len(b):
+            raise ValueError(f"bad box size {size} at {i}")
+        yield b[i + 4 : i + 8], b[i + 8 : i + size]
+        i += size
+
+
+def parse_mp4_metadata(b: bytes) -> tuple[str, int, int]:
+    """(major_brand, timescale, duration) from ftyp + moov/mvhd —
+    the demuxer metadata pass, big-endian throughout."""
+    import struct
+
+    brand, timescale, duration = None, None, None
+    for fourcc, payload in walk_mp4_boxes(b):
+        if fourcc == b"ftyp":
+            brand = payload[0:4].decode("ascii")
+        elif fourcc == b"moov":
+            for cc2, p2 in walk_mp4_boxes(payload):
+                if cc2 == b"mvhd":
+                    if p2[0] != 0:
+                        raise ValueError("only mvhd v0 supported")
+                    timescale, duration = struct.unpack(">II", p2[12:20])
+    if brand is None or timescale is None:
+        raise ValueError("ftyp or moov/mvhd missing")
+    return brand, int(timescale), int(duration)
+
+
+MP4_META_SCHEMA = (
+    "media_ref string, brand string, timescale int, duration long, "
+    "duration_ms long, n_top_boxes int"
+)
+
+
+def extract_mp4_metadata(media) -> "DataFrame":
+    """Arrow-batched MP4 metadata kernel (mapInPandas) over video rows —
+    narrow op, no shuffle."""
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(content)
+                brand, ts, dur = parse_mp4_metadata(b)
+                n_top = sum(1 for _ in walk_mp4_boxes(b))
+                rows.append((ref, brand, ts, dur, dur * 1000 // ts, n_top))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "brand",
+                    "timescale",
+                    "duration",
+                    "duration_ms",
+                    "n_top_boxes",
+                ],
+            )
+
+    return media.filter(F.col("mime") == "video/mp4").mapInPandas(
+        kernel, schema=MP4_META_SCHEMA
+    )
+
+
 def media_payload_layers(engine: str) -> list[tuple[str, str]]:
     """Ordered (column, expr) layers building the synthetic payload hex
     from (doc_id, text): dims 4..23 from md5(text), pixel bytes from an
@@ -630,12 +726,22 @@ def media_payload_layers(engine: str) -> list[tuple[str, str]]:
         f"md5(text || '|au{k}')" for k in range(WAV_N_SAMPLES * 4 // 32)
     ) + ")"
     layers.append(("wavhex", f"'{WAV_HEADER_HEX}' || {wav_data}"))
+    dur = (
+        e["hex2long"].format(h="substr(md5(text || '|vd'), 1, 7)")
+        + f" % {MP4_DUR_MOD}"
+    )
+    layers.append(
+        (
+            "mp4hex",
+            f"'{MP4_PREFIX_HEX}' || lpad(hex({dur}), 8, '0') || '{MP4_SUFFIX_HEX}'",
+        )
+    )
     layers.append(
         (
             "payload_hex",
             "CASE WHEN doc_id % 3 = 0 THEN spng "
             "WHEN doc_id % 3 = 2 THEN wavhex "
-            "ELSE upper(md5(text) || md5(text || '|2') || md5(text || '|3')) END",
+            "ELSE mp4hex END",
         )
     )
     return layers

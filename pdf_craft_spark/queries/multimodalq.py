@@ -388,3 +388,41 @@ MEDIA_WAV_FEATURES_SQL = _wav_features_sql()
 
 QUERIES["media_wav_features"] = media_wav_features_q
 ORACLES["media_wav_features"] = MEDIA_WAV_FEATURES_SQL
+
+
+# --- video modality: MP4 box-walk metadata -------------------------------------
+# Completes the image/audio/video triad: video rows carry minimal
+# spec-valid ISO-BMFF files (ftyp + moov/mvhd v0, everything constant but
+# the md5-derived duration), the Spark kernel does a REAL demuxer-style
+# box walk (big-endian size+fourcc, recursing into moov), and the oracle
+# recomputes the duration arithmetically from the recipe.
+def media_mp4_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.functions.multimodal import extract_mp4_metadata
+
+    return extract_mp4_metadata(_media(spark, sf_dir)).orderBy("media_ref")
+
+
+def _mp4_metadata_sql() -> str:
+    from pdf_craft_spark.functions.multimodal import MP4_DUR_MOD, MP4_TIMESCALE
+
+    return f"""
+WITH src AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_ref,
+         CAST(('0x' || substr(md5(text || '|vd'), 1, 7)) AS BIGINT) % {MP4_DUR_MOD}
+           AS duration
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_ref,
+       'isom' AS brand,
+       CAST({MP4_TIMESCALE} AS INT) AS timescale,
+       CAST(duration AS BIGINT) AS duration,
+       CAST(duration * 1000 // {MP4_TIMESCALE} AS BIGINT) AS duration_ms,
+       CAST(2 AS INT) AS n_top_boxes
+FROM src ORDER BY media_ref
+"""
+
+
+MEDIA_MP4_METADATA_SQL = _mp4_metadata_sql()
+
+QUERIES["media_mp4_metadata"] = media_mp4_metadata_q
+ORACLES["media_mp4_metadata"] = MEDIA_MP4_METADATA_SQL

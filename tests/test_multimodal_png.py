@@ -166,3 +166,26 @@ def test_decode_wav_pcm16_roundtrip_and_rejects():
     for bad in (b"RIFX" + b[4:], b[:40], b[:44] + samples.tobytes()[:10]):
         with pytest.raises(ValueError):
             decode_wav_pcm16(bad)
+
+
+def test_mp4_box_walk_and_rejects():
+    import struct
+
+    import pytest
+
+    from pdf_craft_spark.functions.multimodal import (
+        MP4_PREFIX_HEX,
+        MP4_SUFFIX_HEX,
+        parse_mp4_metadata,
+        walk_mp4_boxes,
+    )
+
+    b = bytes.fromhex(MP4_PREFIX_HEX) + struct.pack(">I", 12345) + bytes.fromhex(
+        MP4_SUFFIX_HEX
+    )
+    assert len(b) == 132
+    assert [cc for cc, _ in walk_mp4_boxes(b)] == [b"ftyp", b"moov"]
+    assert parse_mp4_metadata(b) == ("isom", 1000, 12345)
+    for bad in (b[:20], b[:4] + b"fty", struct.pack(">I", 3) + b"ftyp"):
+        with pytest.raises(ValueError):
+            list(walk_mp4_boxes(bad))
