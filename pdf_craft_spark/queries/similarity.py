@@ -945,6 +945,27 @@ KMEANS_ROUNDS = 3
 KMEANS_QSCALE = 1000
 
 
+def _kmeans_round_dists(q: DataFrame, cdf: DataFrame, K: int) -> DataFrame:
+    """One Lloyd round's distance pass: component rows broadcast-join the
+    K centroid COLUMNS on pos, and all K squared distances accumulate in
+    a single groupBy(vec_id) aggregate (plan-guarded: the centroid side
+    must broadcast — a shuffle join on pos would reshuffle the big
+    component table every round)."""
+    return (
+        q.join(F.broadcast(cdf), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("qv") - F.col(f"c{j}"))
+                    * (F.col("qv") - F.col(f"c{j}"))
+                ).alias(f"d{j}")
+                for j in range(K)
+            ]
+        )
+    )
+
+
 def kmeans_int_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = KMEANS_K
     q = (
@@ -974,19 +995,7 @@ def kmeans_int_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdf = spark.createDataFrame(
             rows, "pos int, " + ", ".join(f"c{j} long" for j in range(K))
         )
-        dists = (
-            q.join(F.broadcast(cdf), "pos")
-            .groupBy("vec_id")
-            .agg(
-                *[
-                    F.sum(
-                        (F.col("qv") - F.col(f"c{j}"))
-                        * (F.col("qv") - F.col(f"c{j}"))
-                    ).alias(f"d{j}")
-                    for j in range(K)
-                ]
-            )
-        )
+        dists = _kmeans_round_dists(q, cdf, K)
         mind = F.least(*[F.col(f"d{j}") for j in range(K)])
         cluster = F.coalesce(
             *[F.when(F.col(f"d{j}") == mind, F.lit(j)) for j in range(K)]

@@ -613,3 +613,51 @@ def test_bpe_pairs_expand_from_word_table_not_corpus(spark):
     # two Generates: token explode (corpus side) + pair explode (vocab
     # side), separated by the word-count aggregate
     assert plan.count("Generate") == 2 and "HashAggregate" in plan, plan
+
+
+def test_spatial_grid_join_no_cartesian(spark):
+    """The grid join must stay an equi-join on cell ids — a regression to
+    the quadratic formulation (the oracle's shape) would be a
+    BroadcastNestedLoopJoin/CartesianProduct on the distance predicate."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["spatial_grid_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmeans_round_joins_centroids_broadcast(spark):
+    """Each Lloyd round joins the component rows against the K centroid
+    COLUMNS — that side is K x DIM literals and must broadcast; a shuffle
+    join on pos would reshuffle the big component table every round.
+    (The query's own final plan only shows the post-checkpoint rollup, so
+    the guard inspects the round builder directly.)"""
+    from pyspark.sql import functions as F
+
+    from pdf_craft_spark.queries.similarity import (
+        KMEANS_K,
+        _emb,
+        _kmeans_round_dists,
+    )
+
+    q = _emb(spark, SF_DIR).select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).selectExpr("vec_id", "pos", "CAST(floor(x * 1000) AS LONG) AS qv")
+    cdf = spark.createDataFrame(
+        [tuple([p] + [0] * KMEANS_K) for p in range(64)],
+        "pos int, " + ", ".join(f"c{j} long" for j in range(KMEANS_K)),
+    )
+    plan = _executed_plan(_kmeans_round_dists(q, cdf, KMEANS_K))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conjunctive_query_broadcasts_terms(spark):
+    """Retrieval must probe the persisted term-doc table with a broadcast
+    semi/inner join on the tiny query-term set — never reshuffle the
+    index per query."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["index_conjunctive_query"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
