@@ -441,3 +441,92 @@ FROM flat ORDER BY doc_id
 
 QUERIES["hierarchy_flatten_docs"] = hierarchy_flatten_docs
 ORACLES["hierarchy_flatten_docs"] = HIERARCHY_FLATTEN_DOCS_SQL
+
+
+# --- multi-source BFS distance -------------------------------------------------
+# The distance member of the graph family (components = membership,
+# LPA = community, PageRank = centrality, triangles = local structure,
+# BFS = reachability + hops): minimum hop count from a deterministic seed
+# set (the 5 smallest node ids — data-derived, so seeds always exist on
+# the sparse near-dup node set) over the near-dup graph.  Frontier relaxation as
+# a Pregel-style loop — each round one equi-join (edges x current
+# distances) + a min-aggregate, lineage cut per round; convergence is
+# CHECKED and a non-terminating relaxation raises.  Rounds = eccentricity
+# of the seed set (near-dup clusters are shallow); at 10^12 docs the same
+# loop runs over the persisted edge table with distance state as a table
+# per round.  Unreachable docs are excluded (they carry no distance).
+BFS_MAX_ROUNDS = 32
+BFS_N_SEEDS = 5
+
+
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    dist = (
+        nodes.orderBy("doc_id")
+        .limit(BFS_N_SEEDS)
+        .selectExpr("doc_id", "CAST(0 AS INT) AS dist")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_MAX_ROUNDS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("doc_id", "src"), "src")
+            .selectExpr("dst AS doc_id", "dist + 1 AS dist")
+            .unionByName(dist)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            relaxed.join(
+                dist.withColumnRenamed("dist", "od"), "doc_id", "left"
+            )
+            .filter(F.col("od").isNull() | (F.col("dist") != F.col("od")))
+            .count()
+        )
+        dist = relaxed
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"graph_bfs_distance: frontier relaxation still changing after "
+            f"{BFS_MAX_ROUNDS} rounds"
+        )
+    return dist.selectExpr("doc_id", "CAST(dist AS INT) AS dist").orderBy("doc_id")
+
+
+def _bfs_distance_sql() -> str:
+    from pdf_craft_spark.queries.dedup import DEDUP_MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS doc_id FROM edges
+), walk(doc_id, d) AS (
+  SELECT doc_id, 0 FROM (SELECT doc_id FROM nodes ORDER BY doc_id LIMIT {BFS_N_SEEDS})
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.doc_id
+  WHERE w.d < {BFS_MAX_ROUNDS}
+)
+SELECT doc_id, CAST(min(d) AS INT) AS dist
+FROM walk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+GRAPH_BFS_DISTANCE_SQL = _bfs_distance_sql()
+
+QUERIES["graph_bfs_distance"] = graph_bfs_distance
+ORACLES["graph_bfs_distance"] = GRAPH_BFS_DISTANCE_SQL
