@@ -116,6 +116,7 @@ HEADLINE = [
     "media_wav_features",
     "media_mp4_metadata",
     "graph_bfs_distance",
+    "contrastive_pairs_chunks",
 ]
 
 

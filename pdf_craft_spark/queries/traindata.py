@@ -663,3 +663,99 @@ FROM chunks ORDER BY doc_id, chunk_idx
 
 QUERIES["chunk_documents_overlap"] = chunk_documents_overlap
 ORACLES["chunk_documents_overlap"] = CHUNK_DOCUMENTS_OVERLAP_SQL
+
+
+# --- contrastive pair generation (self-supervised training prep) --------------
+# The training-pair assembly step for contrastive/embedding objectives:
+# POSITIVES are adjacent overlapping chunks of the same document (their
+# CHUNK_TOKENS-token windows share CHUNK_TOKENS-CHUNK_STRIDE tokens, the
+# standard weak-supervision signal); each anchor also gets ONE hard-coded
+# deterministic NEGATIVE — the lexicographically-first-by-md5 chunk of
+# its md5 bucket that belongs to a DIFFERENT document.  Hash-derived
+# pairing keeps the sample stable under reruns, appends, and
+# repartitioning (the same properties as split_train_val_test); a rand()
+# pairing has none of them.
+# Scale shape: positives are a self-join on (doc_id, chunk_idx+1) —
+# co-partitioned, per-key fan-out exactly 1; negatives shuffle once on
+# the bucket key, and the per-bucket representative comes from one window
+# pass.  No all-pairs surface.
+PAIR_BUCKETS = 64
+
+
+def contrastive_pairs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents_overlap(spark, sf_dir).select(
+        "doc_id", "chunk_idx"
+    ).localCheckpoint(eager=True)  # anchors, positives and negatives
+    pos = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.chunk_idx") == F.col("a.chunk_idx") + 1),
+        )
+        .selectExpr(
+            "a.doc_id AS doc_id",
+            "a.chunk_idx AS chunk_idx",
+            "b.doc_id AS pair_doc",
+            "b.chunk_idx AS pair_idx",
+            "'pos' AS label",
+        )
+    )
+    keyed = chunks.selectExpr(
+        "doc_id",
+        "chunk_idx",
+        "md5(CAST(doc_id AS STRING) || ':' || CAST(chunk_idx AS STRING)) AS h",
+    ).selectExpr(
+        "doc_id",
+        "chunk_idx",
+        "h",
+        f"CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT) % {PAIR_BUCKETS} AS bkt",
+    )
+    rep = (
+        keyed.withColumn(
+            "rk", F.row_number().over(W.partitionBy("bkt").orderBy("h"))
+        )
+        .filter(F.col("rk") == 1)
+        .selectExpr("bkt", "doc_id AS pair_doc", "chunk_idx AS pair_idx")
+    )
+    neg = (
+        keyed.join(F.broadcast(rep), "bkt")
+        .filter(F.col("doc_id") != F.col("pair_doc"))
+        .selectExpr("doc_id", "chunk_idx", "pair_doc", "pair_idx", "'neg' AS label")
+    )
+    return pos.unionByName(neg).orderBy("doc_id", "chunk_idx", "label", "pair_doc")
+
+
+CONTRASTIVE_PAIRS_CHUNKS_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_idx FROM ({CHUNK_DOCUMENTS_OVERLAP_SQL})
+), pos AS (
+  SELECT a.doc_id, a.chunk_idx, b.doc_id AS pair_doc, b.chunk_idx AS pair_idx,
+         'pos' AS label
+  FROM chunks a JOIN chunks b
+    ON b.doc_id = a.doc_id AND b.chunk_idx = a.chunk_idx + 1
+), keyed AS (
+  SELECT doc_id, chunk_idx,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)) AS h
+  FROM chunks
+), bucketed AS (
+  SELECT doc_id, chunk_idx, h,
+         CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % {PAIR_BUCKETS} AS bkt
+  FROM keyed
+), rep AS (
+  SELECT bkt, doc_id AS pair_doc, chunk_idx AS pair_idx FROM (
+    SELECT bkt, doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY bkt ORDER BY h) AS rk
+    FROM bucketed
+  ) WHERE rk = 1
+), neg AS (
+  SELECT b.doc_id, b.chunk_idx, r.pair_doc, r.pair_idx, 'neg' AS label
+  FROM bucketed b JOIN rep r USING (bkt)
+  WHERE b.doc_id <> r.pair_doc
+)
+SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+ORDER BY doc_id, chunk_idx, label, pair_doc
+"""
+
+QUERIES["contrastive_pairs_chunks"] = contrastive_pairs_chunks
+ORACLES["contrastive_pairs_chunks"] = CONTRASTIVE_PAIRS_CHUNKS_SQL
