@@ -117,6 +117,8 @@ HEADLINE = [
     "media_mp4_metadata",
     "graph_bfs_distance",
     "contrastive_pairs_chunks",
+    "winsorized_price_stats",
+    "survival_reorder_times",
 ]
 
 

@@ -782,3 +782,139 @@ ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 QUERIES["a1_grouping_sets_revenue"] = a1_grouping_sets_revenue
 ORACLES["a1_grouping_sets_revenue"] = A1_GROUPING_SETS_REVENUE_SQL
+
+
+# --- winsorized robust statistics ----------------------------------------------
+# Robust aggregation done engine-exactly: per-group p05/p95 bounds as
+# ORDER STATISTICS (rank = ceil(p·n) over an explicit sort — NOT
+# percentile_approx, whose sketch differs per engine, and NOT interpolated
+# percentile, whose float math splits engines), then every value clamps
+# into [p05, p95] and aggregates through DECIMAL.  Two window passes over
+# the group (rank + count), one clamp projection, one aggregate — all on
+# the same l_returnflag shuffle.  The winsorized mean is the standard
+# outlier-robust metric a DQ pipeline reports next to the raw mean.
+WINSOR_LO_NUM, WINSOR_HI_NUM, WINSOR_DEN = 5, 95, 100
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("decimal(18,2)").alias("v")
+    )
+    w = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(w.orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    lo_rk = F.expr(f"CAST(({WINSOR_LO_NUM} * n + {WINSOR_DEN} - 1) DIV {WINSOR_DEN} AS BIGINT)")
+    hi_rk = F.expr(f"CAST(({WINSOR_HI_NUM} * n + {WINSOR_DEN} - 1) DIV {WINSOR_DEN} AS BIGINT)")
+    bounds = (
+        ranked.filter((F.col("rk") == F.greatest(lo_rk, F.lit(1))) | (F.col("rk") == hi_rk))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("p05"), F.max("v").alias("p95"))
+    )
+    clamped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("v"))).alias("wv"),
+        "v",
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v").cast("double"), 2).alias("raw_sum"),
+            F.round(F.sum("wv").cast("double"), 2).alias("winsor_sum"),
+            F.sum((F.col("wv") != F.col("v")).cast("long")).alias("n_clamped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WINSORIZED_PRICE_STATS_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM li
+), bounds AS (
+  SELECT l_returnflag, min(v) AS p05, max(v) AS p95
+  FROM ranked
+  WHERE rk = greatest(({WINSOR_LO_NUM} * n + {WINSOR_DEN} - 1) // {WINSOR_DEN}, 1)
+     OR rk = ({WINSOR_HI_NUM} * n + {WINSOR_DEN} - 1) // {WINSOR_DEN}
+  GROUP BY 1
+), clamped AS (
+  SELECT li.l_returnflag,
+         greatest(b.p05, least(b.p95, li.v)) AS wv, li.v
+  FROM li JOIN bounds b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(v) AS DOUBLE), 2) AS raw_sum,
+       round(CAST(sum(wv) AS DOUBLE), 2) AS winsor_sum,
+       CAST(sum(CASE WHEN wv <> v THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+FROM clamped GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["winsorized_price_stats"] = winsorized_price_stats
+ORACLES["winsorized_price_stats"] = WINSORIZED_PRICE_STATS_SQL
+
+
+# --- survival / time-to-event --------------------------------------------------
+# Time-to-second-purchase with right-censoring — the classic retention
+# survival curve's input table.  Per customer: gap in whole days between
+# the first and second order (exact integer date_diff), or a CENSORED row
+# when only one order exists.  One custkey-keyed window pass over the
+# orders (rank by date with orderkey tie-break), a self-aligned filter,
+# and an integer bucket rollup — the fact table shuffles once.
+def survival_reorder_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "d", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 2)
+    first = ranked.filter("rk = 1").selectExpr("o_custkey", "d AS d1")
+    second = ranked.filter("rk = 2").selectExpr("o_custkey", "d AS d2")
+    gaps = first.join(second, "o_custkey", "left").select(
+        "o_custkey",
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1")).alias("gap_days"),
+    )
+    return (
+        gaps.select(
+            F.when(F.col("gap_days").isNull(), F.lit(-1))
+            .otherwise(F.expr("gap_days DIV 30"))
+            .cast("int")
+            .alias("gap_bucket_30d")
+        )
+        .groupBy("gap_bucket_30d")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("gap_bucket_30d")
+    )
+
+
+SURVIVAL_REORDER_TIMES_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk
+  FROM orders
+), first AS (
+  SELECT o_custkey, d AS d1 FROM ranked WHERE rk = 1
+), second AS (
+  SELECT o_custkey, d AS d2 FROM ranked WHERE rk = 2
+), gaps AS (
+  SELECT f.o_custkey, date_diff('day', f.d1, s.d2) AS gap_days
+  FROM first f LEFT JOIN second s USING (o_custkey)
+)
+SELECT CAST(CASE WHEN gap_days IS NULL THEN -1 ELSE gap_days // 30 END AS INT)
+         AS gap_bucket_30d,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM gaps GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["survival_reorder_times"] = survival_reorder_times
+ORACLES["survival_reorder_times"] = SURVIVAL_REORDER_TIMES_SQL
