@@ -363,9 +363,9 @@ ORACLES["graph_label_propagation"] = GRAPH_LABEL_PROPAGATION_SQL
 # WITH RECURSIVE oracle exactly.
 #
 # Plan: the ancestor walk is a driver-bounded iterative loop — each round
-# joins the still-walking frontier against the broadcast-or-shuffled
-# parent table and advances (cur, depth); nodes whose cur is a root stop
-# participating, so the frontier SHRINKS to the deepest chain.  Rounds =
+# left-joins the full state against the parent table and advances
+# (cur, depth) where a parent exists; rows already at a root pass through
+# unchanged (their cost is the join probe, not extra traversal).  Rounds =
 # max depth = O(log N) (4 at sf0.01, ~7 at 10^12 docs), each one
 # equi-join + no aggregation; localCheckpoint cuts lineage per round
 # (written iteration table at prod).  For pathological depth the
