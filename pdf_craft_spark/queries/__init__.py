@@ -29,6 +29,7 @@ from pdf_craft_spark.queries import (
     similarity,
     sketches,
     sourcesq,
+    statsq,
     streamingq,
     textops,
     timeseries,
@@ -59,6 +60,7 @@ for mod in (
     graphq,
     indexing,
     dataquality,
+    statsq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

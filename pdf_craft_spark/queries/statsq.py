@@ -1,0 +1,348 @@
+"""Exact distributed statistics: rank correlation, robust (median/MAD)
+outlier detection, and the TPC-H Q21-style exclusive-blame self-aggregation.
+
+House rules applied throughout: every intermediate that decides a value is
+integer or DECIMAL (engine-exact); doubles appear only in the final
+projection where IEEE determinism holds (sqrt/division of identical exact
+inputs); percentiles are ORDER STATISTICS, never interpolation or sketches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- Spearman rank correlation (integer-exact ranks) -----------------------
+# Per brand: Spearman rho between retail price and size.  Ranks are the
+# classic average-of-ties, kept integral by doubling: with cnt_less = rows
+# strictly below and cnt_eq = tie-group size, 2*avg_rank = 2*cnt_less +
+# cnt_eq + 1 (always an integer).  rho is Pearson over the doubled ranks
+# (tie-correct by construction); all moment sums run in DECIMAL(38,0) so
+# both engines agree bit-for-bit before the one final double projection.
+#
+# Scale shape: ranks are NOT computed with a per-row window over the fact
+# table.  Each column first collapses to (brand, value, cnt) — bounded by
+# distinct values, orders of magnitude smaller than the rows — the
+# cumulative count runs over that compressed table, and the doubled rank
+# joins back on (brand, value).  At 100 TB the two rank joins are
+# broadcastable whenever the distinct-value table is small, and the final
+# moment aggregation is a single partial-agg shuffle on brand.
+def spearman_brand_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def doubled_rank(col: str) -> DataFrame:
+        cv = p.groupBy("p_brand", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            W.partitionBy("p_brand")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return cv.select(
+            "p_brand",
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"u_{col}"),
+        )
+
+    ranked = (
+        p.join(doubled_rank("x"), ["p_brand", "x"])
+        .join(doubled_rank("y"), ["p_brand", "y"])
+        .select(
+            "p_brand",
+            F.col("u_x").cast("decimal(38,0)").alias("u"),
+            F.col("u_y").cast("decimal(38,0)").alias("v"),
+        )
+    )
+    agg = ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(
+            (F.col("u") - F.col("v")) * (F.col("u") - F.col("v"))
+        ).alias("sum_d2_x4"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("suv") - F.col("su") * F.col("sv")).cast("double")
+    varu = (n * F.col("suu") - F.col("su") * F.col("su")).cast("double")
+    varv = (n * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+    return agg.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_d2_x4").cast("decimal(38,0)").alias("sum_d2_x4"),
+        F.when(
+            (varu > 0) & (varv > 0),
+            F.round(cov / F.sqrt(varu * varv), 6),
+        ).alias("rho"),
+    ).orderBy("p_brand")
+
+
+SPEARMAN_BRAND_PRICE_SIZE_SQL = """
+WITH p AS (
+  SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM part
+), rx AS (
+  SELECT p_brand, x,
+         2 * coalesce(sum(cnt) OVER (PARTITION BY p_brand ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS u_x
+  FROM (SELECT p_brand, x, count(*) AS cnt FROM p GROUP BY 1, 2)
+), ry AS (
+  SELECT p_brand, y,
+         2 * coalesce(sum(cnt) OVER (PARTITION BY p_brand ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS u_y
+  FROM (SELECT p_brand, y, count(*) AS cnt FROM p GROUP BY 1, 2)
+), ranked AS (
+  SELECT p.p_brand, CAST(rx.u_x AS DECIMAL(38,0)) AS u,
+         CAST(ry.u_y AS DECIMAL(38,0)) AS v
+  FROM p JOIN rx ON p.p_brand = rx.p_brand AND p.x = rx.x
+         JOIN ry ON p.p_brand = ry.p_brand AND p.y = ry.y
+), agg AS (
+  SELECT p_brand, count(*) AS n,
+         sum(u) AS su, sum(v) AS sv,
+         sum(u * u) AS suu, sum(v * v) AS svv, sum(u * v) AS suv,
+         sum((u - v) * (u - v)) AS sum_d2_x4
+  FROM ranked GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       CAST(sum_d2_x4 AS DECIMAL(38,0)) AS sum_d2_x4,
+       CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * suu - su * su AS DOUBLE) > 0
+             AND CAST(CAST(n AS DECIMAL(38,0)) * svv - sv * sv AS DOUBLE) > 0
+            THEN round(
+              CAST(CAST(n AS DECIMAL(38,0)) * suv - su * sv AS DOUBLE)
+              / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * suu - su * su AS DOUBLE)
+                   * CAST(CAST(n AS DECIMAL(38,0)) * svv - sv * sv AS DOUBLE)),
+              6)
+       END AS rho
+FROM agg ORDER BY p_brand
+"""
+
+
+# --- robust outliers: median / MAD, order-statistic exact ------------------
+# Per part type: modified z-score outliers on retail price.  Median and
+# MAD are order statistics kept integral by doubling/quadrupling (med_x2 =
+# the sum of the two middle order stats in cents; mad_x4 likewise over
+# |2v - med_x2|), and the 3.5-modified-z cut (|x-med| > 3.5 * 1.4826*MAD)
+# becomes the pure-integer predicate 200000*|2v-med_x2| > 518910*mad_x4.
+# No floats anywhere, so both engines agree exactly.
+#
+# Scale shape: two rank passes, each a window partitioned by p_type — the
+# group key's cardinality grows with the catalog (150 types at SF1, more
+# with richer catalogs), so group-local sorts shard across executors.  For
+# a low-cardinality group key at 100 TB the same recipe runs on the
+# (group, value, cnt) compressed table exactly like spearman's rank join.
+def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_type",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    w = W.partitionBy("p_type")
+    ranked = p.select(
+        "p_type",
+        "v",
+        F.row_number().over(w.orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
+    med = (
+        ranked.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+        .groupBy("p_type")
+        .agg(F.expr("CAST((sum(v) * 2) DIV count(*) AS BIGINT)").alias("med_x2"))
+    )
+    dev = p.join(F.broadcast(med), "p_type").select(
+        "p_type",
+        "v",
+        "med_x2",
+        F.abs(2 * F.col("v") - F.col("med_x2")).alias("ad2"),
+    )
+    ranked2 = dev.select(
+        "p_type",
+        "ad2",
+        F.row_number().over(w.orderBy("ad2")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mad = (
+        ranked2.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+        .groupBy("p_type")
+        .agg(
+            F.expr("CAST((sum(ad2) * 2) DIV count(*) AS BIGINT)").alias("mad_x4")
+        )
+    )
+    flagged = dev.join(F.broadcast(mad), "p_type").select(
+        "p_type",
+        "med_x2",
+        "mad_x4",
+        (200000 * F.col("ad2") > 518910 * F.col("mad_x4"))
+        .cast("long")
+        .alias("is_out"),
+    )
+    return (
+        flagged.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med_x2").alias("med_x2_cents"),
+            F.max("mad_x4").alias("mad_x4_cents"),
+            F.sum("is_out").alias("n_outliers"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ROBUST_PRICE_OUTLIERS_SQL = """
+WITH p AS (
+  SELECT p_type,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM part
+), ranked AS (
+  SELECT p_type, v,
+         row_number() OVER (PARTITION BY p_type ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY p_type) AS n
+  FROM p
+), med AS (
+  SELECT p_type, CAST((sum(v) * 2) // count(*) AS BIGINT) AS med_x2
+  FROM ranked
+  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+  GROUP BY 1
+), dev AS (
+  SELECT p.p_type, p.v, m.med_x2, abs(2 * p.v - m.med_x2) AS ad2
+  FROM p JOIN med m USING (p_type)
+), ranked2 AS (
+  SELECT p_type, ad2,
+         row_number() OVER (PARTITION BY p_type ORDER BY ad2) AS rk,
+         count(*) OVER (PARTITION BY p_type) AS n
+  FROM dev
+), mad AS (
+  SELECT p_type, CAST((sum(ad2) * 2) // count(*) AS BIGINT) AS mad_x4
+  FROM ranked2
+  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+  GROUP BY 1
+)
+SELECT d.p_type,
+       CAST(count(*) AS BIGINT) AS n,
+       max(d.med_x2) AS med_x2_cents,
+       max(ma.mad_x4) AS mad_x4_cents,
+       CAST(sum(CASE WHEN 200000 * d.ad2 > 518910 * ma.mad_x4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ma USING (p_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- TPC-H Q21 analog: exclusive-blame supplier self-aggregation -----------
+# "Suppliers who kept multi-supplier orders waiting, alone": for finished
+# orders with at least two distinct suppliers, count per supplier the
+# orders where that supplier shipped late (l_shipdate > o_orderdate + 90
+# days on any of its lines) and NO other supplier did.  The reference
+# formulation is EXISTS + NOT EXISTS self-joins on the fact table
+# (tpch q21, lineitem l2/l3); here the same semantics compress to one
+# aggregation: per (orderkey, suppkey) fold late-ness, then per orderkey
+# count suppliers and late suppliers — exclusive blame is a late supplier
+# row where n_supp >= 2 and n_late = 1.  Two shuffles total (orderkey,
+# then suppkey rollup) instead of three fact-table self-joins; at 100 TB
+# the orderkey aggregations co-partition and AQE collapses them into one
+# exchange reuse.  Total order (numwait DESC, s_name) makes LIMIT stable.
+LATE_DAYS = 90
+Q21_TOPN = 20
+
+
+def q21_late_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_supp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), LATE_DAYS)
+            )
+            .cast("int")
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    blamed = (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPN)
+    )
+
+
+Q21_LATE_EXCLUSIVE_SUPPLIERS_SQL = f"""
+WITH per_supp AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN CAST(l.l_shipdate AS DATE)
+                       > CAST(o.o_orderdate AS DATE) + {LATE_DAYS}
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM per_supp GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_supp ps
+JOIN per_order po USING (l_orderkey)
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOPN}
+"""
+
+
+QUERIES = {
+    "spearman_brand_price_size": spearman_brand_price_size,
+    "robust_price_outliers": robust_price_outliers,
+    "q21_late_exclusive_suppliers": q21_late_exclusive_suppliers,
+}
+ORACLES = {
+    "spearman_brand_price_size": SPEARMAN_BRAND_PRICE_SIZE_SQL,
+    "robust_price_outliers": ROBUST_PRICE_OUTLIERS_SQL,
+    "q21_late_exclusive_suppliers": Q21_LATE_EXCLUSIVE_SUPPLIERS_SQL,
+}
