@@ -480,3 +480,106 @@ ORDER BY user_id
 
 QUERIES["cep_pattern_match"] = cep_pattern_match
 ORACLES["cep_pattern_match"] = CEP_PATTERN_MATCH_SQL
+
+
+# --- item-item co-occurrence recommender ---------------------------------------
+# The classic "customers also bought" scorer at its scalable shape: dedup
+# baskets once (materialized — five downstream branches), pair items via
+# the orderkey self equi-join (never all-pairs: co-location on the basket
+# key bounds the fan-out by basket size), then cosine = c_ij /
+# sqrt(c_i * c_j) per DIRECTED pair and row_number top-3 per item.  All
+# ranking inputs are exact: integer counts → one sqrt/division per pair,
+# identical IEEE doubles in both engines, ties broken by partner key.  At
+# 100 TB the basket self-join shuffles once on orderkey and the top-k
+# window shards by item — both keys high-cardinality, no single-reducer
+# group.
+RECSYS_TOPK = 3
+RECSYS_MIN_SUP = 2
+
+
+def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item"),
+            F.col("b.l_partkey").alias("rec"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= RECSYS_MIN_SUP)
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    scored = (
+        pairs.join(cnt.selectExpr("l_partkey AS item", "cnt AS cnt_i"), "item")
+        .join(cnt.selectExpr("l_partkey AS rec", "cnt AS cnt_j"), "rec")
+        .select(
+            "item",
+            "rec",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.sqrt((F.col("cnt_i") * F.col("cnt_j")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("score"), F.asc("rec"))
+    return (
+        scored.select(
+            "item", "rec", "support", "score", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= RECSYS_TOPK)
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("rec").cast("long").alias("rec"),
+            F.col("support").cast("long").alias("support"),
+            F.round("score", 6).alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("item", "rk")
+    )
+
+
+RECSYS_ITEM_COOCCURRENCE_TOPK_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS item, b.l_partkey AS rec, count(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {RECSYS_MIN_SUP}
+), cnt AS (
+  SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1
+), scored AS (
+  SELECT p.item, p.rec, p.support,
+         CAST(p.support AS DOUBLE)
+           / sqrt(CAST(ci.cnt * cj.cnt AS DOUBLE)) AS score
+  FROM pairs p
+  JOIN cnt ci ON p.item = ci.l_partkey
+  JOIN cnt cj ON p.rec = cj.l_partkey
+), ranked AS (
+  SELECT item, rec, support, score,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY score DESC, rec ASC) AS rk
+  FROM scored
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
+       CAST(support AS BIGINT) AS support,
+       round(score, 6) AS score, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {RECSYS_TOPK}
+ORDER BY item, rk
+"""
+
+
+QUERIES["recsys_item_cooccurrence_topk"] = recsys_item_cooccurrence_topk
+ORACLES["recsys_item_cooccurrence_topk"] = RECSYS_ITEM_COOCCURRENCE_TOPK_SQL

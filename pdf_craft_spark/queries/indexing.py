@@ -360,3 +360,124 @@ ORDER BY tf_total DESC, doc_id ASC
 
 QUERIES["index_conjunctive_query"] = index_conjunctive_query
 ORACLES["index_conjunctive_query"] = INDEX_CONJUNCTIVE_QUERY_SQL
+
+
+# --- Hilbert-curve clustering key ----------------------------------------------
+# The second multi-dimensional layout key (Delta OPTIMIZE supports both
+# ZORDER and Hilbert clustering; Hilbert preserves locality strictly
+# better — every unit step on the curve is a unit step in space, where
+# Morton order takes long diagonal jumps at quadrant boundaries).  The
+# canonical xy2d walk (one rotate/reflect per bit level) unrolls into
+# HBITS chained projections of pure integer CASE/shift/xor arithmetic —
+# rendered per-engine by one shared generator, whole-stage codegen on the
+# Spark side, value-identical in DuckDB.  The step decomposition
+# (rx/ry from the CURRENT rotated coords, flip against the FULL grid
+# N-1) is proved equal to the canonical loop for all points in
+# tests/test_hilbert.py.  Output is the same file-level summary as the
+# Z-order op: per key-range bucket, row count and tight min/max of both
+# source dimensions — directly comparable bucket-for-bucket against
+# zorder_cluster_key on identical inputs.
+HBITS = 8
+HN = 1 << HBITS
+HBUCKET = (HN * HN) // 16
+
+
+def _hilbert_step(b: int, engine: str) -> tuple[str, str, str]:
+    s = 1 << b
+    rx = f"((x >> {b}) & 1)"
+    ry = f"((y >> {b}) & 1)"
+    if engine == "spark":
+        g = f"((3 * {rx}) ^ {ry})"
+    else:
+        g = f"xor(3 * {rx}, {ry})"
+    d = f"d + {s * s} * {g}"
+    nx = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {HN - 1} - y ELSE y END) ELSE x END"
+    )
+    ny = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {HN - 1} - x ELSE x END) ELSE y END"
+    )
+    return d, nx, ny
+
+
+def hilbert_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        f"CAST(o_custkey & {HN - 1} AS BIGINT) AS x0",
+        f"CAST(datediff(CAST(o_orderdate AS DATE), DATE '{Z_EPOCH}')"
+        f" & {HN - 1} AS BIGINT) AS y0",
+    )
+    df = base.selectExpr("x0", "y0", "x0 AS x", "y0 AS y", "CAST(0 AS BIGINT) AS d")
+    for b in range(HBITS - 1, -1, -1):
+        d, nx, ny = _hilbert_step(b, "spark")
+        df = df.selectExpr(
+            "x0", "y0", f"{nx} AS x", f"{ny} AS y", f"{d} AS d"
+        )
+    return (
+        df.groupBy(F.expr(f"CAST(d DIV {HBUCKET} AS BIGINT)").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("x0").alias("min_cust"),
+            F.max("x0").alias("max_cust"),
+            F.min("y0").alias("min_day"),
+            F.max("y0").alias("max_day"),
+        )
+        .selectExpr(
+            "bucket",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(min_d AS BIGINT) AS min_d",
+            "CAST(max_d AS BIGINT) AS max_d",
+            "CAST(min_cust AS BIGINT) AS min_cust",
+            "CAST(max_cust AS BIGINT) AS max_cust",
+            "CAST(min_day AS BIGINT) AS min_day",
+            "CAST(max_day AS BIGINT) AS max_day",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _hilbert_duck_ctes() -> str:
+    steps = []
+    prev = "base"
+    for i, b in enumerate(range(HBITS - 1, -1, -1)):
+        d, nx, ny = _hilbert_step(b, "duck")
+        steps.append(
+            f"s{i} AS (SELECT x0, y0, {nx} AS x, {ny} AS y, {d} AS d"
+            f" FROM {prev})"
+        )
+        prev = f"s{i}"
+    return ", ".join(steps), prev
+
+
+_H_CTES, _H_LAST = _hilbert_duck_ctes()
+
+HILBERT_CLUSTER_KEY_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_custkey & {HN - 1} AS BIGINT) AS x0,
+         CAST(date_diff('day', DATE '{Z_EPOCH}', CAST(o_orderdate AS DATE))
+              & {HN - 1} AS BIGINT) AS y0,
+         CAST(o_custkey & {HN - 1} AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '{Z_EPOCH}', CAST(o_orderdate AS DATE))
+              & {HN - 1} AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM orders
+), {_H_CTES}
+SELECT CAST(d // {HBUCKET} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d) AS BIGINT) AS min_d,
+       CAST(max(d) AS BIGINT) AS max_d,
+       CAST(min(x0) AS BIGINT) AS min_cust,
+       CAST(max(x0) AS BIGINT) AS max_cust,
+       CAST(min(y0) AS BIGINT) AS min_day,
+       CAST(max(y0) AS BIGINT) AS max_day
+FROM {_H_LAST}
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+QUERIES["hilbert_cluster_key"] = hilbert_cluster_key
+ORACLES["hilbert_cluster_key"] = HILBERT_CLUSTER_KEY_SQL

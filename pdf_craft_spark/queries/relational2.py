@@ -918,3 +918,108 @@ FROM gaps GROUP BY 1 ORDER BY 1
 
 QUERIES["survival_reorder_times"] = survival_reorder_times
 ORACLES["survival_reorder_times"] = SURVIVAL_REORDER_TIMES_SQL
+
+
+# --- MERGE INTO (upsert/delete apply) ------------------------------------------
+# The apply half of change-data-capture (cdc_snapshot_diff is the derive
+# half): a deterministic change batch — updates for orderkey % 7 == 0
+# (price +10.00), deletes for the remaining % 11 == 0 keys, inserts of
+# brand-new keys (orderkey + 10^8) for % 13 == 0 — merges into the orders
+# snapshot with Delta/Iceberg MERGE semantics: WHEN MATCHED AND op='D'
+# DELETE, WHEN MATCHED AND op='U' UPDATE, WHEN NOT MATCHED AND op='I'
+# INSERT.  One full-outer equi-join on the key (co-partitioned, AQE
+# broadcastable when the batch is small — the 100 TB shape), then an
+# exact DECIMAL rollup per priority proving every row landed: counts by
+# change class plus the merged balance.
+def merge_into_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    changes = o.selectExpr(
+        """CASE
+             WHEN o_orderkey % 7 = 0 THEN o_orderkey
+             WHEN o_orderkey % 11 = 0 THEN o_orderkey
+             ELSE o_orderkey + 100000000
+           END AS key""",
+        """CASE
+             WHEN o_orderkey % 7 = 0 THEN 'U'
+             WHEN o_orderkey % 11 = 0 THEN 'D'
+             ELSE 'I'
+           END AS op""",
+        "o_orderpriority AS c_priority",
+        """CASE
+             WHEN o_orderkey % 7 = 0 THEN CAST(price + 10.00 AS DECIMAL(18,2))
+             ELSE CAST(100.00 AS DECIMAL(18,2))
+           END AS c_price""",
+    ).filter(
+        "o_orderkey % 7 = 0 OR o_orderkey % 11 = 0 OR o_orderkey % 13 = 0"
+    )
+    merged = (
+        o.join(changes, o.o_orderkey == changes.key, "full_outer")
+        .filter(
+            (F.col("op").isNull()) | (F.col("op") != "D")
+        )
+        .select(
+            F.coalesce("o_orderpriority", "c_priority").alias("priority"),
+            F.when(F.col("op").isin("U", "I"), F.col("c_price"))
+            .otherwise(F.col("price"))
+            .alias("mprice"),
+            F.coalesce("op", F.lit("K")).alias("cls"),
+        )
+    )
+    return (
+        merged.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("cls") == "U", 1).otherwise(0))
+            .cast("long")
+            .alias("n_updated"),
+            F.sum(F.when(F.col("cls") == "I", 1).otherwise(0))
+            .cast("long")
+            .alias("n_inserted"),
+            F.round(F.sum("mprice").cast("double"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+MERGE_INTO_APPLY_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+), changes AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey
+              WHEN o_orderkey % 11 = 0 THEN o_orderkey
+              ELSE o_orderkey + 100000000 END AS key,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+              WHEN o_orderkey % 11 = 0 THEN 'D'
+              ELSE 'I' END AS op,
+         o_orderpriority AS c_priority,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(price + 10.00 AS DECIMAL(18,2))
+              ELSE CAST(100.00 AS DECIMAL(18,2)) END AS c_price
+  FROM o
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0 OR o_orderkey % 13 = 0
+), merged AS (
+  SELECT coalesce(o.o_orderpriority, c.c_priority) AS priority,
+         CASE WHEN c.op IN ('U', 'I') THEN c.c_price
+              ELSE o.price END AS mprice,
+         coalesce(c.op, 'K') AS cls
+  FROM o FULL OUTER JOIN changes c ON o.o_orderkey = c.key
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN cls = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(sum(CASE WHEN cls = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       round(CAST(sum(mprice) AS DOUBLE), 2) AS total_price
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["merge_into_apply"] = merge_into_apply
+ORACLES["merge_into_apply"] = MERGE_INTO_APPLY_SQL
