@@ -346,3 +346,74 @@ ORACLES = {
     "robust_price_outliers": ROBUST_PRICE_OUTLIERS_SQL,
     "q21_late_exclusive_suppliers": Q21_LATE_EXCLUSIVE_SUPPLIERS_SQL,
 }
+
+
+# --- chi-square independence: event type × user segment --------------------
+# The contingency-table independence test every experimentation pipeline
+# runs, engine-exact by construction: observed counts, row/column
+# marginals and n are integers; each cell's chi-square contribution is
+# (o·n − r·c)² / (n·r·c) computed as ONE double expression over exact
+# integer inputs (identical IEEE ops in both engines), then rounded into
+# INTEGER MICRO-UNITS — so the corpus-level chi2 total, a SUM over cells,
+# adds integers exactly and is immune to float summation order (a raw
+# double SUM would be nondeterministic across partitionings).
+# One groupBy shuffle on the cell key; marginals broadcast back.
+CHISQ_SEGMENTS = 4
+
+
+def chisq_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", f"CAST(user_id % {CHISQ_SEGMENTS} AS BIGINT) AS segment"
+    )
+    cells = ev.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("segment").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    return (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "segment")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "event_type",
+            "segment",
+            "CAST(o AS BIGINT) AS o",
+            "CAST((1000000 * r * c) DIV n AS BIGINT) AS expected_ppm",
+            "CAST(round(1000000 * CAST(o * n - r * c AS DOUBLE)"
+            " * CAST(o * n - r * c AS DOUBLE)"
+            " / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(c AS DOUBLE))"
+            " AS BIGINT) AS contrib_micro",
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
+CHISQ_TYPE_BY_SEGMENT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(user_id % {CHISQ_SEGMENTS} AS BIGINT) AS segment
+  FROM events
+), cells AS (
+  SELECT event_type, segment, CAST(count(*) AS BIGINT) AS o
+  FROM ev GROUP BY 1, 2
+), rows_m AS (
+  SELECT event_type, sum(o) AS r FROM cells GROUP BY 1
+), cols_m AS (
+  SELECT segment, sum(o) AS c FROM cells GROUP BY 1
+), n_m AS (
+  SELECT sum(o) AS n FROM cells
+)
+SELECT ce.event_type, ce.segment, ce.o,
+       CAST((1000000 * r * c) // n AS BIGINT) AS expected_ppm,
+       CAST(round(1000000 * CAST(ce.o * n - r * c AS DOUBLE)
+                  * CAST(ce.o * n - r * c AS DOUBLE)
+                  / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(c AS DOUBLE))
+            AS BIGINT) AS contrib_micro
+FROM cells ce
+JOIN rows_m USING (event_type)
+JOIN cols_m USING (segment), n_m
+ORDER BY event_type, segment
+"""
+
+QUERIES["chisq_type_by_segment"] = chisq_type_by_segment
+ORACLES["chisq_type_by_segment"] = CHISQ_TYPE_BY_SEGMENT_SQL

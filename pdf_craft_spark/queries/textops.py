@@ -725,3 +725,131 @@ ORDER BY rk
 
 QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
 ORACLES["bpe_merge_candidates"] = BPE_MERGE_CANDIDATES_SQL
+
+
+# --- exact tf-idf cosine document pairs ----------------------------------------
+# The IR-grade near-dup scorer that was previously recorded as SKIPPED:
+# tf·idf weights square to ~1e21, past int64, and Spark wraps silently
+# where DuckDB promotes to HUGEINT — so every moment (w_a·w_b products,
+# per-doc norms) runs in DECIMAL(38,0), where both engines are exact, and
+# doubles appear only in the single final cos projection (sqrt/division
+# of identical exact inputs — IEEE-identical).  Pairing is the inverted-
+# index equi-join on term with the shared document-frequency cutoff
+# (_df_cutoff — stop-word-grade terms leave the join, bounding per-key
+# fan-out exactly as in the jaccard family); the weighted postings table
+# materializes once and feeds both join sides plus the norm aggregate.
+# Top-50 pairs ranked by the 6-digit-rounded cosine with full id
+# tie-breaks — a total order, so LIMIT is stable in both engines.
+_TFIDF_PAIR_TOPK = 50
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pdf_craft_spark.queries.dedup import _df_cutoff
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "[^A-Za-z]+")).alias("raw"),
+    ).filter(F.length("raw") >= _KW_MIN_LEN).select(
+        "doc_id", F.lower(F.col("raw")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _df_cutoff(tf, docs, "term")
+    wdf = W.partitionBy("term")
+    weighted = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "doc_id",
+            "term",
+            f"CAST(tf * (({IDF_SCALE} * n_docs) DIV df) AS DECIMAL(38,0)) AS w",
+        )
+        .localCheckpoint(eager=True)  # 3 plan branches: a-side, b-side, norms
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    )
+    a, b = weighted.alias("a"), weighted.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("num"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    scored = (
+        num.join(norms.selectExpr("doc_id AS doc_a", "norm2 AS na"), "doc_a")
+        .join(norms.selectExpr("doc_id AS doc_b", "norm2 AS nb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(n_shared_terms AS BIGINT) AS n_shared_terms",
+            "round(CAST(num AS DOUBLE)"
+            " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)"
+            " AS cos6",
+        )
+    )
+    return scored.orderBy(
+        F.desc("cos6"), "doc_a", "doc_b"
+    ).limit(_TFIDF_PAIR_TOPK)
+
+
+TFIDF_COSINE_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lower(x) AS term
+  FROM documents, unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS u(x)
+  WHERE length(x) >= {_KW_MIN_LEN}
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), cut AS (
+  SELECT greatest(CAST(2 AS BIGINT),
+                  CAST(ceil(0.1 * count(*)) AS BIGINT)) AS c
+  FROM documents
+), hot AS (
+  SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+  WHERE df > (SELECT c FROM cut)
+), tff AS (
+  SELECT tf.* FROM tf ANTI JOIN hot USING (term)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tff GROUP BY 1
+), weighted AS (
+  SELECT tff.doc_id, tff.term,
+         CAST(tff.tf * (({IDF_SCALE} * n.n_docs) // dfreq.df)
+              AS DECIMAL(38,0)) AS w
+  FROM tff JOIN dfreq USING (term), n
+), norms AS (
+  SELECT doc_id, sum(w * w) AS norm2 FROM weighted GROUP BY 1
+), num AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.w * b.w) AS num, count(*) AS n_shared_terms
+  FROM weighted a JOIN weighted b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+       round(CAST(num AS DOUBLE)
+             / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))),
+             6) AS cos6
+FROM num
+JOIN norms na ON num.doc_a = na.doc_id
+JOIN norms nb ON num.doc_b = nb.doc_id
+ORDER BY cos6 DESC, doc_a, doc_b
+LIMIT {_TFIDF_PAIR_TOPK}
+"""
+
+
+QUERIES["tfidf_cosine_pairs"] = tfidf_cosine_pairs
+ORACLES["tfidf_cosine_pairs"] = TFIDF_COSINE_PAIRS_SQL
