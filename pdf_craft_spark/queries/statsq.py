@@ -291,6 +291,11 @@ def q21_late_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("late").alias("is_late"))
+        # feeds two plan branches (the per-order rollup AND the blamed
+        # filter); materialize once or Catalyst re-derives the fact scan
+        # + aggregate per branch.  localCheckpoint == the written
+        # intermediate table a production run would reuse.
+        .localCheckpoint(eager=True)
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),

@@ -661,3 +661,72 @@ def test_conjunctive_query_broadcasts_terms(spark):
 
     plan = _executed_plan(QUERIES["index_conjunctive_query"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_spearman_ranks_join_compressed_table_no_row_window(spark):
+    """Spearman's doubled ranks must come from the (brand, value, cnt)
+    compressed table joined back — never a per-row rank window over the
+    fact rows (the single-reducer-per-group shape that dies at scale)."""
+    from pdf_craft_spark.queries.statsq import spearman_brand_price_size
+
+    plan = _executed_plan(spearman_brand_price_size(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the rank windows run over HashAggregate outputs (the compressed
+    # value table), so every Window sits above an aggregate, and the
+    # fact table reaches the moment aggregation through equi-joins
+    assert plan.count("Window") >= 2
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q21_exclusive_blame_is_aggregation_not_self_joins(spark):
+    """The Q21 analog must keep the one-aggregation formulation: no
+    nested-loop artifacts, supplier dimension broadcast, and the fact
+    table scanned once (the reference's EXISTS/NOT EXISTS version scans
+    lineitem three times)."""
+    from pdf_craft_spark.queries.statsq import q21_late_exclusive_suppliers
+
+    plan = _executed_plan(q21_late_exclusive_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier side
+    # the (orderkey, suppkey) rollup materializes once and feeds both
+    # branches — the final plan reads it, not a re-derived fact scan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("lineitem.parquet") == 0
+
+
+def test_recsys_pairs_join_on_basket_key(spark):
+    """Item-item co-occurrence must pair via the orderkey equi-join on the
+    materialized basket table (fan-out bounded by basket size), never an
+    item-item cross surface."""
+    from pdf_craft_spark.queries.behavior import recsys_item_cooccurrence_topk
+
+    plan = _executed_plan(recsys_item_cooccurrence_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint'd basket list
+
+
+def test_tfidf_cosine_postings_materialized_no_cartesian(spark):
+    """tfidf_cosine_pairs must probe the materialized weighted postings
+    (one checkpoint feeding both join sides + norms) through a term
+    equi-join; the top-k is a TakeOrdered, not a global sort."""
+    from pdf_craft_spark.queries.textops import tfidf_cosine_pairs
+
+    plan = _executed_plan(tfidf_cosine_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # materialized weighted postings
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hilbert_is_pure_arithmetic_single_agg(spark):
+    """The Hilbert key must stay whole-stage-codegen integer arithmetic:
+    one scan, one aggregation exchange, no joins, no Python."""
+    from pdf_craft_spark.queries.indexing import hilbert_cluster_key
+
+    plan = _executed_plan(hilbert_cluster_key(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange ") <= 2  # partial->final agg + order
