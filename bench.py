@@ -119,6 +119,15 @@ HEADLINE = [
     "contrastive_pairs_chunks",
     "winsorized_price_stats",
     "survival_reorder_times",
+    # round-5 session-8 additions: exact stats / layout / merge / IR
+    "spearman_brand_price_size",
+    "robust_price_outliers",
+    "q21_late_exclusive_suppliers",
+    "hilbert_cluster_key",
+    "merge_into_apply",
+    "recsys_item_cooccurrence_topk",
+    "tfidf_cosine_pairs",
+    "chisq_type_by_segment",
 ]
 
 
