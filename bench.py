@@ -128,6 +128,7 @@ HEADLINE = [
     "recsys_item_cooccurrence_topk",
     "tfidf_cosine_pairs",
     "chisq_type_by_segment",
+    "bpe_train_rounds",
 ]
 
 

@@ -853,3 +853,196 @@ LIMIT {_TFIDF_PAIR_TOPK}
 
 QUERIES["tfidf_cosine_pairs"] = tfidf_cosine_pairs
 ORACLES["tfidf_cosine_pairs"] = TFIDF_COSINE_PAIRS_SQL
+
+
+# --- iterative BPE training (unrolled rounds, exact greedy merges) -------------
+# True byte-pair-encoding TRAINING, not just the single candidate step
+# (bpe_merge_candidates): each round counts adjacent symbol pairs over
+# the frequency-weighted vocabulary, picks the argmax merge
+# (cnt DESC, pair ASC — total order), and re-encodes every word by
+# GREEDY LEFT-TO-RIGHT application of that merge.  Greediness is exact,
+# not approximated with string replace() (whose resume-after-match
+# semantics drop odd-run merges): a pair-start position merges iff its
+# 1-based index within its island of consecutive pair-starts is odd —
+# provably the greedy outcome, since only self-pairs (x,x) can form
+# islands longer than one.  Everything is windows + aggregations over
+# the VOCABULARY table (orders of magnitude smaller than the corpus —
+# the corpus is touched once to build word frequencies), each round's
+# encoding materializes before the next (the kmeans/LPA round pattern),
+# and the per-round argmax rides in as a broadcast 1-row table — no
+# driver-side collect.  The oracle unrolls the same rounds as chained
+# CTEs with scalar-subquery merges.  Output: per round, the merge pair,
+# its count, and the total symbol mass after applying it — any
+# divergence in any round cascades into every later row.
+_BPE_ROUNDS = 4
+_BPE_WMIN, _BPE_WMAX = 2, 16
+
+
+def _bpe_round(ex_enc: DataFrame):
+    """One BPE round: (w, f, syms) -> (new encoded df, 1-row merge df)."""
+    from pyspark.sql import Window as W
+
+    wball = W.partitionBy("w").orderBy("pos")
+    ex = ex_enc.select(
+        "w", "f", F.posexplode("syms").alias("pos", "sym")
+    ).withColumn("nxt", F.lead("sym").over(wball))
+    pc = (
+        ex.filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("f").alias("cnt"))
+    )
+    mx = (
+        pc.orderBy(F.desc("cnt"), "sym", "nxt")
+        .limit(1)
+        .selectExpr("sym AS mx_a", "nxt AS mx_b", "cnt AS mx_cnt")
+        .localCheckpoint(eager=True)  # referenced by the re-encode AND the output row
+    )
+    g = ex.crossJoin(F.broadcast(mx)).withColumn(
+        "is_start",
+        (F.col("sym") == F.col("mx_a")) & (F.col("nxt") == F.col("mx_b")),
+    )
+    g = g.withColumn(
+        "blk",
+        F.sum(F.when(F.col("is_start"), 0).otherwise(1)).over(wball),
+    )
+    widx = W.partitionBy("w", "blk", "is_start").orderBy("pos")
+    g = g.withColumn("idx", F.row_number().over(widx))
+    g = g.withColumn(
+        "merge_at", F.col("is_start") & (F.col("idx") % 2 == 1)
+    ).withColumn(
+        "consumed",
+        F.coalesce(F.lag("merge_at").over(wball), F.lit(False)),
+    )
+    g = g.withColumn(
+        "ns",
+        F.when(F.col("merge_at"), F.concat("sym", "nxt")).when(
+            ~F.col("consumed"), F.col("sym")
+        ),
+    ).filter(F.col("ns").isNotNull())
+    enc = (
+        g.groupBy("w", "f")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, ns))),"
+                " s -> s.ns)"
+            ).alias("syms")
+        )
+        .localCheckpoint(eager=True)  # round barrier: next round reads this
+    )
+    return enc, mx
+
+
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .filter(
+            (F.length("w") >= _BPE_WMIN) & (F.length("w") <= _BPE_WMAX)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    enc = words.select(
+        "w",
+        "f",
+        F.split(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " "
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        enc, mx = _bpe_round(enc)
+        tot = enc.agg(
+            F.sum(F.col("f") * F.size("syms")).alias("syms_total_after")
+        )
+        out_rows.append(
+            mx.crossJoin(tot).selectExpr(
+                f"CAST({r + 1} AS INT) AS round",
+                "mx_a AS pair_a",
+                "mx_b AS pair_b",
+                "CAST(mx_cnt AS BIGINT) AS cnt",
+                "CAST(syms_total_after AS BIGINT) AS syms_total_after",
+            )
+        )
+    res = out_rows[0]
+    for df in out_rows[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")
+
+
+def _bpe_duck_sql() -> str:
+    parts = [
+        f"""words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT lower(x) AS w
+    FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(x)
+  ) WHERE length(w) BETWEEN {_BPE_WMIN} AND {_BPE_WMAX}
+  GROUP BY w
+), e0 AS (
+  SELECT w, f,
+         string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ') AS syms
+  FROM words
+)"""
+    ]
+    for k in range(_BPE_ROUNDS):
+        parts.append(f"""x{k} AS (
+  SELECT w, f, generate_subscripts(syms, 1) - 1 AS pos, unnest(syms) AS sym
+  FROM e{k}
+), l{k} AS (
+  SELECT *, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM x{k}
+), p{k} AS (
+  SELECT sym, nxt, sum(f) AS cnt FROM l{k} WHERE nxt IS NOT NULL GROUP BY 1, 2
+), m{k} AS (
+  SELECT sym AS a, nxt AS b, cnt FROM p{k}
+  ORDER BY cnt DESC, sym ASC, nxt ASC LIMIT 1
+), g{k} AS (
+  SELECT l.*, (l.sym = (SELECT a FROM m{k})
+               AND l.nxt = (SELECT b FROM m{k})) AS is_start
+  FROM l{k} l
+), b{k} AS (
+  SELECT *, sum(CASE WHEN is_start THEN 0 ELSE 1 END)
+              OVER (PARTITION BY w ORDER BY pos) AS blk
+  FROM g{k}
+), i{k} AS (
+  SELECT *, row_number() OVER (PARTITION BY w, blk, is_start ORDER BY pos)
+              AS idx
+  FROM b{k}
+), c{k} AS (
+  SELECT *, (is_start AND idx % 2 = 1) AS merge_at,
+         coalesce(lag(is_start AND idx % 2 = 1)
+                    OVER (PARTITION BY w ORDER BY pos), false) AS consumed
+  FROM i{k}
+), n{k} AS (
+  SELECT w, f, pos,
+         CASE WHEN merge_at THEN sym || nxt
+              WHEN NOT consumed THEN sym END AS ns
+  FROM c{k}
+), e{k + 1} AS (
+  SELECT w, f, list(ns ORDER BY pos) AS syms
+  FROM n{k} WHERE ns IS NOT NULL GROUP BY w, f
+), s{k + 1} AS (
+  SELECT CAST(sum(f * len(syms)) AS BIGINT) AS tot FROM e{k + 1}
+)""")
+    selects = [
+        f"""SELECT CAST({k + 1} AS INT) AS round,
+       (SELECT a FROM m{k}) AS pair_a,
+       (SELECT b FROM m{k}) AS pair_b,
+       CAST((SELECT cnt FROM m{k}) AS BIGINT) AS cnt,
+       (SELECT tot FROM s{k + 1}) AS syms_total_after"""
+        for k in range(_BPE_ROUNDS)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY round"
+    )
+
+
+BPE_TRAIN_ROUNDS_SQL = _bpe_duck_sql()
+
+QUERIES["bpe_train_rounds"] = bpe_train_rounds
+ORACLES["bpe_train_rounds"] = BPE_TRAIN_ROUNDS_SQL
