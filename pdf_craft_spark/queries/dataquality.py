@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -288,3 +288,90 @@ ORDER BY col_name
 
 QUERIES["dq_profile_documents"] = dq_profile_documents
 ORACLES["dq_profile_documents"] = DQ_PROFILE_DOCUMENTS_SQL
+
+
+# --- ANALYZE TABLE: exact per-column statistics --------------------------------
+# The stats an optimizer's ANALYZE collects, computed exactly and
+# engine-identically over lineitem's five probe columns: exact NDV, null
+# count, lexicographic min/max, and the modal value with its count.
+# Values are rendered to SORTABLE strings first (dates ISO, numerics
+# zero-padded to fixed width) so one string-typed stats row per column
+# works without per-type branches and min/max agree with numeric order.
+# Scale shape: the unpivot (stack) is a map-side 5x row expansion —
+# no join — then ONE groupBy (col, val) value-histogram shuffle feeds
+# every statistic: ndv = count of histogram rows, nulls/top/min/max are
+# per-col aggregates over the histogram, which is bounded by NDV, not
+# row count.  This is the two-level aggregation every cardinality
+# profiler at scale uses (never count(distinct) per column in one pass).
+_ANALYZE_COLS = (
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_shipdate", "CAST(CAST(l_shipdate AS DATE) AS STRING)"),
+    ("l_quantity", "lpad(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING), 9, '0')"),
+    ("l_partkey", "lpad(CAST(l_partkey AS STRING), 10, '0')"),
+)
+
+
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    stack_args = ", ".join(
+        f"'{name}', {expr}" for name, expr in _ANALYZE_COLS
+    )
+    long = li.selectExpr(
+        f"stack({len(_ANALYZE_COLS)}, {stack_args}) AS (col, val)"
+    )
+    hist = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("col").orderBy(F.desc("cnt"), F.asc_nulls_last("val"))
+    return (
+        hist.withColumn("rk", F.row_number().over(w))
+        .groupBy("col")
+        .agg(
+            F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("ndv"),
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.max(F.when(F.col("rk") == 1, F.col("val"))).alias("top_val"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("top_cnt"),
+        )
+        .orderBy("col")
+    )
+
+
+def _analyze_duck_union() -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS col, {expr.replace('AS STRING', 'AS VARCHAR')} AS val FROM lineitem"
+        for name, expr in _ANALYZE_COLS
+    )
+
+
+ANALYZE_TABLE_STATS_SQL = f"""
+WITH long AS (
+{_analyze_duck_union()}
+), hist AS (
+  SELECT col, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM long GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY col
+                               ORDER BY cnt DESC, val ASC NULLS LAST) AS rk
+  FROM hist
+)
+SELECT col,
+       CAST(sum(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS ndv,
+       CAST(sum(CASE WHEN val IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       min(val) AS min_val,
+       max(val) AS max_val,
+       max(CASE WHEN rk = 1 THEN val END) AS top_val,
+       CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS top_cnt
+FROM ranked GROUP BY 1 ORDER BY col
+"""
+
+QUERIES["analyze_table_stats"] = analyze_table_stats
+ORACLES["analyze_table_stats"] = ANALYZE_TABLE_STATS_SQL

@@ -759,3 +759,80 @@ ORDER BY doc_id, chunk_idx, label, pair_doc
 
 QUERIES["contrastive_pairs_chunks"] = contrastive_pairs_chunks
 ORACLES["contrastive_pairs_chunks"] = CONTRASTIVE_PAIRS_CHUNKS_SQL
+
+
+# --- deterministic negative sampling -------------------------------------------
+# The other half of contrastive training-set assembly (positives come
+# from contrastive_pairs_chunks): for every anchor document, k negatives
+# drawn pseudo-randomly but REPRODUCIBLY — the negative pool is the 64
+# docs with the smallest md5(doc_id) (a content-stable sample, invariant
+# under append/repartition like the split), and each anchor ranks the
+# pool by md5(anchor || ':' || candidate), a per-anchor deterministic
+# shuffle.  Scale shape: the pool is a broadcast table, so the candidate
+# surface is a bounded 64x map-side fan-out (never doc x doc), and the
+# top-k window partitions on the anchor — high cardinality, no hot
+# reducer.  Rerunning on the same corpus reproduces the exact pairs;
+# that reproducibility is what makes training-data audits possible.
+NEG_POOL = 64
+NEG_K = 3
+
+
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pool = (
+        docs.select(F.col("doc_id").alias("neg_id"))
+        .orderBy(F.md5(F.col("neg_id").cast("string")), "neg_id")
+        .limit(NEG_POOL)
+    )
+    w = W.partitionBy("doc_id").orderBy("r", "neg_id")
+    return (
+        docs.crossJoin(F.broadcast(pool))
+        .filter(F.col("doc_id") != F.col("neg_id"))
+        .withColumn(
+            "r",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NEG_K)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            F.col("rk").cast("int").alias("rk"),
+            F.substring("r", 1, 8).alias("draw_prefix"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+NEGATIVE_SAMPLE_PAIRS_SQL = f"""
+WITH pool AS (
+  SELECT doc_id AS neg_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  LIMIT {NEG_POOL}
+), cand AS (
+  SELECT d.doc_id, p.neg_id,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.neg_id AS VARCHAR))
+           AS r
+  FROM documents d, pool p
+  WHERE d.doc_id <> p.neg_id
+), ranked AS (
+  SELECT doc_id, neg_id, r,
+         row_number() OVER (PARTITION BY doc_id ORDER BY r, neg_id) AS rk
+  FROM cand
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(neg_id AS BIGINT) AS neg_id,
+       CAST(rk AS INT) AS rk,
+       substr(r, 1, 8) AS draw_prefix
+FROM ranked WHERE rk <= {NEG_K}
+ORDER BY doc_id, rk
+"""
+
+QUERIES["negative_sample_pairs"] = negative_sample_pairs
+ORACLES["negative_sample_pairs"] = NEGATIVE_SAMPLE_PAIRS_SQL
