@@ -730,3 +730,38 @@ def test_hilbert_is_pure_arithmetic_single_agg(spark):
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange ") <= 2  # partial->final agg + order
+
+
+def test_bpe_rounds_read_materialized_encodings(spark):
+    """Each BPE round must read the previous round's materialized encoding
+    (the kmeans/LPA round pattern) and take the argmax in as a broadcast
+    1-row side — the final plan contains checkpoint scans, and its only
+    nested-loop joins are broadcast singletons (crossJoin with the 1-row
+    merge/total tables), never a shuffled pair surface."""
+    from pdf_craft_spark.queries.textops import bpe_train_rounds
+
+    plan = _executed_plan(bpe_train_rounds(spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 8  # 2 singleton sides/round
+
+
+def test_negative_sampling_pool_is_broadcast(spark):
+    """The negative pool must ride in as a broadcast side (bounded 64x
+    fan-out) — no shuffle join anywhere in the candidate surface."""
+    from pdf_craft_spark.queries.traindata import negative_sample_pairs
+
+    plan = _executed_plan(negative_sample_pairs(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_analyze_stats_single_scan_no_join(spark):
+    """ANALYZE must be one scan + one value-histogram aggregation — the
+    stack unpivot is map-side; no joins, no per-column rescans."""
+    from pdf_craft_spark.queries.dataquality import analyze_table_stats
+
+    plan = _executed_plan(analyze_table_stats(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("lineitem.parquet") == 1
