@@ -129,6 +129,10 @@ HEADLINE = [
     "tfidf_cosine_pairs",
     "chisq_type_by_segment",
     "bpe_train_rounds",
+    "negative_sample_pairs",
+    "analyze_table_stats",
+    "attribution_linear_exact",
+    "feature_hash_bow",
 ]
 
 

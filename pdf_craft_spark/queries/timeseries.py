@@ -572,3 +572,126 @@ ORDER BY gap_start
 
 QUERIES["sequence_gap_detection"] = sequence_gap_detection
 ORACLES["sequence_gap_detection"] = SEQUENCE_GAP_DETECTION_SQL
+
+
+# --- exact linear attribution: largest-remainder allocation ------------------
+# Split each purchase's value across its prior-24h clicks so the shares
+# SUM BACK EXACTLY — the invariant financial allocation needs and float
+# division cannot give.  Work in integer mils (value × 1000): base =
+# total DIV n per click, and the remainder goes one mil each to the
+# earliest `total % n` clicks (largest-remainder / Hamilton method,
+# deterministic via the (ts, event_id) click order).  The candidate
+# surface reuses the bucketized range-join shape (equi-join on
+# (user, day-bucket), constant 2x probe fan-out, cartesian-free); the
+# share window partitions per purchase — high cardinality.  The output
+# rolls up per purchase day and carries BOTH the allocated total and the
+# source total: the hash check itself proves conservation, and
+# max_share_spread_mils ≤ 1 pins the fairness property.
+def attribution_linear_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") != "timestamp_ntz":
+        raise TypeError(
+            "attribution_linear_exact requires a TIMESTAMP_NTZ ts column"
+        )
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        day.alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("value").cast("decimal(18,3)") * 1000)
+        .cast("long")
+        .alias("total_mils"),
+        F.col("ts").cast("date").alias("p_day"),
+        F.explode(F.array(day - 1, day)).alias("bucket"),
+    )
+    pairs = purchases.join(clicks, ["user_id", "bucket"]).filter(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("c_ts") < F.col("p_ts"))
+    )
+    wp = W.partitionBy("purchase_id")
+    shares = (
+        pairs.withColumn(
+            "rk", F.row_number().over(wp.orderBy("c_ts", "click_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .selectExpr(
+            "purchase_id",
+            "p_day",
+            "total_mils",
+            "total_mils DIV n + CASE WHEN rk <= total_mils % n"
+            " THEN 1 ELSE 0 END AS share_mils",
+        )
+    )
+    per_purchase = shares.groupBy("purchase_id", "p_day", "total_mils").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("share_mils").alias("alloc_mils"),
+        (F.max("share_mils") - F.min("share_mils")).alias("spread"),
+    )
+    return (
+        per_purchase.groupBy("p_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("n_clicks").cast("long").alias("n_clicks"),
+            F.sum("total_mils").cast("long").alias("value_mils"),
+            F.sum("alloc_mils").cast("long").alias("alloc_mils"),
+            F.max("spread").cast("long").alias("max_share_spread_mils"),
+        )
+        .selectExpr(
+            "CAST(p_day AS STRING) AS p_day",
+            "CAST(n_purchases AS BIGINT) AS n_purchases",
+            "n_clicks",
+            "value_mils",
+            "alloc_mils",
+            "max_share_spread_mils",
+        )
+        .orderBy("p_day")
+    )
+
+
+ATTRIBUTION_LINEAR_EXACT_SQL = """
+WITH pairs AS (
+  SELECT p.event_id AS purchase_id,
+         CAST(CAST(p.ts AS DATE) AS VARCHAR) AS p_day,
+         CAST(CAST(p.value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS total_mils,
+         c.ts AS c_ts, c.event_id AS click_id
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click'
+   AND c.ts >= p.ts - INTERVAL 24 HOUR
+   AND c.ts < p.ts
+  WHERE p.event_type = 'purchase'
+), shares AS (
+  SELECT purchase_id, p_day, total_mils,
+         total_mils // count(*) OVER (PARTITION BY purchase_id)
+         + CASE WHEN row_number() OVER (PARTITION BY purchase_id
+                                        ORDER BY c_ts, click_id)
+                     <= total_mils % (count(*) OVER (PARTITION BY purchase_id))
+                THEN 1 ELSE 0 END AS share_mils
+  FROM pairs
+), per_purchase AS (
+  SELECT purchase_id, p_day, total_mils,
+         count(*) AS n_clicks,
+         sum(share_mils) AS alloc_mils,
+         max(share_mils) - min(share_mils) AS spread
+  FROM shares GROUP BY 1, 2, 3
+)
+SELECT p_day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(n_clicks) AS BIGINT) AS n_clicks,
+       CAST(sum(total_mils) AS BIGINT) AS value_mils,
+       CAST(sum(alloc_mils) AS BIGINT) AS alloc_mils,
+       CAST(max(spread) AS BIGINT) AS max_share_spread_mils
+FROM per_purchase GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["attribution_linear_exact"] = attribution_linear_exact
+ORACLES["attribution_linear_exact"] = ATTRIBUTION_LINEAR_EXACT_SQL

@@ -836,3 +836,69 @@ ORDER BY doc_id, rk
 
 QUERIES["negative_sample_pairs"] = negative_sample_pairs
 ORACLES["negative_sample_pairs"] = NEGATIVE_SAMPLE_PAIRS_SQL
+
+
+# --- feature hashing (the hashing trick) ----------------------------------------
+# Fixed-width bag-of-words features without a vocabulary table: every
+# token maps to one of 16 buckets by md5 (engine-identical via the
+# shared md5_prefix_long_sql spelling), with a second hash bit giving
+# the ±1 sign that keeps collisions unbiased (Weinberger et al.'s
+# signed hashing trick).  Pure map + one (doc, bucket) aggregation —
+# no vocabulary build, no join, which is the whole point at 100 TB:
+# the feature space is fixed a priori, so the op is embarrassingly
+# parallel and append-incremental.  Long-format output (doc_id, bucket,
+# val) — zero buckets simply absent — avoids array columns per the
+# canonicalizer contract.
+FH_BUCKETS = 16
+
+
+def feature_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    docs = _docs(spark, sf_dir)
+    h = md5_prefix_long_sql("term", 8, "spark")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .selectExpr(
+            "doc_id",
+            f"CAST(({h}) % {FH_BUCKETS} AS INT) AS bucket",
+            f"CASE WHEN (({h}) DIV {FH_BUCKETS}) % 2 = 0"
+            " THEN 1 ELSE -1 END AS sign",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("val"))
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "bucket", "val")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def _fh_duck_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("term", 8, "duck")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lower(x) AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(x)
+  WHERE length(x) >= 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(({h}) % {FH_BUCKETS} AS INT) AS bucket,
+       CAST(sum(CASE WHEN (({h}) // {FH_BUCKETS}) % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS val
+FROM t
+GROUP BY 1, 2
+ORDER BY doc_id, bucket
+"""
+
+
+FEATURE_HASH_BOW_SQL = _fh_duck_sql()
+
+QUERIES["feature_hash_bow"] = feature_hash_bow
+ORACLES["feature_hash_bow"] = FEATURE_HASH_BOW_SQL
