@@ -133,6 +133,8 @@ HEADLINE = [
     "analyze_table_stats",
     "attribution_linear_exact",
     "feature_hash_bow",
+    "embed_rank_normalize",
+    "zscore_normalize_prices",
 ]
 
 

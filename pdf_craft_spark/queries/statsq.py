@@ -422,3 +422,89 @@ ORDER BY event_type, segment
 
 QUERIES["chisq_type_by_segment"] = chisq_type_by_segment
 ORACLES["chisq_type_by_segment"] = CHISQ_TYPE_BY_SEGMENT_SQL
+
+
+# --- exact z-score normalization summary ------------------------------------
+# Feature standardization with engine-exact moments: per return flag,
+# mean and variance come from DECIMAL sums of cents (sum, sum-of-squares
+# in DECIMAL(38,0)), the per-row z is ONE double expression over those
+# exact inputs, and the output reports only order-free reductions of z —
+# outlier counts and min/max of the 6-digit rounding — never a float SUM
+# whose value depends on partition order.  Sample (n-1) variance.  One
+# fact shuffle for the moments, then a broadcast join back for the
+# per-row pass.
+def zscore_normalize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("v"),
+    )
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    z = (
+        li.join(F.broadcast(mom), "l_returnflag")
+        .selectExpr(
+            "l_returnflag",
+            "n",
+            "(CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+            "         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            "        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))"
+            " AS z",
+        )
+    )
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum((F.abs(F.col("z")) > 2).cast("long")).alias("n_beyond_2"),
+            F.sum((F.abs(F.col("z")) > 3).cast("long")).alias("n_beyond_3"),
+            F.min(F.round("z", 6)).alias("z_min6"),
+            F.max(F.round("z", 6)).alias("z_max6"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "CAST(n AS BIGINT) AS n",
+            "n_beyond_2",
+            "n_beyond_3",
+            "z_min6",
+            "z_max6",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZSCORE_NORMALIZE_PRICES_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS DECIMAL(38,0)) AS v
+  FROM lineitem
+), mom AS (
+  SELECT l_returnflag, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+  FROM li GROUP BY 1
+), z AS (
+  SELECT li.l_returnflag, m.n,
+         (CAST(li.v AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+         / sqrt((CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                 - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1))) AS z
+  FROM li JOIN mom m USING (l_returnflag)
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_beyond_2,
+       CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_beyond_3,
+       min(round(z, 6)) AS z_min6,
+       max(round(z, 6)) AS z_max6
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["zscore_normalize_prices"] = zscore_normalize_prices
+ORACLES["zscore_normalize_prices"] = ZSCORE_NORMALIZE_PRICES_SQL

@@ -902,3 +902,81 @@ FEATURE_HASH_BOW_SQL = _fh_duck_sql()
 
 QUERIES["feature_hash_bow"] = feature_hash_bow
 ORACLES["feature_hash_bow"] = FEATURE_HASH_BOW_SQL
+
+
+# --- per-dimension rank normalization of embeddings ------------------------------
+# Quantile (rank) normalization — the distribution-free feature scaling
+# retrieval stacks apply before quantization: each embedding coordinate
+# maps to its within-dimension quantile.  Exactness follows the spearman
+# recipe: doubled tie-average ranks (2·cnt_less + cnt_eq + 1, always an
+# integer) computed on the (dim, value, cnt) COMPRESSED table and joined
+# back — never a per-row rank window, so a dimension's rank state is
+# bounded by its distinct values.  Floats are only ever COMPARED and
+# GROUPED (bit-identical parquet values in both engines), never summed;
+# the quantile itself is integer ppm: q_ppm = u·500000 DIV n.  Output
+# limited to the first 8 dimensions to keep the row budget flat.
+_RANKNORM_DIMS = 8
+
+
+def embed_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).filter(F.col("dim") < _RANKNORM_DIMS).select(
+        "vec_id", "dim", F.col("xf").cast("double").alias("x")
+    )
+    cv = x.groupBy("dim", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        W.partitionBy("dim")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranks = cv.select(
+        "dim",
+        "x",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1
+        ).alias("u"),
+    )
+    n = x.groupBy("dim").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        x.join(ranks, ["dim", "x"])
+        .join(F.broadcast(n), "dim")
+        .selectExpr(
+            "CAST(vec_id AS BIGINT) AS vec_id",
+            "CAST(dim AS INT) AS dim",
+            "CAST((u * 500000) DIV n AS BIGINT) AS q_ppm",
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+EMBED_RANK_NORMALIZE_SQL = f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), xf AS (
+  SELECT * FROM x WHERE dim < {_RANKNORM_DIMS}
+), cv AS (
+  SELECT dim, x, count(*) AS cnt FROM xf GROUP BY 1, 2
+), ranks AS (
+  SELECT dim, x,
+         2 * coalesce(sum(cnt) OVER (PARTITION BY dim ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt + 1 AS u
+  FROM cv
+), n AS (
+  SELECT dim, count(*) AS n FROM xf GROUP BY 1
+)
+SELECT CAST(xf.vec_id AS BIGINT) AS vec_id,
+       CAST(xf.dim AS INT) AS dim,
+       CAST((r.u * 500000) // n.n AS BIGINT) AS q_ppm
+FROM xf
+JOIN ranks r ON xf.dim = r.dim AND xf.x = r.x
+JOIN n ON xf.dim = n.dim
+ORDER BY vec_id, dim
+"""
+
+QUERIES["embed_rank_normalize"] = embed_rank_normalize
+ORACLES["embed_rank_normalize"] = EMBED_RANK_NORMALIZE_SQL
