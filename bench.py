@@ -135,6 +135,7 @@ HEADLINE = [
     "feature_hash_bow",
     "embed_rank_normalize",
     "zscore_normalize_prices",
+    "graph_kcore_decomposition",
 ]
 
 

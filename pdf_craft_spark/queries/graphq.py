@@ -530,3 +530,98 @@ GRAPH_BFS_DISTANCE_SQL = _bfs_distance_sql()
 
 QUERIES["graph_bfs_distance"] = graph_bfs_distance
 ORACLES["graph_bfs_distance"] = GRAPH_BFS_DISTANCE_SQL
+
+
+# --- k-core decomposition (iterative peel) -----------------------------------
+# The seventh graph operator: the 2-core of the near-dup graph — every
+# node that survives repeated deletion of degree-<2 nodes, i.e. the part
+# of the duplicate graph that is CLUSTERED (cycles/cliques) rather than
+# mere isolated pair bridges.  Dedup pipelines use exactly this cut to
+# separate "true duplicate families" from incidental pairwise hits.
+# Synchronous peel rounds (degree count -> keep set -> edge restrict),
+# each one shuffle on the node key, lineage cut per round; the loop is
+# CONVERGENCE-CHECKED — if the last unrolled round still removed edges
+# the op raises instead of returning a non-core (same discipline as
+# dedup_components / hierarchy_flatten_docs).  The oracle unrolls the
+# identical rounds as generated CTEs.  Output: surviving nodes with
+# their in-core degree.
+KCORE_K = 2
+KCORE_ITERS = 3
+
+
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.selectExpr("doc_a AS v", "doc_b AS u")
+        .unionAll(pairs.selectExpr("doc_b AS v", "doc_a AS u"))
+        .localCheckpoint(eager=True)
+    )
+    prev_n = edges.count()
+    for _ in range(KCORE_ITERS):
+        deg = edges.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("v")
+        edges = (
+            edges.join(keep, "v")
+            .join(keep.withColumnRenamed("v", "u"), "u")
+            .select("v", "u")
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
+        # the for-loop exhausted without a fixpoint round
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_ITERS} rounds"
+        )
+    return (
+        edges.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .selectExpr(
+            "CAST(v AS BIGINT) AS doc_id",
+            "CAST(core_degree AS BIGINT) AS core_degree",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_sql() -> str:
+    from pdf_craft_spark.queries.dedup import DEDUP_MINHASH_LSH_SQL
+
+    rounds = []
+    for i in range(1, KCORE_ITERS + 1):
+        rounds.append(f"""d{i} AS (
+  SELECT v, count(*) AS deg FROM e{i - 1} GROUP BY 1
+), k{i} AS (
+  SELECT v FROM d{i} WHERE deg >= {KCORE_K}
+), e{i} AS (
+  SELECT e.v, e.u FROM e{i - 1} e
+  JOIN k{i} a ON e.v = a.v
+  JOIN k{i} b ON e.u = b.v
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+), e0 AS (
+  SELECT doc_a AS v, doc_b AS u FROM pairs
+  UNION ALL
+  SELECT doc_b AS v, doc_a AS u FROM pairs
+), {", ".join(rounds)}
+SELECT CAST(v AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS core_degree
+FROM e{KCORE_ITERS}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+GRAPH_KCORE_DECOMPOSITION_SQL = _kcore_sql()
+
+QUERIES["graph_kcore_decomposition"] = graph_kcore_decomposition
+ORACLES["graph_kcore_decomposition"] = GRAPH_KCORE_DECOMPOSITION_SQL
