@@ -136,6 +136,8 @@ HEADLINE = [
     "embed_rank_normalize",
     "zscore_normalize_prices",
     "graph_kcore_decomposition",
+    "sliding_distinct_users_7d",
+    "topk_suppliers_with_other",
 ]
 
 

@@ -1023,3 +1023,78 @@ FROM merged GROUP BY 1 ORDER BY 1
 
 QUERIES["merge_into_apply"] = merge_into_apply
 ORACLES["merge_into_apply"] = MERGE_INTO_APPLY_SQL
+
+
+# --- top-k per group with OTHER rollup ------------------------------------------
+# The reporting staple BI layers ask of a warehouse: per nation, the
+# top-3 suppliers by account balance AND an aggregated OTHER row, so
+# every report section sums to the group total (the conservation
+# property a bare top-k silently loses).  One dimension aggregate, one
+# group-sharded rank window, then a single conditional re-aggregation —
+# the fact-side cost is the same as plain top-k; OTHER is free.
+# DECIMAL sums, deterministic (balance DESC, suppkey) ranking.
+TOPK_OTHER_K = 3
+
+
+def topk_suppliers_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.desc("bal"), F.asc("s_suppkey")
+    )
+    ranked = s.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(n), ranked.s_nationkey == n.n_nationkey)
+        .selectExpr(
+            "n_name",
+            f"CASE WHEN rk <= {TOPK_OTHER_K} THEN CAST(s_suppkey AS STRING)"
+            " ELSE 'OTHER' END AS member",
+            f"CASE WHEN rk <= {TOPK_OTHER_K} THEN rk ELSE {TOPK_OTHER_K + 1} END"
+            " AS slot",
+            "bal",
+        )
+        .groupBy("n_name", "member", "slot")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("bal").cast("double"), 2).alias("balance"),
+        )
+        .selectExpr(
+            "n_name",
+            "CAST(slot AS INT) AS slot",
+            "member",
+            "CAST(n_suppliers AS BIGINT) AS n_suppliers",
+            "balance",
+        )
+        .orderBy("n_name", "slot", "member")
+    )
+
+
+TOPK_SUPPLIERS_WITH_OTHER_SQL = f"""
+WITH ranked AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(s_acctbal AS DECIMAL(18,2)) AS bal,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC,
+                                     s_suppkey ASC) AS rk
+  FROM supplier
+)
+SELECT n.n_name,
+       CAST(CASE WHEN rk <= {TOPK_OTHER_K} THEN rk
+                 ELSE {TOPK_OTHER_K + 1} END AS INT) AS slot,
+       CASE WHEN rk <= {TOPK_OTHER_K} THEN CAST(s_suppkey AS VARCHAR)
+            ELSE 'OTHER' END AS member,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(CAST(sum(bal) AS DOUBLE), 2) AS balance
+FROM ranked r JOIN nation n ON r.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY n_name, slot, member
+"""
+
+QUERIES["topk_suppliers_with_other"] = topk_suppliers_with_other
+ORACLES["topk_suppliers_with_other"] = TOPK_SUPPLIERS_WITH_OTHER_SQL

@@ -695,3 +695,71 @@ FROM per_purchase GROUP BY 1 ORDER BY 1
 
 QUERIES["attribution_linear_exact"] = attribution_linear_exact
 ORACLES["attribution_linear_exact"] = ATTRIBUTION_LINEAR_EXACT_SQL
+
+
+# --- exact sliding-window distinct: trailing-7d active users -----------------
+# count(DISTINCT user) OVER a sliding range frame is unsupported (Spark)
+# or quadratic (naive self-join) — the scalable exact shape: collapse
+# the stream to (user, day) once, explode each row to the 7 target days
+# it contributes to (CONSTANT 7x fan-out on the pre-aggregated table,
+# not the stream), dedup (user, target_day), count per day.  The state
+# per target day is bounded by true distinct users, never raw events;
+# HLL trades this exactness for a merge — this op is its exact twin for
+# windows small enough to afford it.  Only target days with a full
+# 7-day history emit (both engines filter identically).
+SLIDE_DAYS = 7
+
+
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    bounds = ud.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    exploded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (SLIDE_DAYS - 1))
+        ).alias("target_day"),
+    )
+    return (
+        exploded.distinct()
+        .groupBy("target_day")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("target_day") >= F.col("min_day") + (SLIDE_DAYS - 1))
+            & (F.col("target_day") <= F.col("max_day"))
+        )
+        .selectExpr(
+            "CAST(target_day AS BIGINT) AS day_no",
+            "CAST(n_active_users AS BIGINT) AS n_active_users",
+        )
+        .orderBy("day_no")
+    )
+
+
+SLIDING_DISTINCT_USERS_7D_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), bounds AS (
+  SELECT min(day) AS min_day, max(day) AS max_day FROM ud
+), exploded AS (
+  SELECT DISTINCT user_id, day + u.i AS target_day
+  FROM ud, UNNEST(range(0, {SLIDE_DAYS})) AS u(i)
+)
+SELECT CAST(target_day AS BIGINT) AS day_no,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM exploded, bounds
+WHERE target_day >= min_day + {SLIDE_DAYS - 1} AND target_day <= max_day
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["sliding_distinct_users_7d"] = sliding_distinct_users_7d
+ORACLES["sliding_distinct_users_7d"] = SLIDING_DISTINCT_USERS_7D_SQL
