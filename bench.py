@@ -138,6 +138,9 @@ HEADLINE = [
     "graph_kcore_decomposition",
     "sliding_distinct_users_7d",
     "topk_suppliers_with_other",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q13_customer_distribution",
 ]
 
 

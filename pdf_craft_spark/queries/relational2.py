@@ -1098,3 +1098,181 @@ ORDER BY n_name, slot, member
 
 QUERIES["topk_suppliers_with_other"] = topk_suppliers_with_other
 ORACLES["topk_suppliers_with_other"] = TOPK_SUPPLIERS_WITH_OTHER_SQL
+
+
+# --- TPC-H Q5 analog: snowflake 5-way join --------------------------------------
+# Local-supplier volume: revenue by nation where the customer and the
+# line's supplier share a nation — the deepest join chain in the classic
+# suite (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation) and the query
+# optimizers use to prove join ordering: the dimensions broadcast, the
+# two fact-side joins co-partition on orderkey, and the same-nation
+# constraint lands as a post-join filter on two already-joined columns
+# (never a theta join).  Revenue through DECIMAL.  Restricted to one
+# order year by a pushed-down date predicate.
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate <  DATE '1997-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n_name
+"""
+
+QUERIES["q5_local_supplier_volume"] = q5_local_supplier_volume
+ORACLES["q5_local_supplier_volume"] = Q5_LOCAL_SUPPLIER_VOLUME_SQL
+
+
+# --- TPC-H Q8 analog: market share ratio -----------------------------------------
+# Nation market share per order year: the share of total revenue carried
+# by suppliers of ONE nation — the nested-aggregation-ratio pattern.
+# Both the numerator (conditional sum) and denominator aggregate in
+# DECIMAL in the SAME pass (one shuffle, no second scan), and the share
+# ships as integer ppm via exact DECIMAL division floored — no float
+# ratio ever computed.
+Q8_NATION = "GERMANY"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("yr")
+        .agg(
+            F.sum(
+                F.when(F.col("n_name") == Q8_NATION, F.col("rev")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("nat_rev"),
+            F.sum("rev").alias("tot_rev"),
+        )
+        .selectExpr(
+            "CAST(yr AS INT) AS yr",
+            "round(CAST(nat_rev AS DOUBLE), 2) AS nation_revenue",
+            "round(CAST(tot_rev AS DOUBLE), 2) AS total_revenue",
+            "CAST((nat_rev * 1000000) DIV tot_rev AS BIGINT) AS share_ppm",
+        )
+        .orderBy("yr")
+    )
+
+
+Q8_MARKET_SHARE_SQL = f"""
+WITH j AS (
+  SELECT year(CAST(o.o_orderdate AS DATE)) AS yr,
+         n.n_name,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2))
+              - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+), agg AS (
+  SELECT yr,
+         sum(CASE WHEN n_name = '{Q8_NATION}' THEN rev
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat_rev,
+         sum(rev) AS tot_rev
+  FROM j GROUP BY 1
+)
+SELECT CAST(yr AS INT) AS yr,
+       round(CAST(nat_rev AS DOUBLE), 2) AS nation_revenue,
+       round(CAST(tot_rev AS DOUBLE), 2) AS total_revenue,
+       CAST((nat_rev * 1000000) // tot_rev AS BIGINT) AS share_ppm
+FROM agg ORDER BY yr
+"""
+
+QUERIES["q8_market_share"] = q8_market_share
+ORACLES["q8_market_share"] = Q8_MARKET_SHARE_SQL
+
+
+# --- TPC-H Q13 analog: customer order-count distribution -------------------------
+# The histogram-of-counts shape: how many customers placed 0, 1, 2, …
+# orders — the LEFT join is the point (zero-order customers must appear),
+# followed by the double aggregation (count per customer, then customers
+# per count).  Two shuffles, both on shrinking keys; the left side never
+# loses rows.
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .selectExpr(
+            "CAST(n_orders AS BIGINT) AS n_orders",
+            "CAST(n_customers AS BIGINT) AS n_customers",
+        )
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY 1
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+QUERIES["q13_customer_distribution"] = q13_customer_distribution
+ORACLES["q13_customer_distribution"] = Q13_CUSTOMER_DISTRIBUTION_SQL

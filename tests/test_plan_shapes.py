@@ -765,3 +765,26 @@ def test_analyze_stats_single_scan_no_join(spark):
     plan = _executed_plan(analyze_table_stats(spark, SF_DIR))
     assert "Join" not in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_q5_dimensions_broadcast_date_pushed(spark):
+    """The 5-way snowflake must broadcast all three dimensions, keep the
+    fact-side joins hash joins, and push the order-year predicate into
+    the orders scan."""
+    from pdf_craft_spark.queries.relational2 import q5_local_supplier_volume
+
+    plan = _executed_plan(q5_local_supplier_volume(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan and "o_orderdate" in plan
+
+
+def test_q8_single_pass_ratio(spark):
+    """Q8's numerator and denominator must aggregate in ONE pass — a
+    single scan of lineitem, no second branch for the total."""
+    from pdf_craft_spark.queries.relational2 import q8_market_share
+
+    plan = _executed_plan(q8_market_share(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
