@@ -141,6 +141,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q8_market_share",
     "q13_customer_distribution",
+    "text_readability_milli",
 ]
 
 

@@ -1046,3 +1046,60 @@ BPE_TRAIN_ROUNDS_SQL = _bpe_duck_sql()
 
 QUERIES["bpe_train_rounds"] = bpe_train_rounds
 ORACLES["bpe_train_rounds"] = BPE_TRAIN_ROUNDS_SQL
+
+
+# --- readability score (integer Flesch-style) ------------------------------------
+# A Flesch-reading-ease-shaped quality signal kept engine-exact: words =
+# alpha runs, "syllables" = vowel GROUPS (the standard heuristic), and —
+# because this corpus carries no sentence terminators at all (verified:
+# its alphabet is [a-z ]) — sentences fall back to 15-word pseudo-
+# sentences, greatest(terminator_runs, ceil(words/15)), so the score
+# varies with the real signal left in the data: syllable density.  The
+# classic float coefficients (206.835 − 1.015·w/s − 84.6·syl/w) become
+# one integer milli-score via pure BIGINT floor arithmetic, identical in
+# both engines.  One scan, regexp counts, no shuffle before the rollup.
+def text_readability_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    base = docs.selectExpr(
+        "doc_id",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)"
+        " AS words",
+        "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"
+        " AS syllables",
+        "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)),"
+        " CAST((size(regexp_extract_all(text, '[A-Za-z]+', 0)) + 14) / 15"
+        " AS INT)) AS BIGINT) AS sentences",
+    ).filter("words > 0 AND sentences > 0")
+    return base.selectExpr(
+        "CAST(doc_id AS BIGINT) AS doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        "CAST(206835 - ((1015 * words * 1000) DIV sentences) DIV 1000"
+        " - (84600 * syllables) DIV words AS BIGINT) AS flesch_milli",
+    ).orderBy("doc_id")
+
+
+TEXT_READABILITY_MILLI_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+           AS words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS syllables,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')),
+                       (len(regexp_extract_all(text, '[A-Za-z]+')) + 14) // 15)
+              AS BIGINT) AS sentences
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       words, sentences, syllables,
+       CAST(206835 - ((1015 * words * 1000) // sentences) // 1000
+            - (84600 * syllables) // words AS BIGINT) AS flesch_milli
+FROM base
+WHERE words > 0 AND sentences > 0
+ORDER BY doc_id
+"""
+
+QUERIES["text_readability_milli"] = text_readability_milli
+ORACLES["text_readability_milli"] = TEXT_READABILITY_MILLI_SQL
