@@ -142,6 +142,8 @@ HEADLINE = [
     "q8_market_share",
     "q13_customer_distribution",
     "text_readability_milli",
+    "q3_shipping_priority",
+    "q9_product_profit",
 ]
 
 

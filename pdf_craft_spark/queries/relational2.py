@@ -1276,3 +1276,134 @@ ORDER BY n_customers DESC, n_orders DESC
 
 QUERIES["q13_customer_distribution"] = q13_customer_distribution
 ORACLES["q13_customer_distribution"] = Q13_CUSTOMER_DISTRIBUTION_SQL
+
+
+# --- TPC-H Q3 analog: shipping priority ------------------------------------------
+# Top-10 unshipped orders by revenue at a cut date inside the corpus's
+# 1995-2001 span: orders placed before the cut whose lineitems ship
+# after it.  The classic two-fact equi-join + filtered aggregate +
+# TakeOrdered top-k; the date predicates push into both scans.  Revenue
+# through DECIMAL; (revenue DESC, orderkey) is a total order so LIMIT is
+# engine-stable.
+Q3_CUT = "1997-06-01"
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_CUT)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_CUT)
+    ).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev").cast("double"), 2).alias("revenue"))
+        .selectExpr(
+            "CAST(o_orderkey AS BIGINT) AS o_orderkey",
+            "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate",
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = f"""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o.o_orderpriority,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '{Q3_CUT} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUT} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+ORACLES["q3_shipping_priority"] = Q3_SHIPPING_PRIORITY_SQL
+
+
+# --- TPC-H Q9 analog: product-line profit by nation and year ----------------------
+# Profit rollup across the full star (lineitem ⋈ orders ⋈ part ⋈
+# supplier ⋈ nation), margin defined against the catalog price (the
+# corpus has no partsupp table, so supply cost is proxied as 80% of
+# p_retailprice — a fixed DECIMAL(3,2) factor, exact in both engines):
+# margin = extprice·(1−disc) − 0.80·retail·qty, filtered to the part
+# name family like the original's LIKE predicate (this corpus's part
+# vocabulary is color+noun; 'red' selects ~13% of the catalog).  The p_name predicate
+# prunes parts BEFORE the broadcast, so the fact join only carries the
+# matching part family.
+Q9_PART_LIKE = "red"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_PART_LIKE)
+    ).select("p_partkey", F.col("p_retailprice").cast("decimal(18,2)").alias("retail"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("ext"),
+        F.col("l_discount").cast("decimal(18,2)").alias("disc"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .selectExpr(
+            "n_name",
+            "yr",
+            "CAST(ext * (CAST(1 AS DECIMAL(18,2)) - disc) AS DECIMAL(28,6))"
+            " - CAST(CAST(0.80 AS DECIMAL(3,2)) * retail AS DECIMAL(18,4))"
+            " * CAST(qty AS DECIMAL(10,2)) AS margin",
+        )
+        .groupBy("n_name", "yr")
+        .agg(F.round(F.sum("margin").cast("double"), 2).alias("profit"))
+        .selectExpr("n_name", "CAST(yr AS INT) AS yr", "profit")
+        .orderBy("n_name", "yr")
+    )
+
+
+Q9_PRODUCT_PROFIT_SQL = f"""
+SELECT n.n_name,
+       CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
+       round(CAST(sum(
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))
+           - CAST(CAST(0.80 AS DECIMAL(3,2))
+                  * CAST(p.p_retailprice AS DECIMAL(18,2)) AS DECIMAL(18,4))
+             * CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(10,2))
+         ) AS DOUBLE), 2) AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%{Q9_PART_LIKE}%'
+GROUP BY 1, 2
+ORDER BY n_name, yr
+"""
+
+QUERIES["q9_product_profit"] = q9_product_profit
+ORACLES["q9_product_profit"] = Q9_PRODUCT_PROFIT_SQL
