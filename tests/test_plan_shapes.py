@@ -788,3 +788,25 @@ def test_q8_single_pass_ratio(spark):
     plan = _executed_plan(q8_market_share(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q3_pushes_dates_into_both_scans(spark):
+    """Q3's cut-date predicates must reach BOTH parquet scans."""
+    from pdf_craft_spark.queries.relational2 import q3_shipping_priority
+
+    plan = _executed_plan(q3_shipping_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+    assert any("l_shipdate" in l for l in pushed)
+
+
+def test_q9_part_filter_before_broadcast(spark):
+    """Q9's part-name predicate must prune at the part scan (inside the
+    broadcast build side), and all three dimensions broadcast."""
+    from pdf_craft_spark.queries.relational2 import q9_product_profit
+
+    plan = _executed_plan(q9_product_profit(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l for l in pushed)
