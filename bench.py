@@ -534,6 +534,32 @@ def main() -> None:
 
     query_secs: dict[str, float] = {}
     total = 0.0
+    # Two session-conf classes, toggled at runtime (both settings are
+    # runtime-mutable).  The KERNEL conf (AQE coalesce off, 4x-cores
+    # shuffle width) exists for byte-light compute-dense Arrow stages —
+    # the extraction pipeline and the media kernels — where the size-based
+    # coalescer serializes the work.  Every OTHER query is a normal
+    # byte-proportional relational plan, and the kernel conf taxes it
+    # 2-3x in pure scheduling overhead (MEASURED at sf0.1: setsim 23.2s
+    # fresh under kernel conf vs 8.9s under query conf, kmeans 13.8 vs
+    # 3.9s, spatial 8.6 vs 1.2s — same code, same data, same session).
+    # A production deployment sets these per workload class; the sweep
+    # does the same, outside the timed window.
+    _KERNEL_CONF = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": str(4 * args.cpus),
+    }
+    _QUERY_CONF = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": str(args.cpus),
+    }
+    _KERNEL_CLASS = ("media_",)
+
+    def _apply(conf: dict) -> None:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+
+    _apply(_QUERY_CONF)
     # persistent RDDs that exist BEFORE the sweep are the one-time cached
     # artifacts (ivf fit sample, synthetic media table) — never release
     # those: localCheckpoint blocks have their lineage cut and cannot be
@@ -543,6 +569,7 @@ def main() -> None:
         int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()
     }
     for name in HEADLINE:
+        _apply(_KERNEL_CONF if name.startswith(_KERNEL_CLASS) else _QUERY_CONF)
         t0 = time.time()
         n = QUERIES[name](spark, SF_DIR).count()
         dt = time.time() - t0
@@ -561,6 +588,7 @@ def main() -> None:
             if int(k) not in keep_rdd_ids:
                 m.get(k).unpersist()
 
+    _apply(_KERNEL_CONF)  # extraction reps run under the kernel conf
     # the extraction headline needs enough docs that the 1%-of-docs
     # long-book tail is a population, not one pinned task dominating the
     # number (~100 docs/cpu ≈ 1 tail book per core)
