@@ -625,3 +625,107 @@ GRAPH_KCORE_DECOMPOSITION_SQL = _kcore_sql()
 
 QUERIES["graph_kcore_decomposition"] = graph_kcore_decomposition
 ORACLES["graph_kcore_decomposition"] = GRAPH_KCORE_DECOMPOSITION_SQL
+
+
+# --- link prediction over the co-purchase graph ------------------------------
+# Classic common-neighbors / Jaccard link prediction: rank part pairs that
+# were NEVER co-ordered but share co-purchase neighbors (the
+# recommendation primitive behind "bought X also consider Z").  Graph =
+# market-basket edges (distinct (order, part) baskets self-joined, support
+# >= 2 — the same recipe as market_basket_pairs, support-thresholded so
+# hub degree is bounded by real co-purchase signal, not basket noise).
+#
+# Scale shape: wedge generation (adj ⋈ adj on the middle vertex) is the
+# only quadratic term and is bounded by per-vertex degree — at 100 TB the
+# standard hub-cap (drop vertices whose degree exceeds a df-style cutoff,
+# exactly like dedup's DF_CUTOFF_FRAC) bounds the fan-out; on this graph
+# the support filter already caps degree.  Jaccard is exact integer ppm
+# over neighbor-set sizes; scoring is order-free, the final top-50 has a
+# total deterministic order (cn desc, jaccard desc, part_a, part_b).
+LP_TOP = 50
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds both self-join sides
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+        # feeds 4 branches (two adjacency directions, the wedge join's
+        # both sides via adj, and the existing-edge anti-join): write-once
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.selectExpr("pa AS u", "pb AS v").unionAll(
+        edges.selectExpr("pb AS u", "pa AS v")
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cand = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.v") == F.col("r.u"))
+        .filter(F.col("l.u") < F.col("r.v"))
+        .groupBy(F.col("l.u").alias("x"), F.col("r.v").alias("z"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    newp = cand.join(
+        edges.selectExpr("pa AS x", "pb AS z"), ["x", "z"], "left_anti"
+    )
+    return (
+        newp.join(F.broadcast(deg.selectExpr("u AS x", "d AS dx")), "x")
+        .join(F.broadcast(deg.selectExpr("u AS z", "d AS dz")), "z")
+        .selectExpr(
+            "CAST(x AS BIGINT) AS part_a",
+            "CAST(z AS BIGINT) AS part_b",
+            "CAST(cn AS BIGINT) AS common_neighbors",
+            "CAST((1000000 * cn) DIV (dx + dz - cn) AS BIGINT) AS jaccard_ppm",
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("jaccard_ppm"), "part_a", "part_b"
+        )
+        .limit(LP_TOP)
+    )
+
+
+GRAPH_LINK_PREDICTION_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), adj AS (
+  SELECT pa AS u, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+), deg AS (
+  SELECT u, count(*) AS d FROM adj GROUP BY 1
+), cand AS (
+  SELECT l.u AS x, r.v AS z, count(*) AS cn
+  FROM adj l JOIN adj r ON l.v = r.u AND l.u < r.v
+  GROUP BY 1, 2
+), newp AS (
+  SELECT * FROM cand WHERE NOT EXISTS (
+    SELECT 1 FROM edges p WHERE p.pa = cand.x AND p.pb = cand.z)
+)
+SELECT CAST(n.x AS BIGINT) AS part_a,
+       CAST(n.z AS BIGINT) AS part_b,
+       CAST(n.cn AS BIGINT) AS common_neighbors,
+       CAST((1000000 * n.cn) // (gx.d + gz.d - n.cn) AS BIGINT) AS jaccard_ppm
+FROM newp n JOIN deg gx ON gx.u = n.x JOIN deg gz ON gz.u = n.z
+ORDER BY common_neighbors DESC, jaccard_ppm DESC, part_a, part_b
+LIMIT {LP_TOP}
+"""
+
+QUERIES["graph_link_prediction"] = graph_link_prediction
+ORACLES["graph_link_prediction"] = GRAPH_LINK_PREDICTION_SQL

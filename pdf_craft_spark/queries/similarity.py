@@ -791,6 +791,7 @@ def oracle_overrides(sf_dir: str) -> dict[str, str]:
     return {
         "sim_ivf_topk": _ivf_duck_sql(sf_dir),
         "sim_recall": _recall_duck_sql(sf_dir),
+        "semantic_dedup_clusters": _semdedup_duck_sql(sf_dir),
     }
 
 
@@ -1077,3 +1078,137 @@ KMEANS_INT_EMBEDDINGS_SQL = _kmeans_duck_sql()
 
 QUERIES["kmeans_int_embeddings"] = kmeans_int_embeddings
 ORACLES["kmeans_int_embeddings"] = KMEANS_INT_EMBEDDINGS_SQL
+
+
+# --- SemDeDup: semantic near-duplicate pruning via cluster + cosine ---------
+# The LLM-corpus technique (Abbas et al., "SemDeDup", arXiv:2303.09540):
+# exact/minhash dedup misses paraphrases and re-encodings whose EMBEDDINGS
+# are nearly parallel; comparing every pair is quadratic, so first bucket
+# vectors by a k-means quantizer and only compare WITHIN a cluster.  This
+# reuses ivf_fit's spherical quantizer (same deterministic literals in both
+# engines), so the index built for ANN search is also the dedup partitioner
+# — exactly how a production corpus pipeline amortizes the fit.
+#
+# Scale shape: assignment is a narrow projection against broadcast
+# centroid literals; the only shuffle is the self-join on cluster id, and
+# the quadratic term is bounded by cluster size (~n/k = sqrt(n) rows at
+# the k = ceil(sqrt n) fit; at 100 TB you raise k / recurse on oversized
+# clusters, which changes only the fit, not this dataflow).  A vector is
+# DROPPED when a lower-id vector in its cluster has cosine >= THRESH; the
+# keeper reported is the smallest such id (deterministic, order-free).
+SEMDEDUP_THRESH = 0.35
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    _n, _nprobe, cents = ivf_fit(sf_dir)
+    dists = (
+        f"transform({_cent_struct_array(cents)}, s -> named_struct("
+        "'d', aggregate(zip_with(embedding, s.v, "
+        "(x, y) -> (CAST(x AS DOUBLE) / sqrt(norm2) - y)"
+        " * (CAST(x AS DOUBLE) / sqrt(norm2) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'c', s.c))"
+    )
+    base = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
+        )
+        # min over (d, c) structs is lexicographic: nearest centroid,
+        # ties -> lowest cid — identical to the oracle's ORDER BY d, cid
+        .select(
+            "vec_id",
+            "embedding",
+            "norm2",
+            F.array_min(F.expr(dists))["c"].alias("cid"),
+        )
+        # materialized assignment table (see sim_ivf_topk: interpreted HOF
+        # must not be inlined into both self-join inputs)
+        .localCheckpoint(eager=True)
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm2").alias("na"),
+        "cid",
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm2").alias("nb"),
+        "cid",
+    )
+    cos = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cid", "vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_THRESH)
+    )
+    w = W.partitionBy("vec_b").orderBy("vec_a")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("cid").cast("int").alias("cid"),
+            F.col("vec_a").alias("kept_id"),
+            "cos_sim",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_duck_sql(sf_dir: str) -> str:
+    _n, _nprobe, cents = ivf_fit(sf_dir)
+    cent_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(cid, ", ".join(repr(float(x)) for x in vals))
+        for cid, vals in cents
+    )
+    sq = (
+        "list_reduce(list_transform(range(1, {n} + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) / sqrt(e.norm2) - c.embedding[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) / sqrt(e.norm2) - c.embedding[i])), "
+        "(acc, v) -> acc + v)"
+    ).format(n=DIM)
+    norm = _DOT_DUCK.format(a="embedding", b="embedding", n=DIM)
+    dot = _DOT_DUCK.format(a="a.embedding", b="b.embedding", n=DIM)
+    return f"""
+WITH cent(cid, embedding) AS (
+  VALUES
+    {cent_rows}
+), base AS (
+  SELECT vec_id, embedding, {norm} AS norm2 FROM embeddings
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sq}, c.cid) AS rk
+    FROM base e CROSS JOIN cent c
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT x.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({dot} / sqrt(a.norm2 * b.norm2), 6) AS cos_sim
+  FROM assign x JOIN base a ON a.vec_id = x.vec_id
+  JOIN assign y ON y.cid = x.cid AND y.vec_id > x.vec_id
+  JOIN base b ON b.vec_id = y.vec_id
+)
+SELECT vec_b AS vec_id, CAST(cid AS INT) AS cid, vec_a AS kept_id, cos_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rk
+  FROM pairs WHERE cos_sim >= {SEMDEDUP_THRESH!r}
+) WHERE rk = 1
+ORDER BY vec_id
+"""
+
+
+try:
+    SEMANTIC_DEDUP_CLUSTERS_SQL = _semdedup_duck_sql(ORACLE_SF_DIR)
+except (FileNotFoundError, OSError):  # pragma: no cover - testdata present here
+    SEMANTIC_DEDUP_CLUSTERS_SQL = None
+
+QUERIES["semantic_dedup_clusters"] = semantic_dedup_clusters
+if SEMANTIC_DEDUP_CLUSTERS_SQL is not None:
+    ORACLES["semantic_dedup_clusters"] = SEMANTIC_DEDUP_CLUSTERS_SQL

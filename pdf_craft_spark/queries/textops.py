@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "of", "and", "a", "to", "in", "is", "it", "on", "for")
@@ -1103,3 +1103,84 @@ ORDER BY doc_id
 
 QUERIES["text_readability_milli"] = text_readability_milli
 ORACLES["text_readability_milli"] = TEXT_READABILITY_MILLI_SQL
+
+
+# --- reciprocal-rank fusion of bounded retrieval lists -----------------------
+# RRF (Cormack et al. 2009): combine several retrieval rankings without
+# score calibration — fused(d) = sum over lists of 1/(k + rank_d), k=60.
+# The scale-honest shape: each signal first produces a BOUNDED top-N list
+# (TakeOrderedAndProject — a distributed partial top-k, never a global
+# sort of the corpus), then ranking and fusion run over N-row tables.
+# Arithmetic is integer (1e9 DIV (k + rank)), so the fused score is
+# engine-exact; a document absent from a list contributes 0 (standard
+# union-of-lists RRF).  Signals here: stopword-count (an English-ness /
+# quality prior, cf. text_quality_score) and document length.
+RRF_K = 60
+RRF_LIST_N = 100
+RRF_TOP = 25
+
+
+def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = _tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    lista = (
+        docs.select("doc_id", n_stop.alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(RRF_LIST_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("s"), "doc_id"))
+            .alias("ra"),
+        )
+    )
+    listb = (
+        docs.select("doc_id", F.col("n_chars").alias("c"))
+        .orderBy(F.desc("c"), "doc_id")
+        .limit(RRF_LIST_N)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("c"), "doc_id"))
+            .alias("rb"),
+        )
+    )
+    fused = lista.join(listb, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "CAST(ra AS INT) AS rank_stopword",
+        "CAST(rb AS INT) AS rank_length",
+        f"coalesce(1000000000 DIV ({RRF_K} + ra), CAST(0 AS BIGINT))"
+        f" + coalesce(1000000000 DIV ({RRF_K} + rb), CAST(0 AS BIGINT))"
+        " AS rrf_nano",
+    )
+    return fused.orderBy(F.desc("rrf_nano"), "doc_id").limit(RRF_TOP)
+
+
+RRF_RANK_FUSION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+           x -> list_contains(['the','of','and','a','to','in','is','it','on','for'],
+                              lower(x)))) AS s
+  FROM documents
+), lista AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS ra
+  FROM t ORDER BY s DESC, doc_id LIMIT {RRF_LIST_N}
+), listb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rb
+  FROM t ORDER BY n_chars DESC, doc_id LIMIT {RRF_LIST_N}
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CAST(a.ra AS INT) AS rank_stopword,
+       CAST(b.rb AS INT) AS rank_length,
+       coalesce(1000000000 // ({RRF_K} + a.ra), 0)
+         + coalesce(1000000000 // ({RRF_K} + b.rb), 0) AS rrf_nano
+FROM lista a FULL OUTER JOIN listb b ON a.doc_id = b.doc_id
+ORDER BY rrf_nano DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+QUERIES["rrf_rank_fusion"] = rrf_rank_fusion
+ORACLES["rrf_rank_fusion"] = RRF_RANK_FUSION_SQL

@@ -980,3 +980,80 @@ ORDER BY vec_id, dim
 
 QUERIES["embed_rank_normalize"] = embed_rank_normalize
 ORACLES["embed_rank_normalize"] = EMBED_RANK_NORMALIZE_SQL
+
+
+# --- global contiguous id assignment ------------------------------------------
+# Every corpus build eventually needs dense global row ids (sample
+# bookkeeping, shard manifests, stable example numbering).  The naive
+# row_number() OVER (ORDER BY ...) is a SINGLE-PARTITION sort — the
+# textbook non-scalable plan.  The scalable pattern is two-pass:
+#
+#   1. shard every row by a content hash (16 here; thousands at 100 TB),
+#      rank WITHIN each shard (independent window tasks, one shuffle);
+#   2. aggregate per-shard counts (a shards-sized table, 16 rows),
+#      prefix-sum those into shard base offsets, broadcast them back;
+#      global_id = shard_offset + within-shard rank.
+#
+# The data is never globally sorted and no partition sees more than its
+# shard; the only driver-sized object is the offsets table.  The result
+# is IDENTICAL to row_number() OVER (ORDER BY shard, doc_id) — which is
+# exactly what the DuckDB oracle runs, so the hash proves the two-pass
+# decomposition equals the global sort.
+N_ID_SHARDS = 16
+
+
+def assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    shard_expr = (
+        f"CAST({md5_prefix_long_sql('CAST(doc_id AS STRING)', 6, 'spark')} % {N_ID_SHARDS} AS INT)"
+    )
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", f"{shard_expr} AS shard")
+    ranked = docs.select(
+        "doc_id",
+        "shard",
+        F.row_number()
+        .over(W.partitionBy("shard").orderBy("doc_id"))
+        .alias("rk"),
+    )
+    counts = docs.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    # prefix sum over the 16-row counts table: the single-partition window
+    # here is over N_ID_SHARDS rows, not the data
+    offsets = counts.select(
+        "shard",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("base"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .selectExpr(
+            "doc_id",
+            "shard",
+            "CAST(base + rk AS BIGINT) AS global_id",
+        )
+        .orderBy("global_id")
+    )
+
+
+def _assign_global_ids_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    shard = f"CAST({md5_prefix_long_sql('CAST(doc_id AS STRING)', 6, 'duck')} % {N_ID_SHARDS} AS INT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {shard} AS shard FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (ORDER BY shard, doc_id) AS BIGINT) AS global_id
+FROM d ORDER BY global_id
+"""
+
+
+ASSIGN_GLOBAL_IDS_SQL = _assign_global_ids_sql()
+
+QUERIES["assign_global_ids"] = assign_global_ids
+ORACLES["assign_global_ids"] = ASSIGN_GLOBAL_IDS_SQL
