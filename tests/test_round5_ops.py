@@ -362,3 +362,43 @@ def test_label_propagation_on_known_graph():
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         4: (4, 1), 5: (3, 2), 6: (3, 2),
     }, got
+
+
+def test_pq_rerank_recall_vs_exact_cosine():
+    """PQ quality gate (DuckDB-only, fast): the ADC-shortlist + exact
+    rerank top-5 must recover >= 0.9 of the exact cosine top-5 — measured
+    0.92 on the sf0.01 corpus (the ADC code alone measures 0.22 there:
+    isotropic data is incompressible, which is exactly why the rerank
+    stage exists).  A drop means the codebook fit or the LUT/shortlist
+    dataflow broke, independently of cross-engine parity."""
+    import duckdb
+
+    from pdf_craft_spark.queries.similarity import (
+        SIM_COSINE_TOPK_SQL,
+        _pq_duck_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    gt = set(
+        map(
+            tuple,
+            con.execute(
+                f"SELECT query_id, neighbor_id FROM ({SIM_COSINE_TOPK_SQL})"
+            ).fetchall(),
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            con.execute(
+                "SELECT query_id, neighbor_id FROM ("
+                + _pq_duck_sql("/root/testdata/sf0.01")
+                + ")"
+            ).fetchall(),
+        )
+    )
+    assert len(gt & got) / len(gt) >= 0.9
