@@ -583,3 +583,90 @@ ORDER BY item, rk
 
 QUERIES["recsys_item_cooccurrence_topk"] = recsys_item_cooccurrence_topk
 ORACLES["recsys_item_cooccurrence_topk"] = RECSYS_ITEM_COOCCURRENCE_TOPK_SQL
+
+
+# --- event-stream run-length compaction ---------------------------------------
+# Telemetry compaction: collapse each user's consecutive same-type events
+# into one row per run (run start/end, length, value sum in exact cents).
+# The gaps-and-islands shape: a lag() flags run starts, a running sum of
+# the flags numbers the runs, one aggregate per (user, run) — two window
+# passes over ONE user-keyed shuffle, no joins.  At 100 TB this is the
+# standard pre-aggregation that cuts append-only event tables by the
+# stutter factor before they ever reach storage; ordering ties are pinned
+# by (ts, event_id) so the compaction is deterministic under any
+# partitioning.  Timestamps are emitted via date_format (tz-offset-free,
+# the proven cross-engine spelling).
+def event_compact_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v_cents"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_run",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("new_run").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "run_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "run_end"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.sum("v_cents").cast("bigint").alias("value_cents"),
+        )
+        .selectExpr(
+            "user_id",
+            "CAST(run_id AS BIGINT) AS run_id",
+            "event_type",
+            "run_start",
+            "run_end",
+            "run_len",
+            "value_cents",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+EVENT_COMPACT_CONSECUTIVE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS new_run
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS run_id
+  FROM f
+)
+SELECT user_id,
+       CAST(run_id AS BIGINT) AS run_id,
+       event_type,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS run_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS run_end,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(sum(v_cents) AS BIGINT) AS value_cents
+FROM r GROUP BY user_id, run_id, event_type
+ORDER BY user_id, run_id
+"""
+
+QUERIES["event_compact_consecutive"] = event_compact_consecutive
+ORACLES["event_compact_consecutive"] = EVENT_COMPACT_CONSECUTIVE_SQL

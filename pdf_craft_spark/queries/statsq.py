@@ -508,3 +508,107 @@ FROM z GROUP BY 1 ORDER BY 1
 
 QUERIES["zscore_normalize_prices"] = zscore_normalize_prices
 ORACLES["zscore_normalize_prices"] = ZSCORE_NORMALIZE_PRICES_SQL
+
+
+# --- exact median WITHOUT a global sort: two-pass binned selection -----------
+# median()/percentile at 100 TB cannot sort the corpus.  The scalable
+# exact algorithm is two passes:
+#
+#   pass 1: histogram the value into fixed-width integer bins (one
+#           map-side-combinable groupBy over (group, bin) — histogram
+#           size is bins x groups, independent of row count);
+#   locate: a prefix sum over the TINY histogram finds which bin holds
+#           each target order statistic (lower/upper middle) and how many
+#           rows precede that bin;
+#   pass 2: re-scan ONLY rows landing in the located bins (broadcast
+#           semi-join), rank within bin (window bounded by bin
+#           population), offset by the bin's prefix count = global rank,
+#           pick the target rows.
+#
+# No stage ever sorts or shuffles more than a bin's population.  Values
+# are exact integer cents (floor(x*100 + 0.5) — identical in both
+# engines for 2dp money doubles); the doubled median (lo + hi) stays in
+# BIGINT so even-count interpolation never produces a float.  The DuckDB
+# oracle computes the same order statistics by a FULL sort
+# (row_number over every row) — the hash match proves the two-pass
+# selection equals the naive global sort.
+MEDIAN_BIN_CENTS = 100_000  # $1000-wide bins
+
+
+def median_binned_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.selectExpr(
+        "l_returnflag AS f",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v",
+    )
+    hist = (
+        v.selectExpr("f", f"v DIV {MEDIAN_BIN_CENTS} AS bin")
+        .groupBy("f", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds prefix sum + target join
+    )
+    cum = hist.select(
+        "f",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("f").orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    ).withColumn("prev", F.col("cum") - F.col("cnt"))
+    ranks = hist.groupBy("f").agg(F.sum("cnt").alias("n")).selectExpr(
+        "f", "n", "(n + 1) DIV 2 AS k1", "(n + 2) DIV 2 AS k2"
+    )
+    targets = (
+        cum.join(F.broadcast(ranks), "f")
+        .filter((F.col("prev") < F.col("k2")) & (F.col("cum") >= F.col("k1")))
+        .select("f", "bin", "prev", "k1", "k2", "n")
+    )
+    pass2 = v.selectExpr("f", "v", f"v DIV {MEDIAN_BIN_CENTS} AS bin").join(
+        F.broadcast(targets), ["f", "bin"]
+    )
+    wb = W.partitionBy("f", "bin").orderBy("v")
+    picked = pass2.withColumn(
+        "grank", F.col("prev") + F.row_number().over(wb)
+    ).filter((F.col("grank") == F.col("k1")) | (F.col("grank") == F.col("k2")))
+    return (
+        picked.groupBy("f", "n")
+        .agg(
+            F.max(F.when(F.col("grank") == F.col("k1"), F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("grank") == F.col("k2"), F.col("v"))).alias("hi"),
+        )
+        .selectExpr(
+            "f AS l_returnflag",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(lo AS BIGINT) AS med_lo_cents",
+            "CAST(hi AS BIGINT) AS med_hi_cents",
+            "CAST(lo + hi AS BIGINT) AS median2_cents",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+MEDIAN_BINNED_TWO_PASS_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS f,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem
+), r AS (
+  SELECT f, v, row_number() OVER (PARTITION BY f ORDER BY v) AS rk FROM v
+), n AS (
+  SELECT f, count(*) AS n FROM v GROUP BY 1
+)
+SELECT r.f AS l_returnflag,
+       CAST(n.n AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = (n.n + 1) // 2 THEN v END) AS BIGINT)
+         AS med_lo_cents,
+       CAST(max(CASE WHEN rk = (n.n + 2) // 2 THEN v END) AS BIGINT)
+         AS med_hi_cents,
+       CAST(max(CASE WHEN rk = (n.n + 1) // 2 THEN v END)
+          + max(CASE WHEN rk = (n.n + 2) // 2 THEN v END) AS BIGINT)
+         AS median2_cents
+FROM r JOIN n ON r.f = n.f
+GROUP BY r.f, n.n ORDER BY l_returnflag
+"""
+
+QUERIES["median_binned_two_pass"] = median_binned_two_pass
+ORACLES["median_binned_two_pass"] = MEDIAN_BINNED_TWO_PASS_SQL

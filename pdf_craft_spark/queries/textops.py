@@ -1184,3 +1184,57 @@ ORDER BY rrf_nano DESC, doc_id LIMIT {RRF_TOP}
 
 QUERIES["rrf_rank_fusion"] = rrf_rank_fusion
 ORACLES["rrf_rank_fusion"] = RRF_RANK_FUSION_SQL
+
+
+# --- corpus novelty scoring ---------------------------------------------------
+# Diversity/novelty measurement for corpus curation: what fraction of a
+# document's distinct 3-gram shingles appear NOWHERE else in the corpus
+# (df = 1)?  High-novelty docs carry unique content; near-zero novelty
+# flags boilerplate families that the dedup passes should have caught.
+# Uses the shared codegen shingler (_shingle_rows — posexplode + lead
+# windows, never interpreted HOF lambdas); corpus document frequency is a
+# window count over the shingle key (ONE shuffle, no self-join), then one
+# per-doc aggregate.  Integer ppm output.
+def text_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import _shingle_rows
+
+    sh = _shingle_rows(_docs(spark, sf_dir))
+    d = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_shingles AS BIGINT) AS n_shingles",
+            "CAST(n_novel AS BIGINT) AS n_novel",
+            "CAST((1000000 * n_novel) DIV n_shingles AS BIGINT) AS novelty_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _text_novelty_sql() -> str:
+    from pdf_craft_spark.queries.dedup import _shingle_list_duck
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM ({_shingle_list_duck()})
+), d AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((1000000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS novelty_ppm
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TEXT_NOVELTY_PPM_SQL = _text_novelty_sql()
+
+QUERIES["text_novelty_ppm"] = text_novelty_ppm
+ORACLES["text_novelty_ppm"] = TEXT_NOVELTY_PPM_SQL
