@@ -150,6 +150,9 @@ HEADLINE = [
     "graph_link_prediction",
     "assign_global_ids",
     "rrf_rank_fusion",
+    "median_binned_two_pass",
+    "text_novelty_ppm",
+    "event_compact_consecutive",
 ]
 
 
