@@ -153,6 +153,7 @@ HEADLINE = [
     "median_binned_two_pass",
     "text_novelty_ppm",
     "event_compact_consecutive",
+    "ivfpq_topk",
 ]
 
 
