@@ -154,6 +154,10 @@ HEADLINE = [
     "text_novelty_ppm",
     "event_compact_consecutive",
     "ivfpq_topk",
+    "q4_priority_late_ship",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_wealthy_inactive",
 ]
 
 

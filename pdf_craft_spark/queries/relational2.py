@@ -1407,3 +1407,233 @@ ORDER BY n_name, yr
 
 QUERIES["q9_product_profit"] = q9_product_profit
 ORACLES["q9_product_profit"] = Q9_PRODUCT_PROFIT_SQL
+
+
+# --- Q4 analog: order-priority checking (EXISTS semi-join) -------------------
+# TPC-H Q4's shape: a date-windowed order scan counted by priority, kept
+# only when at least one line item violates a delivery promise.  The
+# corpus has no commit/receipt dates, so the violation is "shipped more
+# than 60 days after the order date" — same EXISTS semantics, same plan:
+# the correlated EXISTS decorrelates to a LEFT SEMI join on the order key
+# with the violation predicate in the join condition; lineitem is never
+# aggregated or deduplicated first.  Both date bounds push into the
+# orders scan.
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_PRIORITY_LATE_SHIP_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["q4_priority_late_ship"] = q4_priority_late_ship
+ORACLES["q4_priority_late_ship"] = Q4_PRIORITY_LATE_SHIP_SQL
+
+
+# --- Q18 analog: large-volume orders (HAVING subquery -> semi-join) ----------
+# TPC-H Q18: orders whose total quantity clears a threshold, with customer
+# detail, largest first.  The IN (GROUP BY ... HAVING) subquery is one
+# aggregation over the fact table reused as a semi-join spine; customer
+# is broadcast.  Money is exact integer cents; quantities are exact
+# integers (floor(q + 0.5) — the corpus stores integral quantities as
+# doubles).
+Q18_QTY_THRESHOLD = 200
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .selectExpr(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents",
+            "CAST(sum_qty AS BIGINT) AS sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_LARGE_VOLUME_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {Q18_QTY_THRESHOLD}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       CAST(b.sum_qty AS BIGINT) AS sum_qty
+FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_cents DESC, o_orderkey LIMIT 20
+"""
+
+QUERIES["q18_large_volume_orders"] = q18_large_volume_orders
+ORACLES["q18_large_volume_orders"] = Q18_LARGE_VOLUME_ORDERS_SQL
+
+
+# --- Q19 analog: disjunctive predicate revenue (OR-of-ANDs pushdown) ---------
+# TPC-H Q19's point is the optimizer: three (brand AND qty-range AND
+# size-range) disjuncts over a part ⋈ lineitem join.  Catalyst extracts
+# the common p_brand IN (...) prefilter and pushes it into the part scan,
+# and the small filtered part side broadcasts.  Revenue is exact BIGINT
+# cent-percent units (price cents x (100 - discount pct)) — no float ever
+# aggregates, so the disjunct-branch totals are order-free.
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        "CAST(floor(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct",
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).filter(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("q").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("q").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("q").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("price_cents") * (100 - F.col("disc_pct")))
+            .cast("bigint")
+            .alias("revenue_centpct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q19_DISJUNCTIVE_REVENUE_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct
+  FROM lineitem
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(price_cents * (100 - disc_pct)) AS BIGINT) AS revenue_centpct
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND q BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#2' AND q BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND q BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+ORACLES["q19_disjunctive_revenue"] = Q19_DISJUNCTIVE_REVENUE_SQL
+
+
+# --- Q22 analog: wealthy inactive customers (anti-join + scalar agg) ---------
+# TPC-H Q22's shape: a scalar aggregate threshold (average positive
+# balance) feeds a filter, and a NOT EXISTS anti-join removes customers
+# with recent orders.  The threshold is an exact integer floor
+# (sum-cents DIV count — both engines' // on BIGINT), broadcast as a
+# 1-row table, so no float average ever crosses the engines.  The corpus
+# gives every customer at least one order, so inactivity is "no order on
+# or after 2000-01-01" — 55 survivors at sf0.01, a real check.
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents",
+    )
+    thr = (
+        cust.filter(F.col("bal_cents") > 0)
+        .agg(
+            F.expr("sum(bal_cents) DIV count(*)").alias("thr_cents")
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    wealthy = cust.join(F.broadcast(thr)).filter(
+        F.col("bal_cents") > F.col("thr_cents")
+    )
+    inactive = wealthy.join(
+        recent, wealthy["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_WEALTHY_INACTIVE_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+), thr AS (
+  SELECT sum(bal_cents) // count(*) AS thr_cents FROM c WHERE bal_cents > 0
+)
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(c.bal_cents) AS BIGINT) AS total_bal_cents
+FROM c CROSS JOIN thr
+WHERE c.bal_cents > thr.thr_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["q22_wealthy_inactive"] = q22_wealthy_inactive
+ORACLES["q22_wealthy_inactive"] = Q22_WEALTHY_INACTIVE_SQL
