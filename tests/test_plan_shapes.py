@@ -810,3 +810,47 @@ def test_q9_part_filter_before_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_name" in l for l in pushed)
+
+
+@pytest.mark.parametrize("name", ["pq_topk", "ivfpq_topk"])
+def test_pq_family_no_cartesian_and_materialized_index(spark, name):
+    """PQ/IVF-PQ: the ADC scan is a broadcast (10-row query side) or
+    coarse-id equi-join over the MATERIALIZED code table (an ExistingRDD
+    after localCheckpoint — the interpreted HOF encode must never inline
+    into the join), and nothing in the plan is a cartesian product."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed code/LUT tables
+    # the SUBSPACE encode/LUT expressions (slice over the codebook
+    # literals) live in the checkpointed index build, never the join
+    # stage; the rerank's full-vector dot products legitimately remain
+    assert plan.count("slice(") == 0, "PQ encode leaked into the final plan"
+
+
+def test_assign_global_ids_never_globally_sorts_the_data(spark):
+    """The two-pass id assignment must keep windows per-shard: exactly one
+    hash-partitioned exchange for the shard window over the data, plus the
+    16-row offsets side — never a SinglePartition exchange carrying the
+    full table's window."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["assign_global_ids"](spark, SF_DIR))
+    # the offsets prefix-sum runs on the 16-row counts table; the final
+    # orderBy is a range exchange on the result.  The DATA window must be
+    # partitioned by shard:
+    assert "hashpartitioning(shard" in plan
+    win_lines = [l for l in plan.splitlines() if "Window" in l and "row_number" in l]
+    assert any("shard" in l for l in win_lines)
+
+
+def test_median_two_pass_histogram_is_materialized(spark):
+    """median_binned_two_pass: the bin histogram feeds the prefix sum AND
+    the target-bin join; after localCheckpoint the final plan reads it as
+    ExistingRDD instead of re-aggregating the fact table per branch."""
+    from pdf_craft_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["median_binned_two_pass"](spark, SF_DIR))
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan  # targets broadcast into pass 2
