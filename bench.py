@@ -158,6 +158,14 @@ HEADLINE = [
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_wealthy_inactive",
+    # round-5 session-10 additions (analyticsq)
+    "mode_exact_per_group",
+    "topp_revenue_suppliers",
+    "vocab_oov_rate",
+    "text_simpson_diversity",
+    "session_window_overlap",
+    "mixture_plan_tokens",
+    "table_fingerprint_buckets",
 ]
 
 

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pdf_craft_spark.queries import (
+    analyticsq,
     behavior,
     dataquality,
     indexing,
@@ -61,6 +62,7 @@ for mod in (
     indexing,
     dataquality,
     statsq,
+    analyticsq,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
