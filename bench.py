@@ -166,6 +166,12 @@ HEADLINE = [
     "session_window_overlap",
     "mixture_plan_tokens",
     "table_fingerprint_buckets",
+    "weighted_median_price",
+    "twap_value_per_user",
+    "cdc_compact_latest",
+    "zonemap_prune_stats",
+    "grouped_ordered_concat",
+    "running_max_drawdown",
 ]
 
 

@@ -580,6 +580,452 @@ ORDER BY bucket
 """
 
 
+
+# --- weighted median ----------------------------------------------------------
+# Quantity-weighted median of the line price per return flag: the robust
+# "typical traded price" where each row counts by its quantity.  Scale
+# shape identical to the spearman/median family: collapse to the
+# compressed (flag, cents, weight) table first (one combinable agg over
+# distinct prices), run the cumulative-weight prefix over THAT table, and
+# pick the first value where 2*cum >= total.  Weights, cumulative sums and
+# the predicate are all integer; no raw-row sort or window anywhere.
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    comp = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    cum = comp.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cum_w"),
+        F.sum("w").over(wtot).alias("tot_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("tot_w").alias("total_weight"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "CAST(wmedian_cents AS BIGINT) AS wmedian_cents",
+            "CAST(total_weight AS BIGINT) AS total_weight",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+WITH comp AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, cents,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM comp
+)
+SELECT l_returnflag,
+       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(max(tot_w) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * cum_w >= tot_w
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- time-weighted average (TWAP) --------------------------------------------
+# Per user: the time-weighted average of `value` over the observation
+# span, treating the signal as piecewise-constant between events — the
+# TSDB "twa" operator (a plain AVG over-weights bursts).  Integral and
+# span accumulate in integer mil-microseconds (value mils x gap micros;
+# bounded by span*max_value ~ 2.6e18 < int64), one (user) shuffle for the
+# lead() window, one combinable agg.  A zero-span user (single event, or
+# all events on one microsecond) has no well-defined integral; the
+# documented convention on BOTH engines is twap = max(mils) —
+# deterministic where a "pick any" would not be.
+def twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("value").cast("decimal(12,3)") * 1000)
+        .cast("long")
+        .alias("mils"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.withColumn("next_us", F.lead("us").over(w))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("next_us").isNotNull(),
+                    F.col("mils") * (F.col("next_us") - F.col("us")),
+                ).otherwise(F.lit(0))
+            ).alias("integral"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+            F.max("mils").alias("max_mils"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .selectExpr(
+            "user_id",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(span_us AS BIGINT) AS span_us",
+            "CAST(CASE WHEN span_us = 0 THEN max_mils"
+            "          ELSE integral DIV span_us END AS BIGINT) AS twap_mils",
+        )
+        .orderBy("user_id")
+    )
+
+
+TWAP_VALUE_PER_USER_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT) AS mils
+  FROM events
+), seg AS (
+  SELECT user_id, us, mils,
+         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS next_us
+  FROM ev
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS span_us,
+       CAST(CASE WHEN max(us) = min(us)
+                 THEN max(mils)
+                 ELSE sum(CASE WHEN next_us IS NOT NULL
+                               THEN mils * (next_us - us) ELSE 0 END)
+                      // (max(us) - min(us)) END AS BIGINT) AS twap_mils
+FROM seg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --- CDC log compaction (latest-wins) -----------------------------------------
+# Compact a multi-version change log to its latest snapshot: the
+# lakehouse "compaction" read path (Hudi/Delta/Iceberg merge-on-read).
+# The log is synthesized deterministically from orders (base INSERT at
+# version 0, an UPDATE at version 1 for md5-bp < 200, a second UPDATE at
+# version 2 for bp < 50, a DELETE at version 3 for bp >= 9970).  Latest
+# row wins via ONE combinable max_by(struct(version, ...)) aggregation —
+# never a per-key row_number window over the log — and tombstones drop
+# after the argmax so a delete hides all earlier versions.
+CDC_U1_BP = 200
+CDC_U2_BP = 50
+CDC_DEL_BP = 9970
+
+
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bp = _md5pl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 10000"
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        f"({bp}) AS bp",
+    )
+    log = (
+        base.selectExpr(
+            "o_orderkey", "0L AS version", "'I' AS op", "o_orderstatus",
+            "cents",
+        )
+        .unionByName(
+            base.filter(F.col("bp") < CDC_U1_BP).selectExpr(
+                "o_orderkey", "1L AS version", "'U' AS op",
+                "'P' AS o_orderstatus", "cents + 500 AS cents",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("bp") < CDC_U2_BP).selectExpr(
+                "o_orderkey", "2L AS version", "'U' AS op",
+                "'F' AS o_orderstatus", "cents + 1000 AS cents",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("bp") >= CDC_DEL_BP).selectExpr(
+                "o_orderkey", "3L AS version", "'D' AS op",
+                "o_orderstatus", "0L AS cents",
+            )
+        )
+    )
+    latest = log.groupBy("o_orderkey").agg(
+        F.max(
+            F.struct("version", "op", "o_orderstatus", "cents")
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    return (
+        latest.filter(F.col("m.op") != "D")
+        .selectExpr(
+            "o_orderkey",
+            "m.o_orderstatus AS o_orderstatus",
+            "CAST(m.cents AS BIGINT) AS cents",
+            "CAST(m.version AS BIGINT) AS version",
+            "CAST(n_versions AS BIGINT) AS n_versions",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_CDC_BP_DUCK = _md5pl("CAST(o_orderkey AS VARCHAR)", 4, "duck") + " % 10000"
+
+CDC_COMPACT_LATEST_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ({_CDC_BP_DUCK}) AS bp
+  FROM orders
+), log AS (
+  SELECT o_orderkey, 0 AS version, 'I' AS op, o_orderstatus, cents FROM base
+  UNION ALL
+  SELECT o_orderkey, 1, 'U', 'P', cents + 500 FROM base WHERE bp < {CDC_U1_BP}
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'F', cents + 1000 FROM base WHERE bp < {CDC_U2_BP}
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_orderstatus, 0 FROM base
+  WHERE bp >= {CDC_DEL_BP}
+), latest AS (
+  SELECT o_orderkey,
+         max_by(struct_pack(version := version, op := op,
+                            o_orderstatus := o_orderstatus,
+                            cents := cents),
+                version) AS m,
+         count(*) AS n_versions
+  FROM log GROUP BY o_orderkey
+)
+SELECT o_orderkey,
+       m.o_orderstatus AS o_orderstatus,
+       CAST(m.cents AS BIGINT) AS cents,
+       CAST(m.version AS BIGINT) AS version,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM latest WHERE m.op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
+# --- zone-map prune statistics ------------------------------------------------
+# WHY the repo carries zorder/hilbert clustering keys, quantified: build
+# per-file (min, max) date zone maps for two physical layouts of orders —
+# date-clustered files (file = month) vs hash-scattered files (file =
+# md5-bucket) — and evaluate how many files a 4-month predicate may skip
+# in each.  On the clustered layout the scan prunes to the predicate's
+# months; on the scattered layout every zone map straddles the predicate
+# and NOTHING prunes — the honest statement that data skipping is a
+# property of layout, not of the format.  One combinable agg per layout;
+# file counts and row counts are exact integers.
+ZM_LO = "1996-03-01"
+ZM_HI = "1996-06-30"
+
+
+def zonemap_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = _md5pl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 64"
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_orderdate AS DATE) AS d",
+        "(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS file_clustered",
+        f"({bucket}) AS file_scattered",
+    )
+
+    def stats(df: DataFrame, file_col: str, layout: str) -> DataFrame:
+        zm = df.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("d").alias("zmin"),
+            F.max("d").alias("zmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    (F.col("d") >= F.lit(ZM_LO)) & (F.col("d") <= F.lit(ZM_HI)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_match"),
+        )
+        scanned = (F.col("zmax") >= F.lit(ZM_LO)) & (F.col("zmin") <= F.lit(ZM_HI))
+        return zm.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(scanned.cast("long")).alias("files_scanned"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum("n_match").alias("rows_matching"),
+        )
+
+    return (
+        stats(o, "file_clustered", "clustered")
+        .unionByName(stats(o, "file_scattered", "scattered"))
+        .selectExpr(
+            "layout",
+            "CAST(n_files AS BIGINT) AS n_files",
+            "CAST(files_scanned AS BIGINT) AS files_scanned",
+            "CAST(rows_scanned AS BIGINT) AS rows_scanned",
+            "CAST(rows_total AS BIGINT) AS rows_total",
+            "CAST(rows_matching AS BIGINT) AS rows_matching",
+        )
+        .orderBy("layout")
+    )
+
+
+_ZM_BUCKET_DUCK = _md5pl("CAST(o_orderkey AS VARCHAR)", 4, "duck") + " % 64"
+
+ZONEMAP_PRUNE_STATS_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS file_clustered,
+         ({_ZM_BUCKET_DUCK}) AS file_scattered
+  FROM orders
+), zc AS (
+  SELECT file_clustered AS file_id, min(d) AS zmin, max(d) AS zmax,
+         count(*) AS n_rows,
+         sum(CASE WHEN d BETWEEN DATE '{ZM_LO}' AND DATE '{ZM_HI}'
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM o GROUP BY 1
+), zs AS (
+  SELECT file_scattered AS file_id, min(d) AS zmin, max(d) AS zmax,
+         count(*) AS n_rows,
+         sum(CASE WHEN d BETWEEN DATE '{ZM_LO}' AND DATE '{ZM_HI}'
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM o GROUP BY 1
+), roll AS (
+  SELECT 'clustered' AS layout, count(*) AS n_files,
+         sum(CASE WHEN zmax >= DATE '{ZM_LO}' AND zmin <= DATE '{ZM_HI}'
+                  THEN 1 ELSE 0 END) AS files_scanned,
+         sum(CASE WHEN zmax >= DATE '{ZM_LO}' AND zmin <= DATE '{ZM_HI}'
+                  THEN n_rows ELSE 0 END) AS rows_scanned,
+         sum(n_rows) AS rows_total, sum(n_match) AS rows_matching
+  FROM zc
+  UNION ALL
+  SELECT 'scattered', count(*),
+         sum(CASE WHEN zmax >= DATE '{ZM_LO}' AND zmin <= DATE '{ZM_HI}'
+                  THEN 1 ELSE 0 END),
+         sum(CASE WHEN zmax >= DATE '{ZM_LO}' AND zmin <= DATE '{ZM_HI}'
+                  THEN n_rows ELSE 0 END),
+         sum(n_rows), sum(n_match)
+  FROM zs
+)
+SELECT layout,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(files_scanned AS BIGINT) AS files_scanned,
+       CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(rows_total AS BIGINT) AS rows_total,
+       CAST(rows_matching AS BIGINT) AS rows_matching
+FROM roll
+ORDER BY layout
+"""
+
+
+# --- deterministic ordered group concat ---------------------------------------
+# LISTAGG with a guaranteed element order: Spark's collect_list order is
+# partition-dependent, so the deterministic spelling is collect_set →
+# array_sort → array_join — the pattern every report that concatenates
+# group members needs.  Output size is bounded by distinct members per
+# group (6 types per brand here); the agg stays combinable.
+def grouped_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("p_type")), ","
+            ).alias("types_csv"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .selectExpr(
+            "p_brand", "types_csv", "CAST(n_types AS BIGINT) AS n_types"
+        )
+        .orderBy("p_brand")
+    )
+
+
+GROUPED_ORDERED_CONCAT_SQL = """
+SELECT p_brand,
+       string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types_csv,
+       CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- running-peak drawdown ----------------------------------------------------
+# Per customer, over their orders in date order: the maximum drawdown of
+# o_totalprice from its running peak — the running-extreme analytic
+# (monitoring regressions from a high-water mark).  Two frames over the
+# SAME one-shuffle window partition (running max, then max gap), exact
+# integer cents, deterministic (date, orderkey) ordering.
+def running_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    dd = o.withColumn("peak", F.max("cents").over(w)).withColumn(
+        "drawdown", F.col("peak") - F.col("cents")
+    )
+    return (
+        dd.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("peak").alias("peak_cents"),
+            F.max("drawdown").alias("max_drawdown_cents"),
+        )
+        .selectExpr(
+            "o_custkey",
+            "CAST(n_orders AS BIGINT) AS n_orders",
+            "CAST(peak_cents AS BIGINT) AS peak_cents",
+            "CAST(max_drawdown_cents AS BIGINT) AS max_drawdown_cents",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+RUNNING_MAX_DRAWDOWN_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), dd AS (
+  SELECT o_custkey, cents,
+         max(cents) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM o
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(peak) AS BIGINT) AS peak_cents,
+       CAST(max(peak - cents) AS BIGINT) AS max_drawdown_cents
+FROM dd
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -588,6 +1034,12 @@ QUERIES = {
     "session_window_overlap": session_window_overlap,
     "mixture_plan_tokens": mixture_plan_tokens,
     "table_fingerprint_buckets": table_fingerprint_buckets,
+    "weighted_median_price": weighted_median_price,
+    "twap_value_per_user": twap_value_per_user,
+    "cdc_compact_latest": cdc_compact_latest,
+    "zonemap_prune_stats": zonemap_prune_stats,
+    "grouped_ordered_concat": grouped_ordered_concat,
+    "running_max_drawdown": running_max_drawdown,
 }
 
 ORACLES = {
@@ -598,4 +1050,10 @@ ORACLES = {
     "session_window_overlap": SESSION_WINDOW_OVERLAP_SQL,
     "mixture_plan_tokens": MIXTURE_PLAN_TOKENS_SQL,
     "table_fingerprint_buckets": TABLE_FINGERPRINT_BUCKETS_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_PRICE_SQL,
+    "twap_value_per_user": TWAP_VALUE_PER_USER_SQL,
+    "cdc_compact_latest": CDC_COMPACT_LATEST_SQL,
+    "zonemap_prune_stats": ZONEMAP_PRUNE_STATS_SQL,
+    "grouped_ordered_concat": GROUPED_ORDERED_CONCAT_SQL,
+    "running_max_drawdown": RUNNING_MAX_DRAWDOWN_SQL,
 }

@@ -186,3 +186,126 @@ def test_session10_plan_shapes(spark):
 
     p = _executed_plan(table_fingerprint_buckets(spark, SF_DIR))
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_weighted_median_is_the_weighted_order_statistic(spark):
+    """Recompute the weighted median per flag by expanding weights in
+    python and compare — the definition, independent of the prefix-sum
+    formulation."""
+    from pdf_craft_spark.queries.analyticsq import weighted_median_price
+
+    got = {
+        r["l_returnflag"]: r for r in weighted_median_price(spark, SF_DIR).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag",
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+            "CAST(l_quantity AS BIGINT) AS w",
+        )
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append((r["cents"], r["w"]))
+    for flag, pairs in by_flag.items():
+        pairs.sort()
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        for cents, w in pairs:
+            cum += w
+            if 2 * cum >= tot:
+                assert got[flag]["wmedian_cents"] == cents, (flag, cents, got[flag])
+                assert got[flag]["total_weight"] == tot
+                break
+
+
+def test_twap_differs_from_plain_avg_and_is_bounded(spark):
+    """TWAP must lie within [min, max] of the user's values, and for at
+    least one user differ from the unweighted mean (otherwise the time
+    weighting is vacuous on this corpus)."""
+    from pdf_craft_spark.queries.analyticsq import twap_value_per_user
+
+    twap = {r["user_id"]: r["twap_mils"] for r in twap_value_per_user(spark, SF_DIR).collect()}
+    stats = {
+        r["user_id"]: r
+        for r in spark.sql(
+            f"""
+            SELECT user_id,
+                   CAST(min(CAST(value AS DECIMAL(12,3)) * 1000) AS BIGINT) AS lo,
+                   CAST(max(CAST(value AS DECIMAL(12,3)) * 1000) AS BIGINT) AS hi,
+                   CAST(avg(CAST(CAST(value AS DECIMAL(12,3)) * 1000 AS BIGINT)) AS BIGINT) AS mean
+            FROM parquet.`{SF_DIR}/events.parquet` GROUP BY user_id
+            """
+        ).collect()
+    }
+    differs = 0
+    for uid, tw in twap.items():
+        s = stats[uid]
+        assert s["lo"] <= tw <= s["hi"], (uid, tw, s)
+        if abs(tw - s["mean"]) > 1:
+            differs += 1
+    assert differs > 0
+
+
+def test_cdc_compaction_latest_wins_and_tombstones_drop(spark):
+    """Every surviving key carries its highest version's payload; every
+    deleted key is absent; version counts match the mutation recipe."""
+    import hashlib
+
+    from pdf_craft_spark.queries.analyticsq import (
+        CDC_DEL_BP,
+        CDC_U1_BP,
+        CDC_U2_BP,
+        cdc_compact_latest,
+    )
+
+    out = {r["o_orderkey"]: r for r in cdc_compact_latest(spark, SF_DIR).collect()}
+    keys = [
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    for k in keys:
+        bp = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 10000
+        if bp >= CDC_DEL_BP:
+            assert k not in out, k
+        elif bp < CDC_U2_BP:
+            assert out[k]["version"] == 2 and out[k]["o_orderstatus"] == "F"
+            assert out[k]["n_versions"] == 3
+        elif bp < CDC_U1_BP:
+            assert out[k]["version"] == 1 and out[k]["o_orderstatus"] == "P"
+            assert out[k]["n_versions"] == 2
+        else:
+            assert out[k]["version"] == 0 and out[k]["n_versions"] == 1
+
+
+def test_zonemap_clustered_prunes_scattered_does_not(spark):
+    """The zone-map op's reason to exist: the clustered layout scans a
+    strict subset of files/rows while the scattered layout scans all of
+    them; both report the same matching-row count."""
+    from pdf_craft_spark.queries.analyticsq import zonemap_prune_stats
+
+    rows = {r["layout"]: r for r in zonemap_prune_stats(spark, SF_DIR).collect()}
+    c, s = rows["clustered"], rows["scattered"]
+    assert c["rows_matching"] == s["rows_matching"]
+    assert c["files_scanned"] < c["n_files"]
+    assert c["rows_scanned"] < c["rows_total"]
+    assert s["files_scanned"] == s["n_files"]  # hash layout never prunes
+    assert s["rows_scanned"] == s["rows_total"]
+    # clustered-by-month zone maps are TIGHT for a month-aligned-ish
+    # predicate: scanned rows stay within the predicate's month files
+    assert c["rows_scanned"] <= 5 * max(1, c["rows_matching"])
+
+
+def test_drawdown_never_negative_and_peak_dominates(spark):
+    from pdf_craft_spark.queries.analyticsq import running_max_drawdown
+
+    df = running_max_drawdown(spark, SF_DIR)
+    assert df.filter(F.col("max_drawdown_cents") < 0).count() == 0
+    assert df.filter(F.col("max_drawdown_cents") > F.col("peak_cents")).count() == 0
+    # on a 10-orders-per-customer corpus some drawdown must exist
+    assert df.filter(F.col("max_drawdown_cents") > 0).count() > 0
