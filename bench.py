@@ -172,6 +172,10 @@ HEADLINE = [
     "zonemap_prune_stats",
     "grouped_ordered_concat",
     "running_max_drawdown",
+    "price_band_self_join",
+    "ks_drift_orders",
+    "except_all_multiset",
+    "embedding_centroid_by_label",
 ]
 
 

@@ -1026,6 +1026,364 @@ ORDER BY o_custkey
 """
 
 
+
+# --- banded theta self-join ---------------------------------------------------
+# Part pairs of the same type whose retail prices differ by <= 50 cents —
+# the |a-b| <= eps theta join that naive SQL turns into a per-type
+# cartesian.  Banding makes it an EQUI-join: each left row probes its own
+# price band and both neighbors (band width == eps, so every qualifying
+# pair shares-or-straddles a boundary and is found EXACTLY once — the
+# right side stays in its single home band, so no dedup pass is needed);
+# the exact |diff| predicate filters inside matched bands.  Output is the
+# per-type rollup (pair count, min diff, diff checksum), bounded by types.
+BAND_EPS_CENTS = 50
+
+
+def price_band_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    left = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_type"),
+        F.col("cents").alias("a_cents"),
+        F.explode(
+            F.array(
+                (F.col("cents") / BAND_EPS_CENTS).cast("long") - 1,
+                (F.col("cents") / BAND_EPS_CENTS).cast("long"),
+                (F.col("cents") / BAND_EPS_CENTS).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    right = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_type"),
+        F.col("cents").alias("b_cents"),
+        (F.col("cents") / BAND_EPS_CENTS).cast("long").alias("band"),
+    )
+    pairs = left.join(right, ["p_type", "band"]).filter(
+        (F.col("a_key") < F.col("b_key"))
+        & (
+            F.abs(F.col("a_cents") - F.col("b_cents"))
+            <= F.lit(BAND_EPS_CENTS)
+        )
+    )
+    return (
+        pairs.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("a_cents") - F.col("b_cents"))).alias(
+                "min_diff_cents"
+            ),
+            F.sum(F.abs(F.col("a_cents") - F.col("b_cents"))).alias(
+                "sum_diff_cents"
+            ),
+        )
+        .selectExpr(
+            "p_type",
+            "CAST(n_pairs AS BIGINT) AS n_pairs",
+            "CAST(min_diff_cents AS BIGINT) AS min_diff_cents",
+            "CAST(sum_diff_cents AS BIGINT) AS sum_diff_cents",
+        )
+        .orderBy("p_type")
+    )
+
+
+PRICE_BAND_SELF_JOIN_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_type,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM part
+)
+SELECT a.p_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(a.cents - b.cents)) AS BIGINT) AS min_diff_cents,
+       CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS sum_diff_cents
+FROM p a JOIN p b
+  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+ AND abs(a.cents - b.cents) <= {BAND_EPS_CENTS}
+GROUP BY a.p_type
+ORDER BY a.p_type
+"""
+
+
+# --- Kolmogorov-Smirnov drift statistic ----------------------------------------
+# Distribution-drift monitor between two order cohorts (pre-1998 vs
+# 1998+): the exact two-sample KS statistic max|F_A - F_B|, computed
+# ENTIRELY in integers by cross-multiplying the empirical CDFs
+# (|cumA*nB - cumB*nA| avoids division until the final milli
+# projection) — the log-free drift test (PSI needs log; chi-square needs
+# binning choices).  Scale shape: values collapse to the compressed
+# (cents, cntA, cntB) table first; the CDF prefix runs SHARDED — per-band
+# window + broadcast band offsets (the assign_global_ids decomposition) —
+# so no global single-partition sort ever materializes.
+KS_SPLIT_DATE = "1998-01-01"
+
+
+def ks_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("o_orderdate") < F.lit(KS_SPLIT_DATE), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    comp = o.groupBy("cents").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(1 - F.col("in_a")).alias("cb"),
+    )
+    # sharded prefix sum: ~50 price bands, per-band running totals +
+    # broadcast cumulative band offsets
+    banded = comp.withColumn("band", (F.col("cents") / 1_000_000).cast("long"))
+    wband = (
+        W.partitionBy("band").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = banded.select(
+        "band",
+        "cents",
+        F.sum("ca").over(wband).alias("la"),
+        F.sum("cb").over(wband).alias("lb"),
+    )
+    offsets = (
+        banded.groupBy("band")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+        .withColumn(
+            "oa",
+            F.coalesce(
+                F.sum("ba").over(
+                    W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "ob",
+            F.coalesce(
+                F.sum("bb").over(
+                    W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("band", "oa", "ob")
+    )
+    cdf = local.join(F.broadcast(offsets), "band").select(
+        (F.col("la") + F.col("oa")).alias("cum_a"),
+        (F.col("lb") + F.col("ob")).alias("cum_b"),
+    )
+    tot = o.agg(
+        F.sum("in_a").alias("na"), F.sum(1 - F.col("in_a")).alias("nb")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            ).alias("d"),
+            "na",
+            "nb",
+        )
+        .groupBy("na", "nb")
+        .agg(F.max("d").alias("ks_num"))
+        .selectExpr(
+            "CAST(na AS BIGINT) AS n_a",
+            "CAST(nb AS BIGINT) AS n_b",
+            "CAST(ks_num AS BIGINT) AS ks_num",
+            "CAST((1000 * ks_num) DIV (na * nb) AS BIGINT) AS ks_milli",
+        )
+    )
+
+
+KS_DRIFT_ORDERS_SQL = f"""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN o_orderdate < DATE '{KS_SPLIT_DATE}' THEN 1 ELSE 0 END
+           AS in_a
+  FROM orders
+), comp AS (
+  SELECT cents, sum(in_a) AS ca, sum(1 - in_a) AS cb
+  FROM o GROUP BY cents
+), cdf AS (
+  SELECT sum(ca) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(cb) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM comp
+), tot AS (
+  SELECT sum(in_a) AS na, sum(1 - in_a) AS nb FROM o
+)
+SELECT CAST(t.na AS BIGINT) AS n_a,
+       CAST(t.nb AS BIGINT) AS n_b,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS ks_num,
+       CAST((1000 * max(abs(c.cum_a * t.nb - c.cum_b * t.na)))
+            // (t.na * t.nb) AS BIGINT) AS ks_milli
+FROM cdf c CROSS JOIN tot t
+GROUP BY t.na, t.nb
+"""
+
+
+# --- bag-semantics EXCEPT ALL ---------------------------------------------------
+# Multiset difference between two table versions WITH multiplicities —
+# the reconciliation read that plain EXCEPT (set semantics) gets wrong
+# when rows legitimately repeat.  Spark has exceptAll() but its output
+# is row-per-occurrence; at reconciliation scale the useful shape is the
+# count-diff: group both sides once, emit rows whose multiplicity
+# changed, with both counts.  One combinable agg per side + one
+# co-partitioned full-outer join of the (much smaller) distinct-row
+# tables.  The second version reuses the sparse fingerprint mutation
+# recipe so the diff is a small, checkable set.
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bp = _md5pl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 10000"
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderstatus",
+        "o_orderpriority",
+        f"({bp}) AS bp",
+    )
+    # version B: sparse status flips + drops (multiset-visible changes)
+    vb = base.filter(F.col("bp") < FP_DEL_BP).selectExpr(
+        f"CASE WHEN bp < {FP_UPD_BP} THEN 'X' ELSE o_orderstatus END"
+        " AS o_orderstatus",
+        "o_orderpriority",
+    )
+    ca = base.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt_a")
+    )
+    cb = vb.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt_b")
+    )
+    return (
+        ca.join(cb, ["o_orderstatus", "o_orderpriority"], "full_outer")
+        .selectExpr(
+            "o_orderstatus",
+            "o_orderpriority",
+            "CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a",
+            "CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b",
+            "CAST(coalesce(cnt_a, 0) - coalesce(cnt_b, 0) AS BIGINT)"
+            " AS multiplicity_diff",
+        )
+        .filter("multiplicity_diff <> 0")
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+_EA_BP_DUCK = _md5pl("CAST(o_orderkey AS VARCHAR)", 4, "duck") + " % 10000"
+
+EXCEPT_ALL_MULTISET_SQL = f"""
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority, ({_EA_BP_DUCK}) AS bp FROM orders
+), vb AS (
+  SELECT CASE WHEN bp < {FP_UPD_BP} THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority
+  FROM base WHERE bp < {FP_DEL_BP}
+), ca AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt_a
+  FROM base GROUP BY 1, 2
+), cb AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt_b
+  FROM vb GROUP BY 1, 2
+)
+SELECT coalesce(ca.o_orderstatus, cb.o_orderstatus) AS o_orderstatus,
+       coalesce(ca.o_orderpriority, cb.o_orderpriority) AS o_orderpriority,
+       CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+       CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b,
+       CAST(coalesce(cnt_a, 0) - coalesce(cnt_b, 0) AS BIGINT)
+         AS multiplicity_diff
+FROM ca FULL OUTER JOIN cb
+  ON ca.o_orderstatus = cb.o_orderstatus
+ AND ca.o_orderpriority = cb.o_orderpriority
+WHERE coalesce(cnt_a, 0) <> coalesce(cnt_b, 0)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --- per-label embedding centroids ----------------------------------------------
+# Class centroids over the embedding table — the building block of
+# nearest-class-mean classifiers, cluster seeding, and embedding-drift
+# dashboards.  Float parity discipline: each float32 element converts to
+# integer MICRO-units first (floor(x*1e6) on the widened double — exact
+# and engine-identical), so the cross-row sums are integer and order-free;
+# the mean divides once at the end (integer DIV).  Shape: posexplode →
+# one (label, dim) combinable agg — 10 labels x 64 dims of state — then a
+# bounded per-label ordered concat (the array-free CSV output the
+# canonicalizer requires).
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    dims = e.select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1_000_000).alias("micros"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum("micros").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.select(
+            "label",
+            "dim",
+            (F.col("s") - F.pmod(F.col("s"), F.col("n")))
+            .cast("long")
+            .alias("num"),
+            "n",
+        )
+        .selectExpr("label", "dim", "(num DIV n) AS mean_micros", "n")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mean_micros"))
+                    ),
+                    lambda st: st["mean_micros"].cast("string"),
+                ),
+                ",",
+            ).alias("centroid_micros_csv"),
+        )
+        .selectExpr(
+            "CAST(label AS BIGINT) AS label",
+            "CAST(n_vectors AS BIGINT) AS n_vectors",
+            "centroid_micros_csv",
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_CENTROID_BY_LABEL_SQL = """
+WITH dims AS (
+  -- parallel unnest: element and its 0-based index walk in lockstep
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS micros
+  FROM embeddings
+), per_dim AS (
+  SELECT label, dim, sum(micros) AS s, count(*) AS n
+  FROM dims GROUP BY label, dim
+), means AS (
+  SELECT label, dim,
+         CAST((s - (s % n + n) % n) // n AS BIGINT) AS mean_micros, n
+  FROM per_dim
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(max(n) AS BIGINT) AS n_vectors,
+       string_agg(CAST(mean_micros AS VARCHAR), ',' ORDER BY dim)
+         AS centroid_micros_csv
+FROM means
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -1040,6 +1398,10 @@ QUERIES = {
     "zonemap_prune_stats": zonemap_prune_stats,
     "grouped_ordered_concat": grouped_ordered_concat,
     "running_max_drawdown": running_max_drawdown,
+    "price_band_self_join": price_band_self_join,
+    "ks_drift_orders": ks_drift_orders,
+    "except_all_multiset": except_all_multiset,
+    "embedding_centroid_by_label": embedding_centroid_by_label,
 }
 
 ORACLES = {
@@ -1056,4 +1418,8 @@ ORACLES = {
     "zonemap_prune_stats": ZONEMAP_PRUNE_STATS_SQL,
     "grouped_ordered_concat": GROUPED_ORDERED_CONCAT_SQL,
     "running_max_drawdown": RUNNING_MAX_DRAWDOWN_SQL,
+    "price_band_self_join": PRICE_BAND_SELF_JOIN_SQL,
+    "ks_drift_orders": KS_DRIFT_ORDERS_SQL,
+    "except_all_multiset": EXCEPT_ALL_MULTISET_SQL,
+    "embedding_centroid_by_label": EMBEDDING_CENTROID_BY_LABEL_SQL,
 }

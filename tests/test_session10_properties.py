@@ -309,3 +309,126 @@ def test_drawdown_never_negative_and_peak_dominates(spark):
     assert df.filter(F.col("max_drawdown_cents") > F.col("peak_cents")).count() == 0
     # on a 10-orders-per-customer corpus some drawdown must exist
     assert df.filter(F.col("max_drawdown_cents") > 0).count() > 0
+
+
+def test_price_band_join_matches_quadratic_and_stays_equi(spark):
+    """The banded equi-join recovers exactly the quadratic theta-join's
+    pair rollup (recomputed in python), and the plan contains no
+    cartesian/nested-loop node."""
+    from pdf_craft_spark.queries.analyticsq import (
+        BAND_EPS_CENTS,
+        price_band_self_join,
+    )
+
+    got = {r["p_type"]: r for r in price_band_self_join(spark, SF_DIR).collect()}
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .selectExpr(
+            "p_partkey",
+            "p_type",
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["p_type"], []).append(r["cents"])
+    for t, cents in by_type.items():
+        cents.sort()
+        n = mind = sumd = 0
+        for i in range(len(cents)):
+            for j in range(i + 1, len(cents)):
+                d = cents[j] - cents[i]
+                if d > BAND_EPS_CENTS:
+                    break
+                n += 1
+                sumd += d
+        if n:
+            assert got[t]["n_pairs"] == n and got[t]["sum_diff_cents"] == sumd
+    plan = _executed_plan(price_band_self_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_ks_statistic_matches_direct_recompute(spark):
+    """The sharded-prefix KS equals the direct single-pass python
+    recompute of max|cumA*nB - cumB*nA| over the merged value set."""
+    from pdf_craft_spark.queries.analyticsq import KS_SPLIT_DATE, ks_drift_orders
+
+    row = ks_drift_orders(spark, SF_DIR).collect()[0]
+    data = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .selectExpr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+            f"CASE WHEN o_orderdate < '{KS_SPLIT_DATE}' THEN 1 ELSE 0 END"
+            " AS in_a",
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in data:
+        (ca if r["in_a"] else cb)[r["cents"]] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    cum_a = cum_b = best = 0
+    for v in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(v, 0)
+        cum_b += cb.get(v, 0)
+        best = max(best, abs(cum_a * nb - cum_b * na))
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["ks_num"] == best
+    assert row["ks_milli"] == (1000 * best) // (na * nb)
+    assert 0 < row["ks_milli"] <= 1000
+
+
+def test_except_all_diff_has_both_directions(spark):
+    """The multiset diff must contain rows lost from A (positive) and
+    rows new in B (negative, the flipped-status 'X' rows)."""
+    from pdf_craft_spark.queries.analyticsq import except_all_multiset
+
+    rows = except_all_multiset(spark, SF_DIR).collect()
+    assert any(r["multiplicity_diff"] > 0 for r in rows)
+    assert any(r["multiplicity_diff"] < 0 for r in rows)
+    assert all(r["multiplicity_diff"] != 0 for r in rows)
+    # the injected 'X' status appears only on the B side
+    xrows = [r for r in rows if r["o_orderstatus"] == "X"]
+    assert xrows and all(r["cnt_a"] == 0 and r["cnt_b"] > 0 for r in xrows)
+
+
+def test_embedding_centroids_bounded_and_counted(spark):
+    """Each centroid dimension's mean lies within the label's per-dim
+    [min, max] micro range, and n_vectors equals the label count."""
+    from pdf_craft_spark.queries.analyticsq import embedding_centroid_by_label
+
+    cents = {
+        r["label"]: r for r in embedding_centroid_by_label(spark, SF_DIR).collect()
+    }
+    counts = {
+        r["label"]: r["cnt"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(cents) == set(counts)
+    import math
+
+    embs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label", "embedding")
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in embs:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for label, r in cents.items():
+        assert r["n_vectors"] == counts[label]
+        means = [int(v) for v in r["centroid_micros_csv"].split(",")]
+        vecs = by_label[label]
+        assert len(means) == 64
+        for d, m in enumerate(means):
+            col = [math.floor(float(v[d]) * 1_000_000) for v in vecs]
+            assert min(col) <= m <= max(col), (label, d)
