@@ -176,6 +176,10 @@ HEADLINE = [
     "ks_drift_orders",
     "except_all_multiset",
     "embedding_centroid_by_label",
+    "kanonymity_quasi_identifiers",
+    "join_fanout_audit",
+    "length_bucket_padding",
+    "trend_slope_per_customer",
 ]
 
 

@@ -1384,6 +1384,247 @@ ORDER BY label
 """
 
 
+
+# --- k-anonymity audit ----------------------------------------------------------
+# Data-governance gate before releasing a derived table: group by the
+# quasi-identifier tuple (segment, nation, account-balance decile) and
+# report every equivalence class smaller than K plus the table's overall
+# anonymity level (the minimum class size).  One combinable agg over the
+# quasi-identifier tuple; the decile generalization is a pure projection
+# (integer floor on cents), so the audit is a single scan at any scale.
+K_ANON = 5
+
+
+def kanonymity_quasi_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").selectExpr(
+        "c_mktsegment",
+        "c_nationkey",
+        # decile-style generalization: 1000-dollar balance bands
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100000 AS bal_band",
+    )
+    classes = c.groupBy("c_mktsegment", "c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.filter(F.col("class_size") < K_ANON)
+        .selectExpr(
+            "c_mktsegment",
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+            "CAST(bal_band AS BIGINT) AS bal_band",
+            "CAST(class_size AS BIGINT) AS class_size",
+        )
+        .orderBy("c_mktsegment", "c_nationkey", "bal_band")
+    )
+
+
+KANONYMITY_QUASI_IDENTIFIERS_SQL = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 100000 AS bal_band,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(bal_band AS BIGINT) AS bal_band,
+       CAST(class_size AS BIGINT) AS class_size
+FROM classes WHERE class_size < {K_ANON}
+ORDER BY c_mktsegment, c_nationkey, bal_band
+"""
+
+
+# --- join fan-out audit ----------------------------------------------------------
+# Planner hygiene before running a big join: per-side key multiplicities
+# predict the join's output EXACTLY (sum over keys of cnt_l*cnt_r) —
+# this op computes that prediction from two count aggregations, joins the
+# two (much smaller) key-count tables, and reports predicted rows, max
+# per-key fan-out, and the keys-only intersection size.  The fact tables
+# are never joined; at 100 TB this is the difference between a cheap
+# dry-run and an accidental row explosion.
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_l"))
+    )
+    rc = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_r"))
+    )
+    return (
+        lo.join(rc, "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_join_keys"),
+            F.sum(F.col("cnt_l") * F.col("cnt_r")).alias("predicted_rows"),
+            F.max(F.col("cnt_l") * F.col("cnt_r")).alias("max_key_fanout"),
+            F.max("cnt_l").alias("max_left_mult"),
+            F.max("cnt_r").alias("max_right_mult"),
+        )
+        .selectExpr(
+            "CAST(n_join_keys AS BIGINT) AS n_join_keys",
+            "CAST(predicted_rows AS BIGINT) AS predicted_rows",
+            "CAST(max_key_fanout AS BIGINT) AS max_key_fanout",
+            "CAST(max_left_mult AS BIGINT) AS max_left_mult",
+            "CAST(max_right_mult AS BIGINT) AS max_right_mult",
+        )
+    )
+
+
+JOIN_FANOUT_AUDIT_SQL = """
+WITH lo AS (
+  SELECT o_custkey AS k, count(*) AS cnt_l FROM orders GROUP BY 1
+), rc AS (
+  SELECT c_custkey AS k, count(*) AS cnt_r FROM customer GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+       CAST(sum(cnt_l * cnt_r) AS BIGINT) AS predicted_rows,
+       CAST(max(cnt_l * cnt_r) AS BIGINT) AS max_key_fanout,
+       CAST(max(cnt_l) AS BIGINT) AS max_left_mult,
+       CAST(max(cnt_r) AS BIGINT) AS max_right_mult
+FROM lo JOIN rc USING (k)
+"""
+
+
+# --- length-bucket batching / padding waste --------------------------------------
+# Why batched inference buckets by length: group documents into power-of-2
+# token-length buckets and report each bucket's padding waste (tokens of
+# padding per real token, in ppm) versus the single-bucket baseline where
+# everything pads to the global max.  Pure integer arithmetic; two
+# combinable aggs (per-bucket, then the broadcast global max).  The
+# waste_saved summary is the measured argument for the bucketing stage in
+# a batch-inference pipeline.  The power-of-2 bucket is computed WITHOUT
+# libm: ceil(log2(n)) == length(bin(n-1)) for n >= 2 (bit-width of n-1),
+# an integer/string identity both engines evaluate exactly.
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(
+            "long"
+        ).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    b = d.withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN n_tok <= 1 THEN 0"
+            " ELSE CAST(length(bin(n_tok - 1)) AS BIGINT) END"
+        ),
+    )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.max("n_tok").alias("tok_max"),
+    )
+    gmax = d.agg(F.max("n_tok").alias("gmax"))
+    return (
+        per.crossJoin(F.broadcast(gmax))
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(tok_sum AS BIGINT) AS tok_sum",
+            "CAST(tok_max AS BIGINT) AS tok_max",
+            # padding per real token when batched within this bucket
+            "CAST((1000000 * (n_docs * tok_max - tok_sum)) DIV tok_sum"
+            " AS BIGINT) AS pad_ppm_bucketed",
+            # padding per real token when everything pads to the global max
+            "CAST((1000000 * (n_docs * gmax - tok_sum)) DIV tok_sum"
+            " AS BIGINT) AS pad_ppm_global",
+        )
+        .orderBy("bucket")
+    )
+
+
+LENGTH_BUCKET_PADDING_SQL = """
+WITH d AS (
+  SELECT len(regexp_extract_all(text, '[a-z]+')) AS n_tok FROM documents
+  WHERE len(regexp_extract_all(text, '[a-z]+')) > 0
+), b AS (
+  SELECT n_tok,
+         CASE WHEN n_tok <= 1 THEN 0
+              ELSE CAST(length(bin(n_tok - 1)) AS BIGINT) END AS bucket
+  FROM d
+), per AS (
+  SELECT bucket, count(*) AS n_docs, sum(n_tok) AS tok_sum,
+         max(n_tok) AS tok_max
+  FROM b GROUP BY bucket
+), g AS (SELECT max(n_tok) AS gmax FROM d)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(tok_sum AS BIGINT) AS tok_sum,
+       CAST(tok_max AS BIGINT) AS tok_max,
+       CAST((1000000 * (n_docs * tok_max - tok_sum)) // tok_sum AS BIGINT)
+         AS pad_ppm_bucketed,
+       CAST((1000000 * (n_docs * gmax - tok_sum)) // tok_sum AS BIGINT)
+         AS pad_ppm_global
+FROM per CROSS JOIN g
+ORDER BY bucket
+"""
+
+
+# --- rolling regression slope ------------------------------------------------------
+# Per customer: the least-squares trend of order value over order index —
+# integer-exact via the closed form slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2)
+# where x is the order rank (small integers) and y is cents.  Numerator
+# and denominator are exact BIGINTs; only the final milli projection
+# divides.  One window for the rank (per-customer, bounded), one
+# combinable agg for the moments.
+def trend_slope_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.withColumn("x", F.row_number().over(w).cast("long"))
+    agg = r.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+    )
+    return (
+        agg.filter(F.col("n") >= 2)
+        .selectExpr(
+            "o_custkey",
+            "CAST(n AS BIGINT) AS n_orders",
+            "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num",
+            "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den",
+            "CAST((1000 * (n * sxy - sx * sy)) DIV (n * sxx - sx * sx)"
+            " AS BIGINT) AS slope_millicents_per_order",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+TREND_SLOPE_PER_CUSTOMER_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+              AS BIGINT) AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), agg AS (
+  SELECT o_custkey, count(*) AS n, sum(x) AS sx, sum(cents) AS sy,
+         sum(x * x) AS sxx, sum(x * cents) AS sxy
+  FROM r GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+         AS slope_millicents_per_order
+FROM agg WHERE n >= 2
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -1402,6 +1643,10 @@ QUERIES = {
     "ks_drift_orders": ks_drift_orders,
     "except_all_multiset": except_all_multiset,
     "embedding_centroid_by_label": embedding_centroid_by_label,
+    "kanonymity_quasi_identifiers": kanonymity_quasi_identifiers,
+    "join_fanout_audit": join_fanout_audit,
+    "length_bucket_padding": length_bucket_padding,
+    "trend_slope_per_customer": trend_slope_per_customer,
 }
 
 ORACLES = {
@@ -1422,4 +1667,8 @@ ORACLES = {
     "ks_drift_orders": KS_DRIFT_ORDERS_SQL,
     "except_all_multiset": EXCEPT_ALL_MULTISET_SQL,
     "embedding_centroid_by_label": EMBEDDING_CENTROID_BY_LABEL_SQL,
+    "kanonymity_quasi_identifiers": KANONYMITY_QUASI_IDENTIFIERS_SQL,
+    "join_fanout_audit": JOIN_FANOUT_AUDIT_SQL,
+    "length_bucket_padding": LENGTH_BUCKET_PADDING_SQL,
+    "trend_slope_per_customer": TREND_SLOPE_PER_CUSTOMER_SQL,
 }

@@ -29,9 +29,22 @@ except FileNotFoundError:
 ORACLE_KEYS = sorted(ORACLES)
 
 
+# Registry-wide structural ban: NO query may plan a CartesianProduct.
+# Broadcast crossJoins (1-row totals, 10-row query sides) plan as
+# BroadcastNestedLoopJoin and are guarded per-op in test_plan_shapes /
+# test_session10_properties; CartesianProduct — both sides large, full
+# pairwise shuffle — is never acceptable at 100 TB, so the whole registry
+# is swept here at zero extra cost (the DF is built for parity anyway).
+CARTESIAN_OK: frozenset[str] = frozenset()
+
+
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_parity(spark, name):
-    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+    spark_df = df.toPandas()
     duck_df = duck_run(SF_DIR, ORACLES[name])
     problems = compare(spark_df, duck_df)
     assert not problems, f"{name}: {problems}"

@@ -432,3 +432,121 @@ def test_embedding_centroids_bounded_and_counted(spark):
         for d, m in enumerate(means):
             col = [math.floor(float(v[d]) * 1_000_000) for v in vecs]
             assert min(col) <= m <= max(col), (label, d)
+
+
+def test_kanonymity_classes_are_real_and_below_k(spark):
+    """Every reported class is genuinely smaller than K, and recomputing
+    one reported class's size directly matches."""
+    from pdf_craft_spark.queries.analyticsq import (
+        K_ANON,
+        kanonymity_quasi_identifiers,
+    )
+
+    rows = kanonymity_quasi_identifiers(spark, SF_DIR).collect()
+    assert rows, "audit found no small classes — vacuous on this corpus"
+    assert all(0 < r["class_size"] < K_ANON for r in rows)
+    r0 = rows[0]
+    direct = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .selectExpr(
+            "c_mktsegment",
+            "c_nationkey",
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100000 AS bal_band",
+        )
+        .filter(
+            (F.col("c_mktsegment") == r0["c_mktsegment"])
+            & (F.col("c_nationkey") == r0["c_nationkey"])
+            & (F.col("bal_band") == r0["bal_band"])
+        )
+        .count()
+    )
+    assert direct == r0["class_size"]
+
+
+def test_join_fanout_prediction_matches_actual_join(spark):
+    """The audit's predicted_rows equals the ACTUAL join's row count —
+    the whole point of predicting from key multiplicities."""
+    from pdf_craft_spark.queries.analyticsq import join_fanout_audit
+
+    row = join_fanout_audit(spark, SF_DIR).collect()[0]
+    actual = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF_DIR}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert row["predicted_rows"] == actual
+    assert row["max_key_fanout"] >= 1 and row["n_join_keys"] > 0
+
+
+def test_length_buckets_cut_padding_and_partition_docs(spark):
+    """Bucketed padding is never worse than global padding, buckets
+    partition all non-empty docs, and the bucket id is the bit-width
+    identity ceil(log2(n))."""
+    import math
+
+    from pdf_craft_spark.queries.analyticsq import length_bucket_padding
+
+    rows = length_bucket_padding(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    total_docs = sum(r["n_docs"] for r in rows)
+    nonempty = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .selectExpr("size(regexp_extract_all(text, '[a-z]+', 0)) AS n")
+        .filter("n > 0")
+        .count()
+    )
+    assert total_docs == nonempty
+    for r in rows:
+        assert r["pad_ppm_bucketed"] <= r["pad_ppm_global"], r
+        # every doc in the bucket fits: tok_max <= 2^bucket
+        assert r["tok_max"] <= 2 ** r["bucket"]
+        if r["bucket"] > 0:
+            # bucket membership IS ceil(log2(n)); tok_max is in the bucket
+            assert math.ceil(math.log2(r["tok_max"])) == r["bucket"]
+
+
+def test_trend_slope_sign_matches_direct_fit(spark):
+    """For a sample of customers, the integer slope matches a direct
+    numpy least-squares fit (sign and milli magnitude)."""
+    from pdf_craft_spark.queries.analyticsq import trend_slope_per_customer
+
+    got = {r["o_custkey"]: r for r in trend_slope_per_customer(spark, SF_DIR).collect()}
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " AS cents",
+        )
+        .collect()
+    )
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"], r["cents"])
+        )
+    checked = 0
+    for ck in sorted(by_cust)[:25]:
+        rows = sorted(by_cust[ck])
+        if len(rows) < 2:
+            assert ck not in got
+            continue
+        n = len(rows)
+        xs = list(range(1, n + 1))
+        ys = [c for _, _, c in rows]
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = n * sum(x * x for x in xs) - sum(xs) ** 2
+        assert got[ck]["slope_num"] == num and got[ck]["slope_den"] == den
+        # both engines' integer division truncates toward zero (Spark DIV,
+        # DuckDB //) — python's // floors, so truncate explicitly here
+        tnum = 1000 * num
+        trunc = tnum // den if tnum >= 0 else -((-tnum) // den)
+        assert got[ck]["slope_millicents_per_order"] == trunc
+        checked += 1
+    assert checked > 0
