@@ -180,6 +180,7 @@ HEADLINE = [
     "join_fanout_audit",
     "length_bucket_padding",
     "trend_slope_per_customer",
+    "clamped_running_balance",
 ]
 
 

@@ -1625,6 +1625,101 @@ ORDER BY o_custkey
 """
 
 
+
+# --- clamped running balance (stateful recurrence) --------------------------------
+# Per-user credit balance with a floor: balance_t = max(0, balance_{t-1}
+# + delta_t), credits from purchase/signup events, debits from the rest.
+# The clamp makes this a TRUE sequential recurrence — unlike a running
+# sum, no window frame can express it (each step depends on the clamped
+# previous state) — so it runs as the stateful ``applyInPandas`` kernel
+# per user: one shuffle on the key, every group an independent sequential
+# task bounded by that user's event count (the same tier as
+# pack_greedy_exact; W2 stitching is the extraction pipeline's instance
+# of this shape).  The DuckDB oracle recomputes the identical recurrence
+# with WITH RECURSIVE, value-checking the distributed kernel against a
+# declarative ground truth.  All state integer mils.
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "CAST(CASE WHEN event_type IN ('purchase', 'signup')"
+        "           THEN CAST(value AS DECIMAL(12,3)) * 1000"
+        "           ELSE -(CAST(value AS DECIMAL(12,3)) * 1000) END"
+        "      AS BIGINT) AS delta_mils",
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+        bal = 0
+        clamped = 0
+        for d in pdf["delta_mils"]:
+            nxt = bal + int(d)
+            if nxt < 0:
+                nxt = 0
+                clamped += 1
+            bal = nxt
+        # summary row per user: final balance + clamp count (the full
+        # trajectory would be valid too; the rollup keeps the gate output
+        # bounded)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "final_balance_mils": [bal],
+                "times_clamped": [clamped],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            run,
+            schema=(
+                "user_id long, n_events long, final_balance_mils long,"
+                " times_clamped long"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+CLAMPED_RUNNING_BALANCE_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(CASE WHEN event_type IN ('purchase', 'signup')
+                   THEN CAST(value AS DECIMAL(12,3)) * 1000
+                   ELSE -(CAST(value AS DECIMAL(12,3)) * 1000) END
+              AS BIGINT) AS delta_mils,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                            event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn,
+         greatest(CAST(0 AS BIGINT), delta_mils) AS bal,
+         CASE WHEN delta_mils < 0 THEN 1 ELSE 0 END AS clamped
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         greatest(CAST(0 AS BIGINT), w.bal + e.delta_mils),
+         w.clamped + CASE WHEN w.bal + e.delta_mils < 0 THEN 1 ELSE 0 END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(max(rn) AS BIGINT) AS n_events,
+       CAST(max_by(bal, rn) AS BIGINT) AS final_balance_mils,
+       CAST(max_by(clamped, rn) AS BIGINT) AS times_clamped
+FROM walk
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -1647,6 +1742,7 @@ QUERIES = {
     "join_fanout_audit": join_fanout_audit,
     "length_bucket_padding": length_bucket_padding,
     "trend_slope_per_customer": trend_slope_per_customer,
+    "clamped_running_balance": clamped_running_balance,
 }
 
 ORACLES = {
@@ -1671,4 +1767,5 @@ ORACLES = {
     "join_fanout_audit": JOIN_FANOUT_AUDIT_SQL,
     "length_bucket_padding": LENGTH_BUCKET_PADDING_SQL,
     "trend_slope_per_customer": TREND_SLOPE_PER_CUSTOMER_SQL,
+    "clamped_running_balance": CLAMPED_RUNNING_BALANCE_SQL,
 }

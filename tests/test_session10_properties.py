@@ -550,3 +550,42 @@ def test_trend_slope_sign_matches_direct_fit(spark):
         assert got[ck]["slope_millicents_per_order"] == trunc
         checked += 1
     assert checked > 0
+
+
+def test_clamped_balance_recurrence_direct_recompute(spark):
+    """The stateful kernel equals a direct python recurrence, and the
+    clamp actually fires somewhere (otherwise a plain running sum would
+    pass and the op proves nothing)."""
+    from pdf_craft_spark.queries.analyticsq import clamped_running_balance
+
+    got = {r["user_id"]: r for r in clamped_running_balance(spark, SF_DIR).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "CAST(CASE WHEN event_type IN ('purchase', 'signup')"
+            "           THEN CAST(value AS DECIMAL(12,3)) * 1000"
+            "           ELSE -(CAST(value AS DECIMAL(12,3)) * 1000) END"
+            "      AS BIGINT) AS d",
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"], r["d"]))
+    any_clamped = False
+    for uid, rows in by_user.items():
+        rows.sort()
+        bal = clamped = 0
+        for _, _, d in rows:
+            bal = bal + d
+            if bal < 0:
+                bal = 0
+                clamped += 1
+        g = got[uid]
+        assert g["final_balance_mils"] == bal and g["times_clamped"] == clamped
+        assert g["n_events"] == len(rows)
+        any_clamped = any_clamped or clamped > 0
+    assert any_clamped
