@@ -181,6 +181,8 @@ HEADLINE = [
     "length_bucket_padding",
     "trend_slope_per_customer",
     "clamped_running_balance",
+    "fd_violation_check",
+    "stratified_fixed_quota",
 ]
 
 

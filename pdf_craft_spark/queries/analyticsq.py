@@ -1720,6 +1720,139 @@ ORDER BY user_id
 """
 
 
+
+# --- functional-dependency violation audit -----------------------------------------
+# Schema-discovery / data-quality pass: does the candidate dependency
+# determinant -> dependent actually hold?  For each candidate (here
+# p_brand -> p_type and c_mktsegment -> c_nationkey, both expected to
+# FAIL on this corpus, plus l_orderkey -> o-side constants that hold by
+# construction in orders: o_orderkey -> o_custkey), report the number of
+# determinant values with more than one dependent (violations) and the
+# worst multiplicity.  One combinable two-level agg per candidate —
+# distinct-pairs first, then per-determinant counts — the same compressed
+# discipline as the rank family; candidates are a constant list so the
+# audit is one scan per involved table at any scale.
+def fd_violation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(df: DataFrame, det: str, dep: str, label: str) -> DataFrame:
+        pairs = df.select(det, dep).distinct()
+        per_det = pairs.groupBy(det).agg(F.count(F.lit(1)).alias("n_dep"))
+        return per_det.agg(
+            F.lit(label).alias("candidate"),
+            F.count(F.lit(1)).alias("n_determinants"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0)).alias(
+                "n_violating"
+            ),
+            F.max("n_dep").alias("max_dependents"),
+        )
+
+    part = _t(spark, sf_dir, "part")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        audit(part, "p_brand", "p_type", "p_brand->p_type")
+        .unionByName(
+            audit(
+                cust, "c_mktsegment", "c_nationkey",
+                "c_mktsegment->c_nationkey",
+            )
+        )
+        .unionByName(
+            audit(orders, "o_orderkey", "o_custkey", "o_orderkey->o_custkey")
+        )
+        .selectExpr(
+            "candidate",
+            "CAST(n_determinants AS BIGINT) AS n_determinants",
+            "CAST(n_violating AS BIGINT) AS n_violating",
+            "CAST(max_dependents AS BIGINT) AS max_dependents",
+        )
+        .orderBy("candidate")
+    )
+
+
+FD_VIOLATION_CHECK_SQL = """
+WITH a1 AS (
+  SELECT 'p_brand->p_type' AS candidate,
+         count(*) AS n_determinants,
+         sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS n_violating,
+         max(n_dep) AS max_dependents
+  FROM (SELECT p_brand, count(*) AS n_dep
+        FROM (SELECT DISTINCT p_brand, p_type FROM part) GROUP BY p_brand)
+), a2 AS (
+  SELECT 'c_mktsegment->c_nationkey',
+         count(*),
+         sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END),
+         max(n_dep)
+  FROM (SELECT c_mktsegment, count(*) AS n_dep
+        FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+        GROUP BY c_mktsegment)
+), a3 AS (
+  SELECT 'o_orderkey->o_custkey',
+         count(*),
+         sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END),
+         max(n_dep)
+  FROM (SELECT o_orderkey, count(*) AS n_dep
+        FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders)
+        GROUP BY o_orderkey)
+), u AS (
+  SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+)
+SELECT candidate,
+       CAST(n_determinants AS BIGINT) AS n_determinants,
+       CAST(n_violating AS BIGINT) AS n_violating,
+       CAST(max_dependents AS BIGINT) AS max_dependents
+FROM u
+ORDER BY candidate
+"""
+
+
+# --- exact-quota stratified sample ---------------------------------------------------
+# Take EXACTLY min(QUOTA, group size) documents per language, selected by
+# md5 content-hash priority — the deterministic, append-stable cousin of
+# rate-based sampling (sample_mixture_by_lang): quotas are hard numbers a
+# downstream eval set demands.  Per-stratum rank over the md5 priority
+# (window bounded by the stratum), no global sort; reruns and
+# repartitions pick the identical rows because the priority is content
+# derived.
+STRAT_QUOTA = 40
+
+
+def stratified_fixed_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = _md5pl("CAST(doc_id AS STRING)", 12, "spark")
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"({pr}) AS priority"
+    )
+    w = W.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRAT_QUOTA)
+        .selectExpr(
+            "lang",
+            "doc_id",
+            "CAST(rk AS BIGINT) AS rk",
+            "CAST(priority AS BIGINT) AS priority",
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+_STRAT_PR_DUCK = _md5pl("CAST(doc_id AS VARCHAR)", 12, "duck")
+
+STRATIFIED_FIXED_QUOTA_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, ({_STRAT_PR_DUCK}) AS priority FROM documents
+), r AS (
+  SELECT lang, doc_id, priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS rk
+  FROM d
+)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk,
+       CAST(priority AS BIGINT) AS priority
+FROM r WHERE rk <= {STRAT_QUOTA}
+ORDER BY lang, rk
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -1743,6 +1876,8 @@ QUERIES = {
     "length_bucket_padding": length_bucket_padding,
     "trend_slope_per_customer": trend_slope_per_customer,
     "clamped_running_balance": clamped_running_balance,
+    "fd_violation_check": fd_violation_check,
+    "stratified_fixed_quota": stratified_fixed_quota,
 }
 
 ORACLES = {
@@ -1768,4 +1903,6 @@ ORACLES = {
     "length_bucket_padding": LENGTH_BUCKET_PADDING_SQL,
     "trend_slope_per_customer": TREND_SLOPE_PER_CUSTOMER_SQL,
     "clamped_running_balance": CLAMPED_RUNNING_BALANCE_SQL,
+    "fd_violation_check": FD_VIOLATION_CHECK_SQL,
+    "stratified_fixed_quota": STRATIFIED_FIXED_QUOTA_SQL,
 }

@@ -589,3 +589,51 @@ def test_clamped_balance_recurrence_direct_recompute(spark):
         assert g["n_events"] == len(rows)
         any_clamped = any_clamped or clamped > 0
     assert any_clamped
+
+
+def test_fd_audit_has_holding_and_violated_candidates(spark):
+    """The audit must exercise both outcomes: o_orderkey->o_custkey holds
+    (keys are unique), the two heuristic candidates are violated; a
+    violated candidate's worst multiplicity recomputes directly."""
+    from pdf_craft_spark.queries.analyticsq import fd_violation_check
+
+    rows = {r["candidate"]: r for r in fd_violation_check(spark, SF_DIR).collect()}
+    assert rows["o_orderkey->o_custkey"]["n_violating"] == 0
+    assert rows["p_brand->p_type"]["n_violating"] > 0
+    direct = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select("p_brand", "p_type")
+        .distinct()
+        .groupBy("p_brand")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert rows["p_brand->p_type"]["max_dependents"] == direct
+
+
+def test_stratified_quota_exact_stable_and_content_keyed(spark):
+    """Each language yields exactly min(QUOTA, n) rows; rerunning yields
+    the identical doc set (content-keyed, not partitioning-dependent)."""
+    from pdf_craft_spark.queries.analyticsq import (
+        STRAT_QUOTA,
+        stratified_fixed_quota,
+    )
+
+    first = stratified_fixed_quota(spark, SF_DIR).collect()
+    sizes = {
+        r["lang"]: r["cnt"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    per_lang: dict[str, list] = {}
+    for r in first:
+        per_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    for lang, docs in per_lang.items():
+        assert len(docs) == min(STRAT_QUOTA, sizes[lang])
+    second = stratified_fixed_quota(spark, SF_DIR).collect()
+    assert {(r["lang"], r["doc_id"]) for r in first} == {
+        (r["lang"], r["doc_id"]) for r in second
+    }
