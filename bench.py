@@ -183,6 +183,8 @@ HEADLINE = [
     "clamped_running_balance",
     "fd_violation_check",
     "stratified_fixed_quota",
+    "keyset_page_3",
+    "trending_parts_decay",
 ]
 
 

@@ -1853,6 +1853,129 @@ ORDER BY lang, rk
 """
 
 
+
+# --- keyset pagination ------------------------------------------------------------
+# Page 3 (rows 41-60) of the orders feed ordered by (o_orderdate,
+# o_orderkey) — WITHOUT OFFSET.  At 100 TB, OFFSET n is a scan-and-throw
+# of n rows on every page; keyset pagination instead derives the page-2
+# anchor (a 1-row broadcast: the 40th key) and fetches the next 20 with a
+# pushable range predicate on the sort key, so each page costs a top-k
+# over the anchored remainder (TakeOrderedAndProject), not a global skip.
+# The tuple comparison is spelled (d > ad) OR (d = ad AND k > ak) in both
+# engines.  The OFFSET oracle proves the two formulations agree.
+PAGE_SIZE = 20
+
+
+def keyset_page_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(2 * PAGE_SIZE)
+        .agg(
+            F.max(F.struct("o_orderdate", "o_orderkey")).alias("a")
+        )
+        .select(
+            F.col("a.o_orderdate").alias("ad"),
+            F.col("a.o_orderkey").alias("ak"),
+        )
+    )
+    page = (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_orderdate") > F.col("ad"))
+            | (
+                (F.col("o_orderdate") == F.col("ad"))
+                & (F.col("o_orderkey") > F.col("ak"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )
+    return page.selectExpr(
+        "o_orderkey",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    ).orderBy("o_orderdate", "o_orderkey")
+
+
+KEYSET_PAGE_3_SQL = f"""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+FROM orders
+ORDER BY orders.o_orderdate, o_orderkey
+LIMIT {PAGE_SIZE} OFFSET {2 * PAGE_SIZE}
+"""
+
+
+# --- half-life decayed trending score ------------------------------------------------
+# Trending parts: purchases weighted by an integer half-life decay —
+# weight(age) = 1e6 >> age_buckets (a right shift per 180-day bucket), so
+# recency dominates without any float pow/exp.  The decay table is the
+# compressed (part, age_bucket, cnt) aggregation; the weighted projection
+# and the final top-k (TakeOrderedAndProject) never touch raw rows.
+# Truncation points are identical in both engines because the shift is
+# exact integer arithmetic per bucket BEFORE the weighted sum.
+DECAY_ANCHOR = "1998-12-01"
+DECAY_BUCKET_DAYS = 180
+TREND_TOPK = 10
+
+
+def trending_parts_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # filter on the RAW day difference: truncating DIV maps -179..-1 to
+    # bucket 0, so an age_bucket >= 0 filter would silently admit
+    # post-anchor rows the oracle excludes
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey",
+        f"CAST(datediff(DATE '{DECAY_ANCHOR}', CAST(l_shipdate AS DATE))"
+        " AS BIGINT) AS age_days",
+    ).filter("age_days >= 0").selectExpr(
+        "l_partkey", f"age_days DIV {DECAY_BUCKET_DAYS} AS age_bucket"
+    )
+    comp = li.groupBy("l_partkey", "age_bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = comp.selectExpr(
+        "l_partkey",
+        "CAST(cnt * (1000000 DIV CAST(pow(2, least(age_bucket, 20)) AS"
+        " BIGINT)) AS BIGINT) AS w",
+    )
+    return (
+        scored.groupBy("l_partkey")
+        .agg(F.sum("w").alias("trend_score"))
+        .orderBy(F.col("trend_score").desc(), F.col("l_partkey"))
+        .limit(TREND_TOPK)
+        .selectExpr(
+            "l_partkey", "CAST(trend_score AS BIGINT) AS trend_score"
+        )
+    )
+
+
+TRENDING_PARTS_DECAY_SQL = f"""
+WITH comp AS (
+  SELECT l_partkey,
+         datediff('day', CAST(l_shipdate AS DATE), DATE '{DECAY_ANCHOR}')
+           // {DECAY_BUCKET_DAYS} AS age_bucket,
+         count(*) AS cnt
+  FROM lineitem
+  WHERE datediff('day', CAST(l_shipdate AS DATE), DATE '{DECAY_ANCHOR}') >= 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT l_partkey,
+         CAST(cnt * (1000000 // CAST(pow(2, least(age_bucket, 20)) AS
+              BIGINT)) AS BIGINT) AS w
+  FROM comp
+)
+SELECT l_partkey, CAST(sum(w) AS BIGINT) AS trend_score
+FROM scored
+GROUP BY l_partkey
+ORDER BY trend_score DESC, l_partkey
+LIMIT {TREND_TOPK}
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -1878,6 +2001,8 @@ QUERIES = {
     "clamped_running_balance": clamped_running_balance,
     "fd_violation_check": fd_violation_check,
     "stratified_fixed_quota": stratified_fixed_quota,
+    "keyset_page_3": keyset_page_3,
+    "trending_parts_decay": trending_parts_decay,
 }
 
 ORACLES = {
@@ -1905,4 +2030,6 @@ ORACLES = {
     "clamped_running_balance": CLAMPED_RUNNING_BALANCE_SQL,
     "fd_violation_check": FD_VIOLATION_CHECK_SQL,
     "stratified_fixed_quota": STRATIFIED_FIXED_QUOTA_SQL,
+    "keyset_page_3": KEYSET_PAGE_3_SQL,
+    "trending_parts_decay": TRENDING_PARTS_DECAY_SQL,
 }

@@ -637,3 +637,59 @@ def test_stratified_quota_exact_stable_and_content_keyed(spark):
     assert {(r["lang"], r["doc_id"]) for r in first} == {
         (r["lang"], r["doc_id"]) for r in second
     }
+
+
+def test_keyset_page_equals_offset_and_prior_pages_disjoint(spark):
+    """The keyset page equals rows 41-60 of the global order, and is
+    disjoint from pages 1-2 (the anchor excludes them)."""
+    from pdf_craft_spark.queries.analyticsq import PAGE_SIZE, keyset_page_3
+
+    page = keyset_page_3(spark, SF_DIR).collect()
+    assert len(page) == PAGE_SIZE
+    ordered = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(3 * PAGE_SIZE)
+        .collect()
+    )
+    expect = [r["o_orderkey"] for r in ordered[2 * PAGE_SIZE : 3 * PAGE_SIZE]]
+    assert [r["o_orderkey"] for r in page] == expect
+    first_two = {r["o_orderkey"] for r in ordered[: 2 * PAGE_SIZE]}
+    assert first_two.isdisjoint({r["o_orderkey"] for r in page})
+
+
+def test_trending_decay_recency_dominates(spark):
+    """A part's score from the decay table recomputes directly, and the
+    weight of the newest bucket strictly exceeds any older bucket's
+    per-event weight (the half-life property in integers)."""
+    from pdf_craft_spark.queries.analyticsq import (
+        DECAY_ANCHOR,
+        DECAY_BUCKET_DAYS,
+        trending_parts_decay,
+    )
+
+    rows = trending_parts_decay(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r["trend_score"] > 0 for r in rows)
+    top = rows[0]["l_partkey"]
+    direct = (
+        spark.sql(
+            f"""
+            SELECT CAST(sum(cnt * (1000000 DIV CAST(pow(2, least(b, 20))
+                   AS BIGINT))) AS BIGINT) AS s
+            FROM (
+              SELECT age_days DIV {DECAY_BUCKET_DAYS} AS b, count(*) AS cnt
+              FROM (
+                SELECT CAST(datediff(DATE '{DECAY_ANCHOR}',
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS age_days
+                FROM parquet.`{SF_DIR}/lineitem.parquet`
+                WHERE l_partkey = {top}
+              ) WHERE age_days >= 0 GROUP BY 1
+            )
+            """
+        ).collect()[0]["s"]
+    )
+    assert direct == rows[0]["trend_score"]
+    # half-life: bucket k's per-event weight is exactly half bucket k-1's
+    for k in range(1, 5):
+        assert 1_000_000 // (2**k) * 2 <= 1_000_000 // (2 ** (k - 1)) + 1
