@@ -185,6 +185,9 @@ HEADLINE = [
     "stratified_fixed_quota",
     "keyset_page_3",
     "trending_parts_decay",
+    "embedding_norm_audit",
+    "shard_balance_audit",
+    "crosslingual_duplicate_check",
 ]
 
 

@@ -1976,6 +1976,191 @@ LIMIT {TREND_TOPK}
 """
 
 
+
+# --- embedding norm audit ------------------------------------------------------------
+# Pipeline gate before any cosine-based stage: are the vectors actually
+# unit-normalized?  Per label: min/max/sum of the squared L2 norm in
+# micro^2 units — each float32 element converts to floor-micro integers
+# FIRST (the centroid discipline), so norm^2 is an exact integer per
+# vector and the cross-vector stats are order-free.  A drifted or
+# unnormalized batch shows up as a norm band away from 1e12 (1.0 in
+# micro^2).  One per-vector combinable agg, one per-label rollup.
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.explode("embedding").alias("x")
+    )
+    per_vec = (
+        e.select(
+            "vec_id",
+            "label",
+            F.floor(F.col("x").cast("double") * 1_000_000).alias("m"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("m") * F.col("m")).alias("norm2"))
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.sum("norm2").alias("sum_norm2"),
+        )
+        .selectExpr(
+            "CAST(label AS BIGINT) AS label",
+            "CAST(n_vectors AS BIGINT) AS n_vectors",
+            "CAST(min_norm2 AS BIGINT) AS min_norm2",
+            "CAST(max_norm2 AS BIGINT) AS max_norm2",
+            "CAST(sum_norm2 DIV n_vectors AS BIGINT) AS mean_norm2",
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_AUDIT_SQL = """
+WITH per_vec AS (
+  SELECT vec_id, label,
+         sum(m * m) AS norm2
+  FROM (
+    SELECT vec_id, label,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS m
+    FROM embeddings
+  )
+  GROUP BY vec_id, label
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(norm2) AS BIGINT) AS min_norm2,
+       CAST(max(norm2) AS BIGINT) AS max_norm2,
+       CAST(sum(norm2) // count(*) AS BIGINT) AS mean_norm2
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+# --- training-shard balance audit ------------------------------------------------------
+# Before a distributed training launch: how even are the md5 shards?
+# Per shard (same 16-way md5 split the packing family uses): docs, token
+# mass, and the imbalance of each against a perfectly even split, in ppm
+# of the mean.  Straggler shards (imbalance over ~10-20%) mean wasted
+# accelerator time at every epoch boundary.  One combinable agg + a
+# broadcast 1-row total.
+SHARD_N = 16
+
+
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _md5pl("CAST(doc_id AS STRING)", 6, "spark") + f" % {SHARD_N}"
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        f"({sh}) AS shard",
+        "size(regexp_extract_all(text, '[a-z]+', 0)) AS n_tok",
+    )
+    per = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(shard AS BIGINT) AS shard",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            f"CAST(abs({SHARD_N} * 1000000 * n_docs - 1000000 * td)"
+            " DIV td AS BIGINT) AS doc_imbalance_ppm",
+            f"CAST(abs({SHARD_N} * 1000000 * n_tokens - 1000000 * tt)"
+            " DIV tt AS BIGINT) AS token_imbalance_ppm",
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_DUCK = _md5pl("CAST(doc_id AS VARCHAR)", 6, "duck") + f" % {SHARD_N}"
+
+SHARD_BALANCE_AUDIT_SQL = f"""
+WITH per AS (
+  SELECT ({_SHARD_DUCK}) AS shard, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '[a-z]+'))) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(abs({SHARD_N} * 1000000 * n_docs - 1000000 * td) // td
+            AS BIGINT) AS doc_imbalance_ppm,
+       CAST(abs({SHARD_N} * 1000000 * n_tokens - 1000000 * tt) // tt
+            AS BIGINT) AS token_imbalance_ppm
+FROM per CROSS JOIN tot
+ORDER BY shard
+"""
+
+
+# --- cross-lingual duplicate check --------------------------------------------------
+# Translation-pair / template-reuse leakage: documents in DIFFERENT
+# languages sharing the same token-SET fingerprint (the text_fingerprint
+# recipe) are near-certain templated duplicates — exactly what a
+# language-balanced training mixture must not double count.  One
+# fingerprint projection + one combinable (fingerprint) agg; only groups
+# spanning >1 language survive, with the languages listed
+# deterministically.
+def crosslingual_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.expr("regexp_extract_all(text, '[a-z]+', 0)")
+                    )
+                ),
+                " ",
+            )
+        ).alias("fp"),
+    )
+    return (
+        d.groupBy("fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_set("lang")), ","
+            ).alias("langs_csv"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .selectExpr(
+            "fp",
+            "CAST(n_langs AS BIGINT) AS n_langs",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "langs_csv",
+            "min_doc_id",
+        )
+        .orderBy("fp")
+    )
+
+
+CROSSLINGUAL_DUPLICATE_CHECK_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(text, '[a-z]+'))), ' ')) AS fp
+  FROM documents
+)
+SELECT fp,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_csv,
+       min(doc_id) AS min_doc_id
+FROM d
+GROUP BY fp
+HAVING count(DISTINCT lang) > 1
+ORDER BY fp
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -2003,6 +2188,9 @@ QUERIES = {
     "stratified_fixed_quota": stratified_fixed_quota,
     "keyset_page_3": keyset_page_3,
     "trending_parts_decay": trending_parts_decay,
+    "embedding_norm_audit": embedding_norm_audit,
+    "shard_balance_audit": shard_balance_audit,
+    "crosslingual_duplicate_check": crosslingual_duplicate_check,
 }
 
 ORACLES = {
@@ -2032,4 +2220,7 @@ ORACLES = {
     "stratified_fixed_quota": STRATIFIED_FIXED_QUOTA_SQL,
     "keyset_page_3": KEYSET_PAGE_3_SQL,
     "trending_parts_decay": TRENDING_PARTS_DECAY_SQL,
+    "embedding_norm_audit": EMBEDDING_NORM_AUDIT_SQL,
+    "shard_balance_audit": SHARD_BALANCE_AUDIT_SQL,
+    "crosslingual_duplicate_check": CROSSLINGUAL_DUPLICATE_CHECK_SQL,
 }

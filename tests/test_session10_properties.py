@@ -693,3 +693,65 @@ def test_trending_decay_recency_dominates(spark):
     # half-life: bucket k's per-event weight is exactly half bucket k-1's
     for k in range(1, 5):
         assert 1_000_000 // (2**k) * 2 <= 1_000_000 // (2 ** (k - 1)) + 1
+
+
+def test_norm_audit_flags_unit_vectors(spark):
+    """The synthetic embeddings are unit-normalized: every label's norm^2
+    band must bracket 1e12 (1.0 in micro^2) within float32->micro
+    truncation slack, and a direct python recompute matches one label."""
+    import math
+
+    from pdf_craft_spark.queries.analyticsq import embedding_norm_audit
+
+    rows = embedding_norm_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.98e12 < r["min_norm2"] <= r["max_norm2"] < 1.02e12, r
+    lbl = rows[0]["label"]
+    vecs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("label") == lbl)
+        .select("embedding")
+        .collect()
+    )
+    norms = [
+        sum(math.floor(float(x) * 1_000_000) ** 2 for x in v["embedding"])
+        for v in vecs
+    ]
+    assert rows[0]["min_norm2"] == min(norms)
+    assert rows[0]["max_norm2"] == max(norms)
+
+
+def test_shard_balance_totals_and_bounds(spark):
+    from pdf_craft_spark.queries.analyticsq import SHARD_N, shard_balance_audit
+
+    rows = shard_balance_audit(spark, SF_DIR).collect()
+    assert len(rows) == SHARD_N
+    assert sum(r["n_docs"] for r in rows) == 500
+    # md5 split at n=500: no shard should be catastrophically skewed
+    assert all(r["doc_imbalance_ppm"] < 700_000 for r in rows)
+
+
+def test_crosslingual_dups_are_real_same_tokenset_diff_lang(spark):
+    """Each reported group: recompute one group's membership directly —
+    same token set, more than one language."""
+    from pdf_craft_spark.queries.analyticsq import crosslingual_duplicate_check
+
+    rows = crosslingual_duplicate_check(spark, SF_DIR).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0["n_langs"] >= 2 and "," in r0["langs_csv"]
+    members = (
+        spark.sql(
+            f"""
+            SELECT lang,
+                   md5(array_join(array_sort(array_distinct(
+                       regexp_extract_all(text, '[a-z]+', 0))), ' ')) AS fp
+            FROM parquet.`{SF_DIR}/documents.parquet`
+            """
+        )
+        .filter(F.col("fp") == r0["fp"])
+        .collect()
+    )
+    assert len(members) == r0["n_docs"]
+    assert len({m["lang"] for m in members}) == r0["n_langs"]
