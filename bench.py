@@ -188,6 +188,8 @@ HEADLINE = [
     "embedding_norm_audit",
     "shard_balance_audit",
     "crosslingual_duplicate_check",
+    "gini_revenue_concentration",
+    "business_day_reorder_gaps",
 ]
 
 

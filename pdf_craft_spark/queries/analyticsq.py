@@ -2161,6 +2161,143 @@ ORDER BY fp
 """
 
 
+
+# --- Gini concentration (exact, no pairwise work) ------------------------------------
+# Revenue inequality among a nation's suppliers as the exact Gini
+# coefficient — WITHOUT materializing any pair: for x sorted ascending
+# with 1-based rank i, sum_{i<j}(x_j - x_i) == sum_i (2i - n - 1) * x_i,
+# so the O(n^2) pairwise-difference mass collapses to one rank window
+# over the supplier-level pre-aggregate plus one combinable agg.  Ties
+# are safe under any consistent permutation (equal values contribute the
+# same group total).  All integer cents; gini_ppm = 1e6 * num / (n * sum).
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    sup_rev = li.groupBy("l_suppkey").agg(F.sum("cents").alias("rev"))
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    per = sup_rev.join(F.broadcast(sup), "l_suppkey")
+    w = W.partitionBy("s_nationkey").orderBy("rev", "l_suppkey")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rev").alias("total_rev"),
+            F.sum((2 * F.col("i") - 1) * F.col("rev")).alias("weighted"),
+        )
+        .selectExpr(
+            "CAST(s_nationkey AS BIGINT) AS s_nationkey",
+            "CAST(n AS BIGINT) AS n_suppliers",
+            "CAST(total_rev AS BIGINT) AS total_rev_cents",
+            # weighted - (n+1)*total == sum((2i - n - 1) * x)
+            "CAST((1000000 * (weighted - n * total_rev)) DIV"
+            " (n * total_rev) AS BIGINT) AS gini_ppm",
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+GINI_REVENUE_CONCENTRATION_SQL = """
+WITH sup_rev AS (
+  SELECT l_suppkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT s.s_nationkey, r.rev,
+         CAST(row_number() OVER (PARTITION BY s.s_nationkey
+                                 ORDER BY r.rev, s.s_suppkey) AS BIGINT)
+           AS i
+  FROM sup_rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(rev) AS BIGINT) AS total_rev_cents,
+       CAST((1000000 * (sum((2 * i - 1) * rev) - count(*) * sum(rev)))
+            // (count(*) * sum(rev)) AS BIGINT) AS gini_ppm
+FROM ranked
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+# --- business-day reorder gaps (closed-form weekday math) -----------------------------
+# Per customer: the gap between consecutive orders measured in BUSINESS
+# days (Mon-Fri), computed by the closed form f(x) = 5 * (x DIV 7) +
+# LUT[x % 7] over epoch days (1970-01-01 is a Thursday, encoded in the
+# 7-entry literal lookup) — no calendar scaffold, no per-day explode.
+# (The corpus's lineitem ship dates are independent of their order dates,
+# so an order->ship lag is meaningless here; consecutive-order gaps are
+# positive by construction.)  One customer-keyed lag window over orders +
+# one combinable histogram agg; the date arithmetic is pure integer in
+# both engines.
+_BDAY_LUT = "array(1, 2, 2, 2, 3, 4, 5)"  # weekdays in [7q, 7q+r], base Thu
+
+
+def _bday_f(col: str, engine: str) -> str:
+    lut = (
+        "[1, 2, 2, 2, 3, 4, 5]" if engine == "duck" else _BDAY_LUT
+    )
+    idx = f"(({col}) % 7) + 1"
+    return f"(5 * (({col}) // 7) + {lut}[CAST({idx} AS INT)])" if engine == "duck" else (
+        f"(5 * (({col}) DIV 7) + element_at({lut}, CAST({idx} AS INT)))"
+    )
+
+
+def business_day_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT) AS d",
+    )
+    w = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .selectExpr(
+            f"({_bday_f('d', 'spark')}) - ({_bday_f('prev_d', 'spark')})"
+            " AS bdays"
+        )
+    )
+    return (
+        gaps.groupBy("bdays")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .selectExpr(
+            "CAST(bdays AS BIGINT) AS bdays",
+            "CAST(n_gaps AS BIGINT) AS n_gaps",
+        )
+        .orderBy("bdays")
+    )
+
+
+BUSINESS_DAY_REORDER_GAPS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+), gaps AS (
+  SELECT ({_bday_f('d', 'duck')}) - ({_bday_f('prev_d', 'duck')}) AS bdays
+  FROM (
+    SELECT d, lag(d) OVER (PARTITION BY o_custkey
+                           ORDER BY d, o_orderkey) AS prev_d
+    FROM o
+  ) WHERE prev_d IS NOT NULL
+)
+SELECT CAST(bdays AS BIGINT) AS bdays,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps
+GROUP BY bdays
+ORDER BY bdays
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -2191,6 +2328,8 @@ QUERIES = {
     "embedding_norm_audit": embedding_norm_audit,
     "shard_balance_audit": shard_balance_audit,
     "crosslingual_duplicate_check": crosslingual_duplicate_check,
+    "gini_revenue_concentration": gini_revenue_concentration,
+    "business_day_reorder_gaps": business_day_reorder_gaps,
 }
 
 ORACLES = {
@@ -2223,4 +2362,6 @@ ORACLES = {
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT_SQL,
     "shard_balance_audit": SHARD_BALANCE_AUDIT_SQL,
     "crosslingual_duplicate_check": CROSSLINGUAL_DUPLICATE_CHECK_SQL,
+    "gini_revenue_concentration": GINI_REVENUE_CONCENTRATION_SQL,
+    "business_day_reorder_gaps": BUSINESS_DAY_REORDER_GAPS_SQL,
 }

@@ -755,3 +755,80 @@ def test_crosslingual_dups_are_real_same_tokenset_diff_lang(spark):
     )
     assert len(members) == r0["n_docs"]
     assert len({m["lang"] for m in members}) == r0["n_langs"]
+
+
+def test_gini_matches_pairwise_definition(spark):
+    """The rank-decomposition Gini equals the O(n^2) pairwise definition
+    recomputed in python for every nation."""
+    from pdf_craft_spark.queries.analyticsq import gini_revenue_concentration
+
+    got = {r["s_nationkey"]: r for r in gini_revenue_concentration(spark, SF_DIR).collect()}
+    rows = spark.sql(
+        f"""
+        SELECT s.s_nationkey, r.rev FROM (
+          SELECT l_suppkey,
+                 sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS rev
+          FROM parquet.`{SF_DIR}/lineitem.parquet` GROUP BY l_suppkey
+        ) r JOIN parquet.`{SF_DIR}/supplier.parquet` s
+          ON s.s_suppkey = r.l_suppkey
+        """
+    ).collect()
+    by_nation: dict[int, list] = {}
+    for r in rows:
+        by_nation.setdefault(r["s_nationkey"], []).append(r["rev"])
+    for nk, revs in by_nation.items():
+        n, tot = len(revs), sum(revs)
+        num = sum(
+            abs(a - b) for i, a in enumerate(revs) for b in revs[i + 1 :]
+        )
+        expect = (1_000_000 * num) // (n * tot)
+        assert got[nk]["gini_ppm"] == expect, (nk, expect, got[nk])
+        assert 0 <= got[nk]["gini_ppm"] < 1_000_000
+
+
+def test_business_day_gaps_match_python_calendar(spark):
+    """The closed-form business-day gap matches a python calendar count
+    for a sample of customers, gaps are non-negative, and the histogram
+    covers every consecutive-order pair."""
+    import datetime
+
+    from pdf_craft_spark.queries.analyticsq import business_day_reorder_gaps
+
+    hist = business_day_reorder_gaps(spark, SF_DIR).collect()
+    assert all(r["bdays"] >= 0 for r in hist)
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    n_customers = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_gaps"] for r in hist) == n_orders - n_customers
+
+    sample = spark.sql(
+        f"""
+        SELECT o_custkey, o_orderkey, o_orderdate
+        FROM parquet.`{SF_DIR}/orders.parquet`
+        WHERE o_custkey < 20
+        """
+    ).collect()
+    by_cust: dict[int, list] = {}
+    for r in sample:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"].date(), r["o_orderkey"])
+        )
+    expect: dict[int, int] = {}
+    for rows in by_cust.values():
+        rows.sort()
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            cnt = 0
+            d = a + datetime.timedelta(days=1)
+            while d <= b:
+                if d.weekday() < 5:
+                    cnt += 1
+                d += datetime.timedelta(days=1)
+            expect[cnt] = expect.get(cnt, 0) + 1
+    hist_map = {r["bdays"]: r["n_gaps"] for r in hist}
+    for gap, n in expect.items():
+        assert hist_map.get(gap, 0) >= n, (gap, n)
