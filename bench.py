@@ -190,6 +190,7 @@ HEADLINE = [
     "crosslingual_duplicate_check",
     "gini_revenue_concentration",
     "business_day_reorder_gaps",
+    "covered_days_union",
 ]
 
 

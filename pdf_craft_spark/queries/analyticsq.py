@@ -2298,6 +2298,98 @@ ORDER BY bdays
 """
 
 
+
+# --- interval union length (merge overlapping intervals) ------------------------------
+# Per customer: the number of DISTINCT days covered by the union of
+# per-order service windows [orderdate, orderdate + 6] — overlapping
+# windows must not double count.  The classic interval-merge as one
+# window sweep: order intervals by start, an interval starts a new
+# island iff its start exceeds the running max of all previous ends;
+# islands then aggregate max(end) - min(start) + 1 each.  Two frames
+# over the SAME customer-keyed shuffle, pure integer epoch days — no
+# self-join, no explode of the covered days.
+SERVICE_WINDOW_DAYS = 7
+
+
+def covered_days_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT) AS s",
+    ).selectExpr(
+        "o_custkey", "o_orderkey", "s",
+        f"s + {SERVICE_WINDOW_DAYS - 1} AS e",
+    )
+    w = W.partitionBy("o_custkey").orderBy("s", "o_orderkey")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = o.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("o_custkey", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("len")
+    )
+    return (
+        per_island.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("len").alias("covered_days"),
+        )
+        .selectExpr(
+            "o_custkey",
+            "CAST(n_islands AS BIGINT) AS n_islands",
+            "CAST(covered_days AS BIGINT) AS covered_days",
+        )
+        .orderBy("o_custkey")
+    )
+
+
+COVERED_DAYS_UNION_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + {SERVICE_WINDOW_DAYS - 1} AS e
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s,
+                o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s,
+                o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         o_orderkey
+  FROM o
+), islands AS (
+  SELECT o_custkey, s, e,
+         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s,
+           o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), per_island AS (
+  SELECT o_custkey, island, max(e) - min(s) + 1 AS len
+  FROM islands GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(len) AS BIGINT) AS covered_days
+FROM per_island
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -2330,6 +2422,7 @@ QUERIES = {
     "crosslingual_duplicate_check": crosslingual_duplicate_check,
     "gini_revenue_concentration": gini_revenue_concentration,
     "business_day_reorder_gaps": business_day_reorder_gaps,
+    "covered_days_union": covered_days_union,
 }
 
 ORACLES = {
@@ -2364,4 +2457,5 @@ ORACLES = {
     "crosslingual_duplicate_check": CROSSLINGUAL_DUPLICATE_CHECK_SQL,
     "gini_revenue_concentration": GINI_REVENUE_CONCENTRATION_SQL,
     "business_day_reorder_gaps": BUSINESS_DAY_REORDER_GAPS_SQL,
+    "covered_days_union": COVERED_DAYS_UNION_SQL,
 }

@@ -832,3 +832,33 @@ def test_business_day_gaps_match_python_calendar(spark):
     hist_map = {r["bdays"]: r["n_gaps"] for r in hist}
     for gap, n in expect.items():
         assert hist_map.get(gap, 0) >= n, (gap, n)
+
+
+def test_covered_days_union_matches_set_union(spark):
+    """The window-sweep interval union equals the brute-force day-set
+    union for every customer (recomputed in python)."""
+    from pdf_craft_spark.queries.analyticsq import (
+        SERVICE_WINDOW_DAYS,
+        covered_days_union,
+    )
+
+    got = {r["o_custkey"]: r for r in covered_days_union(spark, SF_DIR).collect()}
+    rows = spark.sql(
+        f"""
+        SELECT o_custkey,
+               CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+                    AS BIGINT) AS s
+        FROM parquet.`{SF_DIR}/orders.parquet`
+        """
+    ).collect()
+    by_cust: dict[int, set] = {}
+    for r in rows:
+        days = by_cust.setdefault(r["o_custkey"], set())
+        days.update(range(r["s"], r["s"] + SERVICE_WINDOW_DAYS))
+    overlap_found = False
+    for ck, days in by_cust.items():
+        assert got[ck]["covered_days"] == len(days), ck
+        n_orders = sum(1 for r in rows if r["o_custkey"] == ck)
+        if len(days) < n_orders * SERVICE_WINDOW_DAYS:
+            overlap_found = True
+    assert overlap_found  # some windows must overlap or the merge is vacuous
