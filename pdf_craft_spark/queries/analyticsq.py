@@ -1626,24 +1626,21 @@ ORDER BY o_custkey
 
 
 
-# --- clamped running balance (stateful recurrence) --------------------------------
-# Per-user credit balance with a floor: balance_t = max(0, balance_{t-1}
-# + delta_t), credits from purchase/signup events, debits from the rest.
-# The clamp makes this a TRUE sequential recurrence — unlike a running
-# sum, no window frame can express it (each step depends on the clamped
-# previous state) — so it runs as the stateful ``applyInPandas`` kernel
-# per user: one shuffle on the key, every group an independent sequential
-# task bounded by that user's event count (the same tier as
-# pack_greedy_exact; W2 stitching is the extraction pipeline's instance
-# of this shape).  The DuckDB oracle recomputes the identical recurrence
-# with WITH RECURSIVE, value-checking the distributed kernel against a
-# declarative ground truth.  All state integer mils.
+# --- clamped running balance (running-min identity) --------------------------------
+# Per-user credit balance with a zero floor: balance_t = max(0,
+# balance_{t-1} + delta_t), credits from purchase/signup events, debits
+# from the rest.  The floor-only clamp admits the classic running-min
+# identity  b_t = s_t - min(0, min_{k<=t} s_k)  over the plain prefix sum
+# s — so the whole recurrence runs JVM-side as two frames over ONE
+# user-keyed window (no python kernel, no sequential stage).  The clamp
+# count falls out too: step t clamps iff s_t < min(0, min_{k<t} s_k),
+# i.e. iff t sets a new strictly-negative running minimum.  The DuckDB
+# oracle deliberately does NOT use the identity: it walks the recurrence
+# step-by-step with WITH RECURSIVE, so the hash match PROVES the identity
+# against the sequential definition.  (A two-sided clamp — floor AND
+# ceiling — has no such identity and would need the applyInPandas tier
+# that pack_greedy_exact demonstrates.)  All state integer mils.
 def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from pdf_craft_spark.shipping import ensure_package_shipped
-
-    ensure_package_shipped(spark)
     ev = _t(spark, sf_dir, "events").selectExpr(
         "user_id",
         "event_id",
@@ -1653,37 +1650,32 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "           ELSE -(CAST(value AS DECIMAL(12,3)) * 1000) END"
         "      AS BIGINT) AS delta_mils",
     )
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
-        bal = 0
-        clamped = 0
-        for d in pdf["delta_mils"]:
-            nxt = bal + int(d)
-            if nxt < 0:
-                nxt = 0
-                clamped += 1
-            bal = nxt
-        # summary row per user: final balance + clamp count (the full
-        # trajectory would be valid too; the rollup keeps the gate output
-        # bounded)
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "final_balance_mils": [bal],
-                "times_clamped": [clamped],
-            }
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    cur = w.rowsBetween(W.unboundedPreceding, 0)
+    prev = w.rowsBetween(W.unboundedPreceding, -1)
+    stepped = (
+        ev.withColumn("s", F.sum("delta_mils").over(cur))
+        .withColumn(
+            "clamp_flag",
+            (
+                F.col("s")
+                < F.least(F.lit(0), F.coalesce(F.min("s").over(prev), F.lit(0)))
+            ).cast("long"),
         )
-
+    )
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            run,
-            schema=(
-                "user_id long, n_events long, final_balance_mils long,"
-                " times_clamped long"
-            ),
+        stepped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("us", "event_id", "s")).alias("last"),
+            F.least(F.lit(0), F.min("s")).alias("gmin"),
+            F.sum("clamp_flag").alias("times_clamped"),
+        )
+        .selectExpr(
+            "user_id",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(last.s - gmin AS BIGINT) AS final_balance_mils",
+            "CAST(times_clamped AS BIGINT) AS times_clamped",
         )
         .orderBy("user_id")
     )
