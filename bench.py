@@ -191,6 +191,17 @@ HEADLINE = [
     "gini_revenue_concentration",
     "business_day_reorder_gaps",
     "covered_days_union",
+    # TPC-H suite completion (22/22)
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q12_priority_by_status",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_part_promotion",
 ]
 
 

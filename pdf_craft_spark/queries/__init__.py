@@ -34,6 +34,7 @@ from pdf_craft_spark.queries import (
     streamingq,
     textops,
     timeseries,
+    tpchx,
     traindata,
 )
 
@@ -63,6 +64,7 @@ for mod in (
     dataquality,
     statsq,
     analyticsq,
+    tpchx,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -862,3 +862,39 @@ def test_covered_days_union_matches_set_union(spark):
         if len(days) < n_orders * SERVICE_WINDOW_DAYS:
             overlap_found = True
     assert overlap_found  # some windows must overlap or the merge is vacuous
+
+
+def test_q20_threshold_is_selective_but_populated(spark):
+    """q20's calibrated threshold must keep the semi-join meaningful:
+    some suppliers qualify, some do not."""
+    from pdf_craft_spark.queries.tpchx import q20_part_promotion
+
+    n = q20_part_promotion(spark, SF_DIR).count()
+    total = spark.read.parquet(f"{SF_DIR}/supplier.parquet").count()
+    assert 0 < n < total
+
+
+def test_q15_keeps_ties_and_q2_tiebreak_deterministic(spark):
+    from pdf_craft_spark.queries.tpchx import (
+        q2_min_cost_supplier,
+        q15_top_supplier,
+    )
+
+    top = q15_top_supplier(spark, SF_DIR).collect()
+    assert len(top) >= 1
+    assert len({r["total_centpct"] for r in top}) == 1  # all at the max
+    q2 = q2_min_cost_supplier(spark, SF_DIR).collect()
+    assert q2
+    # rerun must choose identical suppliers (deterministic tie-break)
+    q2b = q2_min_cost_supplier(spark, SF_DIR).collect()
+    assert {(r["p_partkey"], r["s_suppkey"]) for r in q2} == {
+        (r["p_partkey"], r["s_suppkey"]) for r in q2b
+    }
+
+
+def test_q6_plan_is_pure_pushdown(spark):
+    from pdf_craft_spark.queries.tpchx import q6_forecast_revenue
+
+    plan = q6_forecast_revenue(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
