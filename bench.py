@@ -115,6 +115,7 @@ HEADLINE = [
     "index_conjunctive_query",
     "media_wav_features",
     "media_mp4_metadata",
+    "media_pdf_metadata",
     "graph_bfs_distance",
     "contrastive_pairs_chunks",
     "winsorized_price_stats",

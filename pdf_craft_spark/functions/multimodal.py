@@ -800,3 +800,130 @@ def synth_media_table(docs: DataFrame, materialize: bool = True) -> DataFrame:
         F.unhex(F.col("payload_hex")).alias("content"),
     )
     return out.localCheckpoint(eager=True) if materialize else out
+
+
+# --- document modality: PDF (ISO 32000) metadata containers --------------------
+# The format the reference is NAMED for: pdf rows carry a minimal but
+# SPEC-VALID PDF 1.4 — header, catalog, page tree with THREE page
+# objects, a correct cross-reference table, trailer and startxref — with
+# a fixed-width layout so every xref offset is a byte constant; only the
+# six MediaBox digits (md5-derived 3-digit width/height, identical on
+# each page) vary.  The Spark kernel performs a REAL reader-style parse:
+# verify the header, locate startxref from the tail, check the xref
+# anchor, walk every xref entry and verify each "<i> 0 obj" header sits
+# at its declared offset, then read /Count and the first /MediaBox.  The
+# oracle recomputes width/height from the recipe arithmetic and the
+# structural fields from the template constants.
+PDF_SEG0_HEX = "255044462D312E340A312030206F626A0A3C3C202F54797065202F436174616C6F67202F5061676573203220302052203E3E0A656E646F626A0A322030206F626A0A3C3C202F54797065202F5061676573202F4B696473205B33203020522034203020522035203020525D202F436F756E742033203E3E0A656E646F626A0A332030206F626A0A3C3C202F54797065202F50616765202F506172656E74203220302052202F4D65646961426F78205B30203020"
+PDF_SEG1_HEX = "5D203E3E0A656E646F626A0A342030206F626A0A3C3C202F54797065202F50616765202F506172656E74203220302052202F4D65646961426F78205B30203020"
+PDF_SEG2_HEX = "5D203E3E0A656E646F626A0A352030206F626A0A3C3C202F54797065202F50616765202F506172656E74203220302052202F4D65646961426F78205B30203020"
+PDF_SEG3_HEX = "5D203E3E0A656E646F626A0A787265660A3020360A303030303030303030302036353533352066200A30303030303030303039203030303030206E200A30303030303030303538203030303030206E200A30303030303030313237203030303030206E200A30303030303030313938203030303030206E200A30303030303030323639203030303030206E200A747261696C65720A3C3C202F53697A652036202F526F6F74203120302052203E3E0A7374617274787265660A3334300A2525454F46"
+PDF_DIM_MOD = 600  # width/height in [300, 899] — always 3 ascii digits
+
+
+def pdf_dims_sql(engine: str) -> tuple[str, str]:
+    """(width, height) md5-derived integer expressions per engine."""
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as mpl
+
+    inner = "text || '|pw'" if engine == "spark" else "text || '|pw'"
+    w = "300 + (" + mpl("text || '|pw'", 7, engine) + " % " + str(PDF_DIM_MOD) + ")"
+    h = "300 + (" + mpl("text || '|ph'", 7, engine) + " % " + str(PDF_DIM_MOD) + ")"
+    return w, h
+
+
+def pdf_payload_expr(engine: str) -> str:
+    """Hex string of the full PDF payload: constant segments around the
+    three identical 'W H' ascii fields."""
+    w, h = pdf_dims_sql(engine)
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    field = (
+        "hex(CAST((" + w + ") AS " + cast + ") || ' ' || "
+        "CAST((" + h + ") AS " + cast + "))"
+    )
+    if engine == "duck":
+        field = "upper(" + field + ")"
+    return (
+        "'" + PDF_SEG0_HEX + "' || " + field + " || '" + PDF_SEG1_HEX
+        + "' || " + field + " || '" + PDF_SEG2_HEX + "' || " + field
+        + " || '" + PDF_SEG3_HEX + "'"
+    )
+
+
+def parse_pdf_metadata(b: bytes) -> tuple[str, int, int, int, int, int]:
+    """(version, n_objects, n_pages, width, height, xref_ok) via a real
+    reader pass: header, startxref, xref walk with per-object offset
+    verification, /Count, first /MediaBox."""
+    import re as _re
+
+    if not b.startswith(b"%PDF-"):
+        raise ValueError("missing %PDF header")
+    version = b[5:8].decode("ascii")
+    tail = b.rsplit(b"startxref", 1)
+    if len(tail) != 2:
+        raise ValueError("missing startxref")
+    sx = int(tail[1].split(b"%%EOF")[0].strip())
+    if b[sx : sx + 4] != b"xref":
+        raise ValueError("startxref does not point at xref")
+    lines = b[sx:].split(b"\n")
+    first, count = (int(x) for x in lines[1].split())
+    n_objects = count - 1  # minus the object-0 free entry
+    xref_ok = 1
+    for k in range(1, count):
+        off_b, gen_b, kind = lines[2 + k].split()
+        if kind == b"f":
+            continue
+        off = int(off_b)
+        expect = (str(first + k) + " 0 obj").encode()
+        if b[off : off + len(expect)] != expect:
+            xref_ok = 0
+    m = _re.search(rb"/Count (\d+)", b)
+    n_pages = int(m.group(1)) if m else 0
+    mb = _re.search(rb"/MediaBox \[0 0 (\d+) (\d+)\]", b)
+    if mb is None:
+        raise ValueError("no MediaBox")
+    return (
+        version,
+        n_objects,
+        n_pages,
+        int(mb.group(1)),
+        int(mb.group(2)),
+        xref_ok,
+    )
+
+
+PDF_META_SCHEMA = (
+    "media_ref string, pdf_version string, n_objects int, n_pages int, "
+    "page_width int, page_height int, xref_ok int"
+)
+
+
+def extract_pdf_metadata(media) -> "DataFrame":
+    """Arrow-batched PDF metadata kernel (mapInPandas) — narrow op."""
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def kernel(batches):
+        for pdf_batch in batches:
+            rows = []
+            for ref, content in zip(
+                pdf_batch["media_ref"], pdf_batch["content"]
+            ):
+                v, nobj, npg, w, h, ok = parse_pdf_metadata(bytes(content))
+                rows.append((ref, v, nobj, npg, w, h, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref",
+                    "pdf_version",
+                    "n_objects",
+                    "n_pages",
+                    "page_width",
+                    "page_height",
+                    "xref_ok",
+                ],
+            )
+
+    return media.filter(F.col("mime") == "application/pdf").mapInPandas(
+        kernel, schema=PDF_META_SCHEMA
+    )

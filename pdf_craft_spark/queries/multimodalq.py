@@ -426,3 +426,55 @@ MEDIA_MP4_METADATA_SQL = _mp4_metadata_sql()
 
 QUERIES["media_mp4_metadata"] = media_mp4_metadata_q
 ORACLES["media_mp4_metadata"] = MEDIA_MP4_METADATA_SQL
+
+
+# --- document modality: PDF reader-pass metadata --------------------------------
+# Extends the image/audio/video triad with the format the reference is
+# named for: pdf rows (doc_id % 4 = 0, their own 'p...' media stream)
+# carry minimal spec-valid PDF 1.4 containers — fixed-layout catalog +
+# 3-page tree + CORRECT xref table — and the Spark kernel runs a real
+# reader pass (header, startxref, xref anchor, per-object offset
+# verification, /Count, /MediaBox).  xref_ok is a computed verification
+# bit, not a constant: the kernel re-derives it from the bytes, and the
+# tamper test in tests/ proves it drops on a corrupted offset.  The
+# oracle recomputes the md5-derived dimensions arithmetically and the
+# structural fields from the template constants.
+def media_pdf_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.functions.multimodal import (
+        extract_pdf_metadata,
+        pdf_payload_expr,
+    )
+
+    pdfs = (
+        _docs(spark, sf_dir)
+        .filter("doc_id % 4 = 0")
+        .selectExpr(
+            "concat('p', CAST(doc_id AS STRING)) AS media_ref",
+            "'application/pdf' AS mime",
+            f"unhex({pdf_payload_expr('spark')}) AS content",
+        )
+    )
+    return extract_pdf_metadata(pdfs).orderBy("media_ref")
+
+
+def _pdf_metadata_sql() -> str:
+    from pdf_craft_spark.functions.multimodal import pdf_dims_sql
+
+    w, h = pdf_dims_sql("duck")
+    return f"""
+SELECT 'p' || CAST(doc_id AS VARCHAR) AS media_ref,
+       '1.4' AS pdf_version,
+       CAST(5 AS INT) AS n_objects,
+       CAST(3 AS INT) AS n_pages,
+       CAST(({w}) AS INT) AS page_width,
+       CAST(({h}) AS INT) AS page_height,
+       CAST(1 AS INT) AS xref_ok
+FROM documents WHERE doc_id % 4 = 0
+ORDER BY media_ref
+"""
+
+
+MEDIA_PDF_METADATA_SQL = _pdf_metadata_sql()
+
+QUERIES["media_pdf_metadata"] = media_pdf_metadata_q
+ORACLES["media_pdf_metadata"] = MEDIA_PDF_METADATA_SQL

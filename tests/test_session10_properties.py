@@ -898,3 +898,45 @@ def test_q6_plan_is_pure_pushdown(spark):
     plan = q6_forecast_revenue(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "PushedFilters: [" in plan and "l_shipdate" in plan
+
+
+def test_pdf_parser_rejects_tampered_xref_and_malformed_bytes(spark):
+    """The PDF reader pass is a real verifier: a corrupted xref offset
+    flips xref_ok to 0, and malformed containers raise."""
+    import pytest as _pytest
+
+    from pdf_craft_spark.functions.multimodal import (
+        PDF_SEG0_HEX,
+        PDF_SEG1_HEX,
+        PDF_SEG2_HEX,
+        PDF_SEG3_HEX,
+        parse_pdf_metadata,
+    )
+
+    def render(w, h):
+        f = f"{w} {h}".encode().hex().upper()
+        return bytes.fromhex(
+            PDF_SEG0_HEX + f + PDF_SEG1_HEX + f + PDF_SEG2_HEX + f + PDF_SEG3_HEX
+        )
+
+    good = render(345, 678)
+    assert parse_pdf_metadata(good) == ("1.4", 5, 3, 345, 678, 1)
+    # corrupt the first object's xref offset
+    i = good.find(b"0000000009")
+    bad = good[:i] + b"0000000011" + good[i + 10 :]
+    assert parse_pdf_metadata(bad)[5] == 0
+    with _pytest.raises(ValueError):
+        parse_pdf_metadata(b"%PDX-1.4 not a pdf")
+    with _pytest.raises(ValueError):
+        parse_pdf_metadata(good[: len(good) // 2])
+
+
+def test_pdf_media_query_round_trips_real_bytes(spark):
+    """End-to-end: the synthesized containers parse with xref_ok == 1 for
+    every row, and dimensions stay in the recipe band."""
+    from pdf_craft_spark.queries.multimodalq import media_pdf_metadata_q
+
+    rows = media_pdf_metadata_q(spark, SF_DIR).collect()
+    assert rows and all(r["xref_ok"] == 1 for r in rows)
+    assert all(300 <= r["page_width"] <= 899 for r in rows)
+    assert all(r["n_pages"] == 3 and r["n_objects"] == 5 for r in rows)
