@@ -116,6 +116,7 @@ HEADLINE = [
     "media_wav_features",
     "media_mp4_metadata",
     "media_pdf_metadata",
+    "pdf_text_extract",
     "graph_bfs_distance",
     "contrastive_pairs_chunks",
     "winsorized_price_stats",

@@ -478,3 +478,42 @@ MEDIA_PDF_METADATA_SQL = _pdf_metadata_sql()
 
 QUERIES["media_pdf_metadata"] = media_pdf_metadata_q
 ORACLES["media_pdf_metadata"] = MEDIA_PDF_METADATA_SQL
+
+
+# --- PDF text extraction: ordered spans from container bytes --------------------
+# The reference's core operation on real PDF bytes: containers carry one
+# uncompressed content stream per page; the kernel resolves each page's
+# /Contents reference THROUGH the xref table, validates the declared
+# /Length, and emits ordered (media_ref, page_idx, text) spans — the
+# north rule's (kind, text, order) span shape recovered from ISO 32000
+# bytes rather than the corpus markers.  The oracle recomputes each
+# page's md5-derived token arithmetically.
+def pdf_text_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.functions.multimodal import (
+        extract_pdf_texts,
+        pdfx_payload_expr,
+    )
+
+    pdfs = (
+        _docs(spark, sf_dir)
+        .filter("doc_id % 4 = 0")
+        .selectExpr(
+            "concat('p', CAST(doc_id AS STRING)) AS media_ref",
+            "'application/pdf' AS mime",
+            f"unhex({pdfx_payload_expr('spark')}) AS content",
+        )
+    )
+    return extract_pdf_texts(pdfs).orderBy("media_ref", "page_idx")
+
+
+PDF_TEXT_EXTRACT_SQL = """
+SELECT 'p' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(u.i AS INT) AS page_idx,
+       substr(md5(text || '|pt' || CAST(u.i AS VARCHAR)), 1, 8) AS text
+FROM documents, (SELECT unnest([0, 1, 2]) AS i) u
+WHERE doc_id % 4 = 0
+ORDER BY media_ref, page_idx
+"""
+
+QUERIES["pdf_text_extract"] = pdf_text_extract_q
+ORACLES["pdf_text_extract"] = PDF_TEXT_EXTRACT_SQL

@@ -940,3 +940,66 @@ def test_pdf_media_query_round_trips_real_bytes(spark):
     assert rows and all(r["xref_ok"] == 1 for r in rows)
     assert all(300 <= r["page_width"] <= 899 for r in rows)
     assert all(r["n_pages"] == 3 and r["n_objects"] == 5 for r in rows)
+
+
+def test_pdf_text_extraction_resolves_via_xref_and_validates_length(spark):
+    """The extractor resolves /Contents through the xref (a broken xref
+    offset raises), and a /Length shorter than declared raises."""
+    import pytest as _pytest
+
+    from pdf_craft_spark.functions.multimodal import (
+        PDFX_KINDS,
+        PDFX_SEGS,
+        extract_pdf_page_texts,
+    )
+
+    def render(w, h, texts):
+        out, ti = [], 0
+        for k, seg in zip(PDFX_KINDS, PDFX_SEGS[:-1]):
+            out.append(seg)
+            if k == "dim":
+                out.append(f"{w} {h}".encode().hex().upper())
+            else:
+                out.append(texts[ti].encode().hex().upper())
+                ti += 1
+        out.append(PDFX_SEGS[-1])
+        return bytes.fromhex("".join(out))
+
+    good = render(345, 678, ["deadbeef", "12345678", "cafebabe"])
+    assert extract_pdf_page_texts(good) == [
+        (0, "deadbeef"), (1, "12345678"), (2, "cafebabe")
+    ]
+    # corrupt the xref offset of object 6 (first content stream); locate
+    # the table via the startxref pointer (rindex('xref') would hit the
+    # 'xref' inside 'startxref')
+    i = int(good.rsplit(b"startxref", 1)[1].split(b"%%EOF")[0].strip())
+    tampered = bytearray(good)
+    lines = good[i:].split(b"\n")
+    obj6 = lines[2 + 6]
+    j = good.index(obj6, i)
+    tampered[j : j + 10] = b"0000000042"
+    with _pytest.raises(ValueError):
+        extract_pdf_page_texts(bytes(tampered))
+
+
+def test_pdf_text_spans_match_recipe_per_doc(spark):
+    """End-to-end: 3 ordered spans per pdf doc, each the md5-derived
+    token — recomputed directly for a sample."""
+    import hashlib
+
+    from pdf_craft_spark.queries.multimodalq import pdf_text_extract_q
+
+    rows = pdf_text_extract_q(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id % 4 = 0")
+        .collect()
+    }
+    assert len(rows) == 3 * len(docs)
+    for r in rows[:12]:
+        did = int(r["media_ref"][1:])
+        expect = hashlib.md5(
+            (docs[did] + f"|pt{r['page_idx']}").encode()
+        ).hexdigest()[:8]
+        assert r["text"] == expect
