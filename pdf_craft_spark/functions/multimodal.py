@@ -825,7 +825,6 @@ def pdf_dims_sql(engine: str) -> tuple[str, str]:
     """(width, height) md5-derived integer expressions per engine."""
     from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as mpl
 
-    inner = "text || '|pw'" if engine == "spark" else "text || '|pw'"
     w = "300 + (" + mpl("text || '|pw'", 7, engine) + " % " + str(PDF_DIM_MOD) + ")"
     h = "300 + (" + mpl("text || '|ph'", 7, engine) + " % " + str(PDF_DIM_MOD) + ")"
     return w, h
