@@ -1003,3 +1003,20 @@ def test_pdf_text_spans_match_recipe_per_doc(spark):
             (docs[did] + f"|pt{r['page_idx']}").encode()
         ).hexdigest()[:8]
         assert r["text"] == expect
+
+
+def test_tpchx_plan_shapes(spark):
+    """Q16's NOT IN runs as a broadcast LEFT ANTI (never nested-loop
+    negation); Q7 broadcasts every dimension so the only candidate
+    shuffle join is lineitem x orders; no tpchx plan contains a
+    cartesian."""
+    from pdf_craft_spark.queries import tpchx
+
+    p16 = _executed_plan(tpchx.q16_supplier_counts(spark, SF_DIR))
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    assert "NestedLoop" not in p16 and "CartesianProduct" not in p16
+
+    p7 = _executed_plan(tpchx.q7_nation_volume(spark, SF_DIR))
+    assert "CartesianProduct" not in p7 and "NestedLoop" not in p7
+    # all four dimension joins broadcast
+    assert p7.count("BroadcastHashJoin") >= 4
