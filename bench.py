@@ -643,9 +643,15 @@ def main() -> None:
         # accumulating blocks in one 8g driver, late checkpoint-heavy
         # queries ran 2x slower off spilled blocks).  Outside the timed
         # window by construction; the pre-sweep caches stay.
+        from pdf_craft_spark.queries.dedup import PROTECTED_RDD_IDS
+
         m = spark.sparkContext._jsc.getPersistentRDDs()
         for k in list(m.keySet()):
-            if int(k) not in keep_rdd_ids:
+            # PROTECTED_RDD_IDS: the session-scoped near-dup pair index
+            # (lsh_pairs_cached) — a persisted artifact shared by the
+            # whole graph/cluster family; releasing it severs a
+            # lineage-cut checkpoint mid-sweep
+            if int(k) not in keep_rdd_ids and int(k) not in PROTECTED_RDD_IDS:
                 m.get(k).unpersist()
 
     _apply(_KERNEL_CONF)  # extraction reps run under the kernel conf

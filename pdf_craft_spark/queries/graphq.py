@@ -177,9 +177,9 @@ ORACLES = {"pagerank_purchase_graph": PAGERANK_PURCHASE_GRAPH_SQL}
 # skewed nodes; id-ordering is the right default for the near-dup graph
 # whose max degree is bounded by the dedup cutoffs upstream.
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+    from pdf_craft_spark.queries.dedup import lsh_pairs_cached
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     nodes = pairs.selectExpr("doc_a AS d").unionAll(pairs.selectExpr("doc_b AS d"))
     deg = nodes.groupBy("d").agg(F.count(F.lit(1)).alias("degree"))
     cand = (
@@ -270,13 +270,9 @@ LPA_ITERS = 2
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+    from pdf_craft_spark.queries.dedup import lsh_pairs_cached
 
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS v", "doc_b AS u")
         .unionAll(pairs.selectExpr("doc_b AS v", "doc_a AS u"))
@@ -460,9 +456,9 @@ BFS_N_SEEDS = 5
 
 
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+    from pdf_craft_spark.queries.dedup import lsh_pairs_cached
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     edges = (
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -550,13 +546,9 @@ KCORE_ITERS = 3
 
 
 def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import dedup_minhash_lsh
+    from pdf_craft_spark.queries.dedup import lsh_pairs_cached
 
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.selectExpr("doc_a AS v", "doc_b AS u")
         .unionAll(pairs.selectExpr("doc_b AS v", "doc_a AS u"))
