@@ -113,6 +113,7 @@ HEADLINE = [
     "a1_grouping_sets_revenue",
     "spatial_grid_join",
     "index_conjunctive_query",
+    "bm25_topk",
     "media_wav_features",
     "media_mp4_metadata",
     "media_pdf_metadata",

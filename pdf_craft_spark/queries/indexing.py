@@ -481,3 +481,144 @@ ORDER BY bucket
 
 QUERIES["hilbert_cluster_key"] = hilbert_cluster_key
 ORACLES["hilbert_cluster_key"] = HILBERT_CLUSTER_KEY_SQL
+
+
+# --- BM25 retrieval ------------------------------------------------------------
+# The standard lexical ranker over the same persisted term-doc index the
+# conjunctive query probes: Okapi BM25 with k1 = 1.2, b = 0.75, spelled
+# ENTIRELY in integer micro-units with one fixed DIV order so both
+# engines truncate at identical points — the idf is the house integer
+# rational ((IDF_SCALE·N) DIV df, no log), the length normalization is
+#   lnorm_micro = 250_000 + (750_000 · dl_micro) DIV avgdl_micro
+# and the tf saturation
+#   sat_micro = (tf · 2_200_000 · 1_000_000)
+#               DIV (tf · 1_000_000 + (1_200_000 · lnorm_micro) DIV 1_000_000)
+# Scale shape: the doc-length table and the index are one token-volume
+# shuffle each (the index is the persisted artifact); the 3 deterministic
+# query terms broadcast onto their postings only, and the final top-10 is
+# a distributed TakeOrdered.  score fits int64: idf ≤ IDF_SCALE·N/df,
+# sat < 2.2e6 ⇒ per-term ≤ ~1e13 at this corpus.
+BM25_TOPK = 10
+
+
+def _bm25_sat(engine: str) -> str:
+    div = "//" if engine == "duck" else "DIV"
+    return (
+        f"((tf * 2200000 * 1000000) {div} "
+        f"(tf * 1000000 + (1200000 * lnorm_micro) {div} 1000000))"
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.textops import IDF_SCALE
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+        ).alias("t"),
+    ).select("doc_id", F.lower("t").alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    td = (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)  # the persisted index table
+    )
+    qterms = (
+        td.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("df"), F.asc("term")))
+        )
+        .filter(F.col("r").isin(*CONJ_DF_RANKS))
+        .select("term", "df")
+    )
+    scored = (
+        td.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            "term",
+            "tf",
+            # avgdl in micro-units, then per-doc length norm in micro
+            "250000 + (750000 * (dl * 1000000))"
+            " DIV ((total_dl * 1000000) DIV n_docs) AS lnorm_micro",
+            f"({IDF_SCALE} * n_docs) DIV df AS idf_i",
+        )
+        .selectExpr(
+            "doc_id",
+            "term",
+            f"idf_i * {_bm25_sat('spark')} AS term_score",
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("term_score").alias("bm25_score"),
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        .limit(BM25_TOPK)
+        .selectExpr(
+            "doc_id",
+            "CAST(n_terms_hit AS BIGINT) AS n_terms_hit",
+            "CAST(bm25_score AS BIGINT) AS bm25_score",
+        )
+    )
+
+
+def _bm25_sql() -> str:
+    from pdf_craft_spark.queries.textops import IDF_SCALE
+
+    ranks = ", ".join(str(r) for r in CONJ_DF_RANKS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lower(x) AS term
+  FROM documents, unnest(regexp_extract_all(text, '{_TOKEN_RE}')) AS u(x)
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_dl
+  FROM dl
+), td AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY term, doc_id
+), qterms AS (
+  SELECT term, df FROM (
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           row_number() OVER (ORDER BY count(*) DESC, term) AS r
+    FROM td GROUP BY term
+  ) WHERE r IN ({ranks})
+), scored AS (
+  SELECT td.doc_id, td.term, td.tf,
+         250000 + (750000 * (dl.dl * 1000000))
+           // ((s.total_dl * 1000000) // s.n_docs) AS lnorm_micro,
+         ({IDF_SCALE} * s.n_docs) // q.df AS idf_i
+  FROM td
+  JOIN qterms q USING (term)
+  JOIN dl ON dl.doc_id = td.doc_id
+  CROSS JOIN stats s
+), term_scores AS (
+  SELECT doc_id, idf_i * {_bm25_sat('duck')} AS term_score
+  FROM scored
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(term_score) AS BIGINT) AS bm25_score
+FROM term_scores
+GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+QUERIES["bm25_topk"] = bm25_topk
+ORACLES["bm25_topk"] = BM25_TOPK_SQL

