@@ -93,6 +93,7 @@ HEADLINE = [
     "reservoir_sample_docs",
     "event_path_trigrams",
     "dq_profile_documents",
+    "classifier_eval_lang",
     "graph_label_propagation",
     "cdc_snapshot_diff",
     "rolling_revenue_7d",

@@ -375,3 +375,120 @@ FROM ranked GROUP BY 1 ORDER BY col
 
 QUERIES["analyze_table_stats"] = analyze_table_stats
 ORACLES["analyze_table_stats"] = ANALYZE_TABLE_STATS_SQL
+
+
+# --- classifier evaluation: per-class precision/recall/F1 -----------------------
+# The model-eval rollup a data pipeline runs after any heuristic or model
+# labeling pass — here scoring the corpus's n-gram language-ID heuristic
+# (text_lang_guess) against the true lang column, collapsed to the
+# heuristic's own label space (zh / en / other).  Per class: support,
+# predictions, true positives, and precision/recall/F1 in integer ppm
+# with one fixed DIV order (F1 = (2·p·r) DIV (p+r) over the already-
+# truncated ppm values, identical in both engines).  Scale: one scan,
+# one (true, pred) contingency aggregation — the same compressed-table
+# discipline as chi-square — then per-class sums over a table bounded by
+# the label-space size.
+def classifier_eval_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_cjk = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
+    has_en = F.col("text").rlike(r"(^| )(the|and|of)( |$)")
+    pred = (
+        F.when(n_cjk > 0, F.lit("zh"))
+        .when(has_en, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    truth = (
+        F.when(F.col("lang") == "zh", F.lit("zh"))
+        .when(F.col("lang") == "en", F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    cont = (
+        docs.select(truth.alias("t"), pred.alias("p"))
+        .groupBy("t", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    classes = cont.selectExpr("t AS klass").union(
+        cont.selectExpr("p AS klass")
+    ).distinct()
+    per = (
+        classes.join(cont, F.lit(True), "left")
+        .groupBy("klass")
+        .agg(
+            F.sum(F.when(F.col("t") == F.col("klass"), F.col("n")).otherwise(0)).alias(
+                "n_true"
+            ),
+            F.sum(F.when(F.col("p") == F.col("klass"), F.col("n")).otherwise(0)).alias(
+                "n_pred"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("t") == F.col("klass")) & (F.col("p") == F.col("klass")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("tp"),
+        )
+    )
+    return (
+        per.selectExpr(
+            "klass",
+            "CAST(n_true AS BIGINT) AS n_true",
+            "CAST(n_pred AS BIGINT) AS n_pred",
+            "CAST(tp AS BIGINT) AS tp",
+            "CAST(CASE WHEN n_pred = 0 THEN 0"
+            " ELSE (1000000 * tp) DIV n_pred END AS BIGINT) AS precision_ppm",
+            "CAST(CASE WHEN n_true = 0 THEN 0"
+            " ELSE (1000000 * tp) DIV n_true END AS BIGINT) AS recall_ppm",
+        )
+        .selectExpr(
+            "*",
+            "CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0"
+            " ELSE (2 * precision_ppm * recall_ppm)"
+            " DIV (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm",
+        )
+        .orderBy("klass")
+    )
+
+
+CLASSIFIER_EVAL_LANG_SQL = r"""
+WITH labeled AS (
+  SELECT CASE WHEN lang = 'zh' THEN 'zh'
+              WHEN lang = 'en' THEN 'en' ELSE 'other' END AS t,
+         CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
+              THEN 'zh'
+              WHEN regexp_matches(text, '(^| )(the|and|of)( |$)') THEN 'en'
+              ELSE 'other' END AS p
+  FROM documents
+), cont AS (
+  SELECT t, p, count(*) AS n FROM labeled GROUP BY t, p
+), classes AS (
+  SELECT DISTINCT t AS klass FROM cont
+  UNION SELECT DISTINCT p FROM cont
+), per AS (
+  SELECT c.klass,
+         sum(CASE WHEN cont.t = c.klass THEN cont.n ELSE 0 END) AS n_true,
+         sum(CASE WHEN cont.p = c.klass THEN cont.n ELSE 0 END) AS n_pred,
+         sum(CASE WHEN cont.t = c.klass AND cont.p = c.klass
+                  THEN cont.n ELSE 0 END) AS tp
+  FROM classes c CROSS JOIN cont
+  GROUP BY c.klass
+), scored AS (
+  SELECT klass,
+         CAST(n_true AS BIGINT) AS n_true,
+         CAST(n_pred AS BIGINT) AS n_pred,
+         CAST(tp AS BIGINT) AS tp,
+         CAST(CASE WHEN n_pred = 0 THEN 0
+              ELSE (1000000 * tp) // n_pred END AS BIGINT) AS precision_ppm,
+         CAST(CASE WHEN n_true = 0 THEN 0
+              ELSE (1000000 * tp) // n_true END AS BIGINT) AS recall_ppm
+  FROM per
+)
+SELECT *,
+       CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+            ELSE (2 * precision_ppm * recall_ppm)
+                 // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+FROM scored
+ORDER BY klass
+"""
+
+QUERIES["classifier_eval_lang"] = classifier_eval_lang
+ORACLES["classifier_eval_lang"] = CLASSIFIER_EVAL_LANG_SQL

@@ -1035,3 +1035,19 @@ def test_bm25_saturation_and_idf_ordering(spark):
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
     assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
+
+
+def test_classifier_eval_totals_and_nonvacuous(spark):
+    """Per-class supports sum to the corpus size on both axes, tp <= both
+    supports, and the heuristic is neither perfect nor useless (some class
+    has errors, some class has F1 > 0)."""
+    from pdf_craft_spark.queries.dataquality import classifier_eval_lang
+
+    rows = classifier_eval_lang(spark, SF_DIR).collect()
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_true"] for r in rows) == n
+    assert sum(r["n_pred"] for r in rows) == n
+    for r in rows:
+        assert r["tp"] <= min(r["n_true"], r["n_pred"])
+    assert any(r["tp"] < r["n_true"] for r in rows)  # not perfect
+    assert any(r["f1_ppm"] > 0 for r in rows)  # not useless
