@@ -94,6 +94,7 @@ HEADLINE = [
     "event_path_trigrams",
     "dq_profile_documents",
     "classifier_eval_lang",
+    "fk_orphan_audit",
     "graph_label_propagation",
     "cdc_snapshot_diff",
     "rolling_revenue_7d",

@@ -492,3 +492,72 @@ ORDER BY klass
 
 QUERIES["classifier_eval_lang"] = classifier_eval_lang
 ORACLES["classifier_eval_lang"] = CLASSIFIER_EVAL_LANG_SQL
+
+
+# --- referential-integrity orphan audit -------------------------------------------
+# The DQ scan a warehouse runs after every load: fact rows whose foreign
+# key no longer resolves.  The dimension side is the sparse-delete
+# replica (the fingerprint family's md5 basis-point recipe — ~0.15% of
+# orders dropped), so the audit is non-vacuous by construction: lineitem
+# rows pointing at dropped orders ARE orphans.  Shape: one broadcast of
+# the (tiny) dropped-key set per FK — the anti-join runs as a broadcast
+# LEFT SEMI against the dropped keys (equivalently LEFT ANTI against the
+# survivors, but broadcasting the SMALL side is the 100 TB-correct
+# orientation) — plus one combinable rollup.
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.analyticsq import FP_DEL_BP
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _mpl
+
+    bp = _mpl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 10000"
+    dropped = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr("o_orderkey", f"({bp}) AS bp")
+        .filter(F.col("bp") >= FP_DEL_BP)
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orphans = li.join(
+        F.broadcast(dropped), li.l_orderkey == dropped.o_orderkey, "left_semi"
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n_fact_rows"))
+    return (
+        orphans.agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.countDistinct("l_orderkey").alias("n_orphan_keys"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows",
+            "CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys",
+            "CAST(n_fact_rows AS BIGINT) AS n_fact_rows",
+            "CAST((1000000 * n_orphan_rows) DIV n_fact_rows AS BIGINT)"
+            " AS orphan_ppm",
+        )
+    )
+
+
+def _fk_orphan_sql() -> str:
+    from pdf_craft_spark.queries.analyticsq import FP_DEL_BP
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _mpl
+
+    bp = _mpl("CAST(o_orderkey AS VARCHAR)", 4, "duck") + " % 10000"
+    return f"""
+WITH dropped AS (
+  SELECT o_orderkey FROM orders WHERE ({bp}) >= {FP_DEL_BP}
+), orphans AS (
+  SELECT l.l_orderkey FROM lineitem l
+  SEMI JOIN dropped d ON d.o_orderkey = l.l_orderkey
+), tot AS (SELECT count(*) AS n_fact_rows FROM lineitem)
+SELECT CAST(count(*) AS BIGINT) AS n_orphan_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys,
+       CAST(t.n_fact_rows AS BIGINT) AS n_fact_rows,
+       CAST((1000000 * count(*)) // t.n_fact_rows AS BIGINT) AS orphan_ppm
+FROM orphans CROSS JOIN tot t
+GROUP BY t.n_fact_rows
+"""
+
+
+FK_ORPHAN_AUDIT_SQL = _fk_orphan_sql()
+
+QUERIES["fk_orphan_audit"] = fk_orphan_audit
+ORACLES["fk_orphan_audit"] = FK_ORPHAN_AUDIT_SQL

@@ -1051,3 +1051,29 @@ def test_classifier_eval_totals_and_nonvacuous(spark):
         assert r["tp"] <= min(r["n_true"], r["n_pred"])
     assert any(r["tp"] < r["n_true"] for r in rows)  # not perfect
     assert any(r["f1_ppm"] > 0 for r in rows)  # not useless
+
+
+def test_fk_orphans_match_drop_recipe(spark):
+    """Orphan keys are exactly the lineitem order-keys whose md5
+    basis-points fall in the drop band — recomputed in python."""
+    import hashlib
+
+    from pdf_craft_spark.queries.analyticsq import FP_DEL_BP
+    from pdf_craft_spark.queries.dataquality import fk_orphan_audit
+
+    row = fk_orphan_audit(spark, SF_DIR).collect()[0]
+    li_keys = [
+        r[0]
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey")
+        .collect()
+    ]
+    dropped = {
+        k
+        for k in set(li_keys)
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 10000
+        >= FP_DEL_BP
+    }
+    assert row["n_orphan_keys"] == len(dropped)
+    assert row["n_orphan_rows"] == sum(1 for k in li_keys if k in dropped)
+    assert 0 < row["n_orphan_rows"] < row["n_fact_rows"]
