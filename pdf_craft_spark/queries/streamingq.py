@@ -816,3 +816,148 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["streaming_static_enrich"] = streaming_static_enrich
 ORACLES["streaming_static_enrich"] = STREAMING_STATIC_ENRICH_SQL
+
+
+def streaming_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-lakehouse WRITE pattern: a CDC change feed consumed
+    with ``foreachBatch``, each micro-batch MERGEd latest-wins into the
+    accumulated table state (the Delta/Iceberg upsert loop).  The feed is
+    the same deterministic 4-version log cdc_compact_latest synthesizes,
+    delivered as three ordered micro-batches (inserts; two update waves;
+    deletes); within a batch the merge argmaxes on version, across
+    batches the incoming batch wins ties by construction (versions are
+    globally ordered).  The invariant the oracle checks: after the last
+    micro-batch, the streamed-upsert snapshot EQUALS the one-shot batch
+    compaction of the full log — if foreachBatch dropped, reordered or
+    double-applied a batch, the hash breaks.  State is materialized per
+    batch (localCheckpoint — the written-table twin of a real MERGE
+    target); tombstones filter only at read time so a later re-insert
+    could resurrect a key (none does in this feed, by recipe)."""
+    from pdf_craft_spark.queries.analyticsq import (
+        CDC_DEL_BP,
+        CDC_U1_BP,
+        CDC_U2_BP,
+    )
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _mpl
+
+    bp = _mpl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 10000"
+    base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        f"({bp}) AS bp",
+    )
+    feed = [
+        base.selectExpr(
+            "o_orderkey", "0L AS version", "'I' AS op", "o_orderstatus",
+            "cents",
+        ),
+        base.filter(F.col("bp") < CDC_U1_BP)
+        .selectExpr(
+            "o_orderkey", "1L AS version", "'U' AS op",
+            "'P' AS o_orderstatus", "cents + 500 AS cents",
+        )
+        .unionByName(
+            base.filter(F.col("bp") < CDC_U2_BP).selectExpr(
+                "o_orderkey", "2L AS version", "'U' AS op",
+                "'F' AS o_orderstatus", "cents + 1000 AS cents",
+            )
+        ),
+        base.filter(F.col("bp") >= CDC_DEL_BP).selectExpr(
+            "o_orderkey", "3L AS version", "'D' AS op", "o_orderstatus",
+            "0L AS cents",
+        ),
+    ]
+
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    in_dir = os.path.join(work, "in")
+    state: dict = {"df": None}
+
+    def merge(bdf, batch_id):
+        latest = (
+            bdf.groupBy("o_orderkey")
+            .agg(F.max(F.struct("version", "op", "o_orderstatus", "cents")).alias("m"))
+            .selectExpr(
+                "o_orderkey", "m.version AS version", "m.op AS op",
+                "m.o_orderstatus AS o_orderstatus", "m.cents AS cents",
+            )
+        )
+        if state["df"] is None:
+            state["df"] = latest.localCheckpoint(eager=True)
+            return
+        s = state["df"].alias("s")
+        n = latest.alias("n")
+        merged = (
+            s.join(n, F.col("s.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+            .selectExpr(
+                "coalesce(n.o_orderkey, s.o_orderkey) AS o_orderkey",
+                # incoming batch wins when present: versions are globally
+                # ordered across micro-batches by feed construction
+                "CASE WHEN n.version IS NOT NULL THEN n.version"
+                "     ELSE s.version END AS version",
+                "CASE WHEN n.version IS NOT NULL THEN n.op ELSE s.op END"
+                " AS op",
+                "CASE WHEN n.version IS NOT NULL THEN n.o_orderstatus"
+                "     ELSE s.o_orderstatus END AS o_orderstatus",
+                "CASE WHEN n.version IS NOT NULL THEN n.cents"
+                "     ELSE s.cents END AS cents",
+            )
+        )
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    try:
+        feed[0].coalesce(1).write.parquet(os.path.join(in_dir, "b0"))
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, version long, op string,"
+                " o_orderstatus string, cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            feed[1].coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+            q.processAllAvailable()
+            feed[2].coalesce(1).write.parquet(os.path.join(in_dir, "b2"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = (
+            state["df"]
+            .filter(F.col("op") != "D")
+            .selectExpr(
+                "o_orderkey",
+                "o_orderstatus",
+                "CAST(cents AS BIGINT) AS cents",
+                "CAST(version AS BIGINT) AS version",
+            )
+            .orderBy("o_orderkey")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_upsert_sql() -> str:
+    from pdf_craft_spark.queries.analyticsq import CDC_COMPACT_LATEST_SQL
+
+    # the invariant IS batch compaction: same log, same latest-wins rule
+    return (
+        "SELECT o_orderkey, o_orderstatus, cents, version FROM ("
+        + CDC_COMPACT_LATEST_SQL
+        + ") ORDER BY o_orderkey"
+    )
+
+
+STREAMING_UPSERT_MERGE_SQL = _streaming_upsert_sql()
+
+QUERIES["streaming_upsert_merge"] = streaming_upsert_merge
+ORACLES["streaming_upsert_merge"] = STREAMING_UPSERT_MERGE_SQL
