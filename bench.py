@@ -66,6 +66,7 @@ HEADLINE = [
     "hll_distinct_orders",
     "sample_mixture_by_lang",
     "quantile_sketch_prices",
+    "sliding_hll_user_days_7d",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

@@ -528,3 +528,153 @@ WHERE rk <= {_CMS_TOPK} ORDER BY rk
 
 QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
 ORACLES["cms_heavy_hitters"] = CMS_HEAVY_HITTERS_SQL
+
+
+# --- sliding-window HLL (mergeability in a window frame) -----------------------
+# The continuous-aggregate trick TSDBs build on sketch MERGEABILITY:
+# per-day HLL registers merge into a 7-day sliding estimate with a RANGE
+# window max per register — no re-scan of the raw events per window.
+# Register state per day is m=256 small ints; the dense (day x register)
+# scaffold is calendar x m rows — constant, never data-sized.  The
+# counted entity is ACTIVE USER-DAYS (distinct (user, day) pairs in the
+# window): ~1050 per full window here, inside the raw-estimate regime
+# (> 2.5m = 640) the module's no-ln() policy requires — plain users
+# (~150/window) would sit in linear-counting territory where the raw
+# estimate reads ~78% high (measured; that variant was rejected).  The
+# exact twin is ONE range-window sum of the daily distinct-user counts
+# ((user, day) is unique per day), so the op reports its own per-window
+# error in ppm — self-calibrating, like minhash_estimate_error.  Only
+# full 7-day windows are emitted.
+def sliding_hll_user_days_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pdf_craft_spark.queries.timeseries import SLIDE_DAYS
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    key = "concat(CAST(user_id AS STRING), '|', CAST(day AS STRING))"
+    h = _md5_long(key, 15, "spark")
+    base = ev.selectExpr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS day", "user_id"
+    )
+    regs = (
+        base.selectExpr("day", f"({h}) AS h")
+        .selectExpr(
+            "day",
+            f"CAST(h % {_M} AS INT) AS bucket",
+            f"h DIV {_M} AS w",
+        )
+        .selectExpr("day", "bucket", f"{_RHO} AS rho")
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("mreg_day"))
+    )
+    bounds = regs.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    scaffold = bounds.selectExpr(
+        "explode(sequence(dmin, dmax)) AS day"
+    ).crossJoin(
+        F.broadcast(spark.range(_M).selectExpr("CAST(id AS INT) AS bucket"))
+    )
+    wmerge = (
+        W.partitionBy("bucket").orderBy("day").rangeBetween(-(SLIDE_DAYS - 1), 0)
+    )
+    merged = (
+        scaffold.join(regs, ["day", "bucket"], "left")
+        .withColumn("mreg", F.max("mreg_day").over(wmerge))
+    )
+    per_day = (
+        merged.filter(F.col("mreg").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.expr(f"CAST(sum({_TERM}) AS BIGINT)").alias("s_present"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets_set"),
+        )
+        .selectExpr(
+            "day",
+            f"s_present + ({_M} - n_buckets_set) * {_SCALE} AS s_scaled",
+        )
+        .selectExpr("day", f"CAST({_EST} AS DOUBLE) AS hll_estimate")
+    )
+    daily = base.distinct().groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    wsum = W.orderBy("day").rangeBetween(-(SLIDE_DAYS - 1), 0)
+    exact = (
+        daily.withColumn("exact_user_days", F.sum("n_users").over(wsum))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") >= F.col("dmin") + (SLIDE_DAYS - 1))
+        .select("day", "exact_user_days")
+    )
+    return (
+        per_day.join(exact, "day")
+        .selectExpr(
+            "CAST(day AS BIGINT) AS day_no",
+            "hll_estimate",
+            "CAST(exact_user_days AS BIGINT) AS exact_user_days",
+            "CAST(abs(CAST(1000000 * hll_estimate AS BIGINT)"
+            " - 1000000 * exact_user_days) DIV exact_user_days AS BIGINT)"
+            " AS err_ppm",
+        )
+        .orderBy("day_no")
+    )
+
+
+def _sliding_hll_sql() -> str:
+    from pdf_craft_spark.queries.timeseries import SLIDE_DAYS
+
+    key = "CAST(user_id AS VARCHAR) || '|' || CAST(day AS VARCHAR)"
+    hd = _md5_long(key, 15, "duck")
+    return f"""
+WITH base AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         user_id
+  FROM events
+), regs AS (
+  SELECT day, bucket, max(rho) AS mreg_day FROM (
+    SELECT day,
+           CAST(h % {_M} AS INT) AS bucket,
+           {_WBITS + 1} - {_bitlen_case(f'(h // {_M})')} AS rho
+    FROM (SELECT day, ({hd}) AS h FROM base)
+  ) GROUP BY day, bucket
+), bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM regs),
+scaffold AS (
+  SELECT d.day, b.bucket
+  FROM (SELECT unnest(range((SELECT dmin FROM bounds),
+                            (SELECT dmax FROM bounds) + 1)) AS day) d
+  CROSS JOIN (SELECT unnest(range({_M})) AS bucket) b
+), merged AS (
+  SELECT s.day, s.bucket,
+         max(r.mreg_day) OVER (PARTITION BY s.bucket ORDER BY s.day
+                               RANGE BETWEEN {SLIDE_DAYS - 1} PRECEDING
+                                         AND CURRENT ROW) AS mreg
+  FROM scaffold s LEFT JOIN regs r ON r.day = s.day AND r.bucket = s.bucket
+), per_day AS (
+  SELECT day,
+         CAST(sum(CAST(power(2, {_WBITS + 1} - mreg) AS BIGINT)) AS BIGINT)
+           + ({_M} - count(*)) * {_SCALE} AS s_scaled
+  FROM merged WHERE mreg IS NOT NULL GROUP BY day
+), est AS (
+  SELECT day, CAST({_EST} AS DOUBLE) AS hll_estimate FROM per_day
+), daily AS (
+  SELECT day, count(*) AS n_users FROM (SELECT DISTINCT day, user_id FROM base)
+  GROUP BY day
+), exact AS (
+  SELECT day,
+         sum(n_users) OVER (ORDER BY day RANGE BETWEEN {SLIDE_DAYS - 1}
+                            PRECEDING AND CURRENT ROW) AS exact_user_days
+  FROM daily
+)
+SELECT CAST(e.day AS BIGINT) AS day_no,
+       est.hll_estimate,
+       CAST(e.exact_user_days AS BIGINT) AS exact_user_days,
+       CAST(abs(CAST(1000000 * est.hll_estimate AS BIGINT)
+            - 1000000 * e.exact_user_days) // e.exact_user_days AS BIGINT)
+         AS err_ppm
+FROM est JOIN exact e ON e.day = est.day
+WHERE e.day >= (SELECT dmin FROM bounds) + {SLIDE_DAYS - 1}
+ORDER BY day_no
+"""
+
+
+SLIDING_HLL_USER_DAYS_7D_SQL = _sliding_hll_sql()
+
+QUERIES["sliding_hll_user_days_7d"] = sliding_hll_user_days_7d
+ORACLES["sliding_hll_user_days_7d"] = SLIDING_HLL_USER_DAYS_7D_SQL

@@ -1077,3 +1077,16 @@ def test_fk_orphans_match_drop_recipe(spark):
     assert row["n_orphan_keys"] == len(dropped)
     assert row["n_orphan_rows"] == sum(1 for k in li_keys if k in dropped)
     assert 0 < row["n_orphan_rows"] < row["n_fact_rows"]
+
+
+def test_sliding_hll_error_inside_theory_band(spark):
+    """Windowed HLL merge: every full window's estimate is within 20% of
+    the exact user-day count (theory: ~6.5% std at m=256), and full
+    windows only are emitted."""
+    from pdf_craft_spark.queries.sketches import sliding_hll_user_days_7d
+
+    rows = sliding_hll_user_days_7d(spark, SF_DIR).collect()
+    assert len(rows) >= 20
+    for r in rows:
+        assert r["err_ppm"] < 200_000, r
+        assert r["exact_user_days"] > 640  # raw-estimate regime holds
