@@ -67,6 +67,7 @@ HEADLINE = [
     "sample_mixture_by_lang",
     "quantile_sketch_prices",
     "sliding_hll_user_days_7d",
+    "hll_set_algebra_user_days",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

@@ -678,3 +678,166 @@ SLIDING_HLL_USER_DAYS_7D_SQL = _sliding_hll_sql()
 
 QUERIES["sliding_hll_user_days_7d"] = sliding_hll_user_days_7d
 ORACLES["sliding_hll_user_days_7d"] = SLIDING_HLL_USER_DAYS_7D_SQL
+
+
+# --- HLL set algebra (union by register max, intersection by inclusion-exclusion)
+# The sketch-algebra caveat made measurable: HLL unions EXACTLY (register
+# max — same operator as the merge), but intersection has no native
+# sketch operator and is derived by inclusion-exclusion over three
+# estimates, whose relative error blows up as the true intersection
+# shrinks.  Sets are purchase-user-days vs click-user-days (both and
+# their union inside the raw-estimate regime); exact counts ride along,
+# so the per-set and intersection errors are hash-gated outputs.  One
+# event scan builds both register tables; the union registers are
+# greatest() of the two 256-int states — no second pass.
+def hll_set_algebra_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    key = "concat(CAST(user_id AS STRING), '|', CAST(day AS STRING))"
+    h = _md5_long(key, 15, "spark")
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).selectExpr(
+        "event_type",
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS day",
+        "user_id",
+    )
+    regs = (
+        base.selectExpr("event_type", f"({h}) AS h")
+        .selectExpr(
+            "event_type",
+            f"CAST(h % {_M} AS INT) AS bucket",
+            f"h DIV {_M} AS w",
+        )
+        .selectExpr("event_type", "bucket", f"{_RHO} AS rho")
+        .groupBy("bucket")
+        .pivot("event_type", ["purchase", "click"])
+        .agg(F.max("rho"))
+    )
+
+    def est(col: str) -> str:
+        return (
+            f"CAST(round(CAST({_AM2} AS DOUBLE) * CAST({_SCALE} AS DOUBLE)"
+            f" / CAST({col} AS DOUBLE), 3) AS DOUBLE)"
+        )
+
+    sums = regs.agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN purchase IS NULL THEN {_SCALE}"
+            f" ELSE CAST(power(2, {_WBITS + 1} - purchase) AS BIGINT) END)"
+            " AS BIGINT)"
+        ).alias("s_p"),
+        F.expr(
+            f"CAST(sum(CASE WHEN click IS NULL THEN {_SCALE}"
+            f" ELSE CAST(power(2, {_WBITS + 1} - click) AS BIGINT) END)"
+            " AS BIGINT)"
+        ).alias("s_c"),
+        F.expr(
+            f"CAST(sum(CASE WHEN purchase IS NULL AND click IS NULL"
+            f" THEN {_SCALE}"
+            f" ELSE CAST(power(2, {_WBITS + 1} -"
+            " greatest(coalesce(purchase, 0), coalesce(click, 0)))"
+            " AS BIGINT) END) AS BIGINT)"
+        ).alias("s_u"),
+    )
+    exact = base.selectExpr("event_type", "day", "user_id").distinct().agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")).alias(
+            "x_p"
+        ),
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")).alias(
+            "x_c"
+        ),
+        F.count(F.lit(1)).alias("x_rows"),
+    )
+    # exact union / intersection of the (user, day) sets
+    both = (
+        base.filter("event_type = 'purchase'")
+        .select("day", "user_id")
+        .distinct()
+        .join(
+            base.filter("event_type = 'click'")
+            .select("day", "user_id")
+            .distinct(),
+            ["day", "user_id"],
+        )
+        .agg(F.count(F.lit(1)).alias("x_i"))
+    )
+    return (
+        sums.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(both))
+        .selectExpr(
+            f"{est('s_p')} AS est_purchase",
+            f"{est('s_c')} AS est_click",
+            f"{est('s_u')} AS est_union",
+            f"CAST(round({est('s_p')} + {est('s_c')} - {est('s_u')}, 3)"
+            " AS DOUBLE) AS est_intersection",
+            "CAST(x_p AS BIGINT) AS exact_purchase",
+            "CAST(x_c AS BIGINT) AS exact_click",
+            "CAST(x_p + x_c - x_i AS BIGINT) AS exact_union",
+            "CAST(x_i AS BIGINT) AS exact_intersection",
+        )
+    )
+
+
+def _hll_algebra_sql() -> str:
+    key = "CAST(user_id AS VARCHAR) || '|' || CAST(day AS VARCHAR)"
+    hd = _md5_long(key, 15, "duck")
+    est = (
+        lambda col: f"CAST(round(CAST({_AM2} AS DOUBLE) * CAST({_SCALE} AS"
+        f" DOUBLE) / CAST({col} AS DOUBLE), 3) AS DOUBLE)"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         user_id
+  FROM events WHERE event_type IN ('purchase', 'click')
+), rho AS (
+  SELECT event_type,
+         CAST(h % {_M} AS INT) AS bucket,
+         {_WBITS + 1} - {_bitlen_case(f'(h // {_M})')} AS rho
+  FROM (SELECT event_type, ({hd}) AS h FROM base)
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN event_type = 'purchase' THEN rho END) AS purchase,
+         max(CASE WHEN event_type = 'click' THEN rho END) AS click
+  FROM rho GROUP BY bucket
+), sums AS (
+  SELECT CAST(sum(CASE WHEN purchase IS NULL THEN {_SCALE}
+               ELSE CAST(power(2, {_WBITS + 1} - purchase) AS BIGINT) END)
+          AS BIGINT) AS s_p,
+         CAST(sum(CASE WHEN click IS NULL THEN {_SCALE}
+               ELSE CAST(power(2, {_WBITS + 1} - click) AS BIGINT) END)
+          AS BIGINT) AS s_c,
+         CAST(sum(CASE WHEN purchase IS NULL AND click IS NULL THEN {_SCALE}
+               ELSE CAST(power(2, {_WBITS + 1} -
+                    greatest(coalesce(purchase, 0), coalesce(click, 0)))
+                    AS BIGINT) END) AS BIGINT) AS s_u
+  FROM regs
+), exact AS (
+  SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x_p,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x_c
+  FROM (SELECT DISTINCT event_type, day, user_id FROM base)
+), ix AS (
+  SELECT count(*) AS x_i FROM (
+    (SELECT DISTINCT day, user_id FROM base WHERE event_type = 'purchase')
+    INTERSECT
+    (SELECT DISTINCT day, user_id FROM base WHERE event_type = 'click')
+  )
+)
+SELECT {est('s_p')} AS est_purchase,
+       {est('s_c')} AS est_click,
+       {est('s_u')} AS est_union,
+       CAST(round({est('s_p')} + {est('s_c')} - {est('s_u')}, 3) AS DOUBLE)
+         AS est_intersection,
+       CAST(x_p AS BIGINT) AS exact_purchase,
+       CAST(x_c AS BIGINT) AS exact_click,
+       CAST(x_p + x_c - x_i AS BIGINT) AS exact_union,
+       CAST(x_i AS BIGINT) AS exact_intersection
+FROM sums CROSS JOIN exact CROSS JOIN ix
+"""
+
+
+HLL_SET_ALGEBRA_USER_DAYS_SQL = _hll_algebra_sql()
+
+QUERIES["hll_set_algebra_user_days"] = hll_set_algebra_user_days
+ORACLES["hll_set_algebra_user_days"] = HLL_SET_ALGEBRA_USER_DAYS_SQL

@@ -1090,3 +1090,23 @@ def test_sliding_hll_error_inside_theory_band(spark):
     for r in rows:
         assert r["err_ppm"] < 200_000, r
         assert r["exact_user_days"] > 640  # raw-estimate regime holds
+
+
+def test_hll_algebra_union_tight_intersection_blows_up(spark):
+    """The sketch-algebra lesson as assertions: union error stays in the
+    single-register-merge band (< 15%), while the inclusion-exclusion
+    intersection error is WORSE than the union's (the well-known
+    blow-up) yet still bounded for this overlap (< 40%)."""
+    from pdf_craft_spark.queries.sketches import hll_set_algebra_user_days
+
+    r = hll_set_algebra_user_days(spark, SF_DIR).collect()[0]
+
+    def err(est, exact):
+        return abs(est - exact) / exact
+
+    e_union = err(r["est_union"], r["exact_union"])
+    e_inter = err(r["est_intersection"], r["exact_intersection"])
+    assert err(r["est_purchase"], r["exact_purchase"]) < 0.15
+    assert err(r["est_click"], r["exact_click"]) < 0.15
+    assert e_union < 0.15
+    assert e_union < e_inter < 0.40
