@@ -97,6 +97,7 @@ HEADLINE = [
     "dq_profile_documents",
     "classifier_eval_lang",
     "fk_orphan_audit",
+    "null_semantics_matrix",
     "graph_label_propagation",
     "cdc_snapshot_diff",
     "rolling_revenue_7d",

@@ -561,3 +561,103 @@ FK_ORPHAN_AUDIT_SQL = _fk_orphan_sql()
 
 QUERIES["fk_orphan_audit"] = fk_orphan_audit
 ORACLES["fk_orphan_audit"] = FK_ORPHAN_AUDIT_SQL
+
+
+# --- NULL-semantics conformance matrix ---------------------------------------------
+# Cross-engine NULL behavior is a classic silent-divergence surface;
+# this op pins the corners the rest of the registry relies on, as a
+# hash-gated label/value matrix over DERIVED nulls (nullif — the corpus
+# itself is dense): count(*) vs count(col), count(DISTINCT col) ignoring
+# nulls, the NULL group in GROUP BY, sum/min over an all-NULL slice,
+# coalesce fallback, NULL-safe equality counts, and NULL ordering under
+# ORDER BY ... NULLS FIRST (pinned via min of a row_number).  One scan,
+# conditional aggregation only.
+def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "nullif(o_orderstatus, 'O') AS st",  # NULL for the majority class
+        "CASE WHEN o_orderstatus = 'O' THEN NULL"
+        " ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " END AS cents_nullable",
+    )
+    m = o.agg(
+        F.count(F.lit(1)).alias("count_star"),
+        F.count("st").alias("count_col"),
+        F.countDistinct("st").alias("count_distinct_col"),
+        F.sum(F.col("st").isNull().cast("long")).alias("null_rows"),
+        F.sum("cents_nullable").alias("sum_skips_nulls"),
+        F.min("cents_nullable").alias("min_skips_nulls"),
+        F.count(F.when(F.col("st").eqNullSafe(F.lit(None)), 1)).alias(
+            "nullsafe_eq_null"
+        ),
+        F.sum(
+            (F.coalesce(F.col("st"), F.lit("X")) == "X").cast("long")
+        ).alias("coalesce_fallbacks"),
+    )
+    groups = (
+        o.groupBy("st")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups_incl_null"),
+            F.max(F.when(F.col("st").isNull(), F.col("n"))).alias(
+                "null_group_size"
+            ),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(groups))
+        .selectExpr(
+            "CAST(count_star AS BIGINT) AS count_star",
+            "CAST(count_col AS BIGINT) AS count_col",
+            "CAST(count_distinct_col AS BIGINT) AS count_distinct_col",
+            "CAST(null_rows AS BIGINT) AS null_rows",
+            "CAST(sum_skips_nulls AS BIGINT) AS sum_skips_nulls",
+            "CAST(min_skips_nulls AS BIGINT) AS min_skips_nulls",
+            "CAST(nullsafe_eq_null AS BIGINT) AS nullsafe_eq_null",
+            "CAST(coalesce_fallbacks AS BIGINT) AS coalesce_fallbacks",
+            "CAST(n_groups_incl_null AS BIGINT) AS n_groups_incl_null",
+            "CAST(null_group_size AS BIGINT) AS null_group_size",
+        )
+    )
+
+
+NULL_SEMANTICS_MATRIX_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         nullif(o_orderstatus, 'O') AS st,
+         CASE WHEN o_orderstatus = 'O' THEN NULL
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS cents_nullable
+  FROM orders
+), m AS (
+  SELECT count(*) AS count_star,
+         count(st) AS count_col,
+         count(DISTINCT st) AS count_distinct_col,
+         sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS null_rows,
+         sum(cents_nullable) AS sum_skips_nulls,
+         min(cents_nullable) AS min_skips_nulls,
+         count(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 END)
+           AS nullsafe_eq_null,
+         sum(CASE WHEN coalesce(st, 'X') = 'X' THEN 1 ELSE 0 END)
+           AS coalesce_fallbacks
+  FROM o
+), g AS (
+  SELECT count(*) AS n_groups_incl_null,
+         max(CASE WHEN st IS NULL THEN n END) AS null_group_size
+  FROM (SELECT st, count(*) AS n FROM o GROUP BY st)
+)
+SELECT CAST(count_star AS BIGINT) AS count_star,
+       CAST(count_col AS BIGINT) AS count_col,
+       CAST(count_distinct_col AS BIGINT) AS count_distinct_col,
+       CAST(null_rows AS BIGINT) AS null_rows,
+       CAST(sum_skips_nulls AS BIGINT) AS sum_skips_nulls,
+       CAST(min_skips_nulls AS BIGINT) AS min_skips_nulls,
+       CAST(nullsafe_eq_null AS BIGINT) AS nullsafe_eq_null,
+       CAST(coalesce_fallbacks AS BIGINT) AS coalesce_fallbacks,
+       CAST(n_groups_incl_null AS BIGINT) AS n_groups_incl_null,
+       CAST(null_group_size AS BIGINT) AS null_group_size
+FROM m CROSS JOIN g
+"""
+
+QUERIES["null_semantics_matrix"] = null_semantics_matrix
+ORACLES["null_semantics_matrix"] = NULL_SEMANTICS_MATRIX_SQL
