@@ -95,3 +95,58 @@ def test_weighted_median_on_random_weighted_multisets(spark, tmp_path, seed):
             if 2 * cum >= tot:
                 assert got[flag]["wmedian_cents"] == cents
                 break
+
+
+@pytest.mark.parametrize("seed", [3, 61])
+def test_mode_ties_on_random_multisets(spark, tmp_path, seed):
+    """Exact mode under heavy ties: many sizes share the max count, the
+    tie-break must pick the smallest."""
+    from pdf_craft_spark.queries.analyticsq import mode_exact_per_group
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(300):
+        # few distinct sizes => ties guaranteed
+        rows.append((i, rng.choice(["ba", "bb"]), rng.choice([4, 7, 9])))
+    df = spark.createDataFrame(rows, ["p_partkey", "p_brand", "p_size"])
+    _write(spark, str(tmp_path), "part", df)
+    got = {r["p_brand"]: r for r in mode_exact_per_group(spark, str(tmp_path)).collect()}
+    from collections import Counter
+
+    by_brand: dict[str, Counter] = {}
+    for _, b, sz in rows:
+        by_brand.setdefault(b, Counter())[sz] += 1
+    for b, cnt in by_brand.items():
+        best = max(cnt.values())
+        expect = min(s for s, c in cnt.items() if c == best)
+        assert got[b]["mode_size"] == expect and got[b]["mode_count"] == best
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_gini_extremes_on_constructed_distributions(spark, tmp_path, seed):
+    """Gini sanity at the boundaries: an equal-revenue nation scores ~0;
+    a winner-takes-nearly-all nation scores high; both match the
+    pairwise definition."""
+    from pdf_craft_spark.queries.analyticsq import gini_revenue_concentration
+
+    li_rows, sup_rows = [], []
+    # nation 0: 10 suppliers, equal revenue
+    for k in range(10):
+        sup_rows.append((k, 0))
+        li_rows.append((k, 100.0))
+    # nation 1: 10 suppliers, one giant
+    for k in range(10, 20):
+        sup_rows.append((k, 1))
+        li_rows.append((k, 10000.0 if k == 10 else 1.0))
+    li = spark.createDataFrame(li_rows, ["l_suppkey", "l_extendedprice"])
+    sup = spark.createDataFrame(sup_rows, ["s_suppkey", "s_nationkey"])
+    sf = str(tmp_path)
+    _write(spark, sf, "lineitem", li)
+    _write(spark, sf, "supplier", sup)
+    got = {r["s_nationkey"]: r for r in gini_revenue_concentration(spark, sf).collect()}
+    assert got[0]["gini_ppm"] == 0
+    assert got[1]["gini_ppm"] > 800_000
+    # pairwise definition on nation 1
+    revs = [1_000_000 if k == 10 else 100 for k in range(10, 20)]
+    num = sum(abs(a - b) for i, a in enumerate(revs) for b in revs[i + 1 :])
+    assert got[1]["gini_ppm"] == (1_000_000 * num) // (len(revs) * sum(revs))
