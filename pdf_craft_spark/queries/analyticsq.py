@@ -2451,3 +2451,110 @@ ORACLES = {
     "business_day_reorder_gaps": BUSINESS_DAY_REORDER_GAPS_SQL,
     "covered_days_union": COVERED_DAYS_UNION_SQL,
 }
+
+
+# --- token-bucket throttle (the genuinely kernel-only recurrence) -----------------
+# The two-sided-clamp case clamped_running_balance's docstring points
+# at: a per-user token bucket (capacity 2 tokens, refill 1 micro-token
+# per 3600 us — calibrated so ~20% of this corpus's users throttle
+# somewhere while most never do; a parameterization that never (or
+# always) fires would make the check vacuous, measured both ways).  An
+# event passing requires a full token; a throttled event consumes
+# nothing.  level_t depends on BOTH clamps of
+# level_{t-1} — refill saturates at capacity AND consumption gates on
+# the current level — so no window identity exists and the recurrence
+# runs as the stateful ``applyInPandas`` kernel per user (one key
+# shuffle, sequential work bounded by that user's event count — the
+# W2-stitching tier).  The DuckDB oracle walks the identical recurrence
+# with WITH RECURSIVE; all state is integer micro-tokens.
+TB_CAP_MICRO = 2_000_000
+TB_COST_MICRO = 1_000_000
+TB_REFILL_DIV = 3600  # micro-tokens per elapsed microsecond DIV this
+
+
+def token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+        level = TB_CAP_MICRO  # bucket starts full
+        throttled = 0
+        prev_us = None
+        for us in pdf["us"]:
+            us = int(us)
+            if prev_us is not None:
+                level = min(TB_CAP_MICRO, level + (us - prev_us) // TB_REFILL_DIV)
+            prev_us = us
+            if level >= TB_COST_MICRO:
+                level -= TB_COST_MICRO
+            else:
+                throttled += 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "n_throttled": [throttled],
+                "final_level_micro": [level],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            run,
+            schema=(
+                "user_id long, n_events long, n_throttled long,"
+                " final_level_micro long"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+TOKEN_BUCKET_THROTTLE_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, us,
+         CASE WHEN {TB_CAP_MICRO} >= {TB_COST_MICRO}
+              THEN {TB_CAP_MICRO} - {TB_COST_MICRO}
+              ELSE {TB_CAP_MICRO} END AS level,
+         CASE WHEN {TB_CAP_MICRO} >= {TB_COST_MICRO} THEN 0 ELSE 1 END
+           AS throttled
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.us,
+         CASE WHEN least({TB_CAP_MICRO}, w.level + (e.us - w.us) // {TB_REFILL_DIV})
+                   >= {TB_COST_MICRO}
+              THEN least({TB_CAP_MICRO}, w.level + (e.us - w.us) // {TB_REFILL_DIV})
+                   - {TB_COST_MICRO}
+              ELSE least({TB_CAP_MICRO}, w.level + (e.us - w.us) // {TB_REFILL_DIV})
+         END,
+         w.throttled +
+         CASE WHEN least({TB_CAP_MICRO}, w.level + (e.us - w.us) // {TB_REFILL_DIV})
+                   >= {TB_COST_MICRO} THEN 0 ELSE 1 END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(max(rn) AS BIGINT) AS n_events,
+       CAST(max_by(throttled, rn) AS BIGINT) AS n_throttled,
+       CAST(max_by(level, rn) AS BIGINT) AS final_level_micro
+FROM walk
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["token_bucket_throttle"] = token_bucket_throttle
+ORACLES["token_bucket_throttle"] = TOKEN_BUCKET_THROTTLE_SQL

@@ -1110,3 +1110,44 @@ def test_hll_algebra_union_tight_intersection_blows_up(spark):
     assert err(r["est_click"], r["exact_click"]) < 0.15
     assert e_union < 0.15
     assert e_union < e_inter < 0.40
+
+
+def test_token_bucket_recurrence_direct_and_nonvacuous(spark):
+    """The kernel recurrence matches a direct python walk for every user,
+    and the calibration keeps BOTH outcome classes populated (some users
+    throttle, most never do)."""
+    from pdf_craft_spark.queries.analyticsq import (
+        TB_CAP_MICRO,
+        TB_COST_MICRO,
+        TB_REFILL_DIV,
+        token_bucket_throttle,
+    )
+
+    got = {r["user_id"]: r for r in token_bucket_throttle(spark, SF_DIR).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us"
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    throttled_users = clean_users = 0
+    for uid, rows in by_user.items():
+        rows.sort()
+        level, thr, prev = TB_CAP_MICRO, 0, None
+        for us, _ in rows:
+            if prev is not None:
+                level = min(TB_CAP_MICRO, level + (us - prev) // TB_REFILL_DIV)
+            prev = us
+            if level >= TB_COST_MICRO:
+                level -= TB_COST_MICRO
+            else:
+                thr += 1
+        g = got[uid]
+        assert g["n_throttled"] == thr and g["final_level_micro"] == level
+        throttled_users += thr > 0
+        clean_users += thr == 0
+    assert throttled_users > 0 and clean_users > 0
