@@ -189,6 +189,7 @@ HEADLINE = [
     "length_bucket_padding",
     "trend_slope_per_customer",
     "clamped_running_balance",
+    "token_bucket_throttle",
     "fd_violation_check",
     "stratified_fixed_quota",
     "keyset_page_3",
