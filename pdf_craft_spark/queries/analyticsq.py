@@ -2478,37 +2478,49 @@ def token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_craft_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    # batch-amortization (the kernel house pattern): grouping per USER
+    # would hand pandas ~n_users tiny frames and pay the Arrow/pandas
+    # per-group overhead each time (measured 7.3 s at sf0.1); grouping
+    # per SHARD (64-way user hash) hands it 64 frames and walks each
+    # user's slice inside the kernel — identical semantics, the
+    # sequential unit is still the single user.
     ev = _t(spark, sf_dir, "events").selectExpr(
         "user_id",
+        "CAST(user_id % 64 AS INT) AS shard",
         "event_id",
         "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
-        level = TB_CAP_MICRO  # bucket starts full
-        throttled = 0
-        prev_us = None
-        for us in pdf["us"]:
-            us = int(us)
-            if prev_us is not None:
-                level = min(TB_CAP_MICRO, level + (us - prev_us) // TB_REFILL_DIV)
-            prev_us = us
-            if level >= TB_COST_MICRO:
-                level -= TB_COST_MICRO
-            else:
-                throttled += 1
+        pdf = pdf.sort_values(["user_id", "us", "event_id"]).reset_index(
+            drop=True
+        )
+        out = []
+        for uid, grp in pdf.groupby("user_id", sort=True):
+            level = TB_CAP_MICRO  # bucket starts full
+            throttled = 0
+            prev_us = None
+            for us in grp["us"]:
+                us = int(us)
+                if prev_us is not None:
+                    level = min(
+                        TB_CAP_MICRO, level + (us - prev_us) // TB_REFILL_DIV
+                    )
+                prev_us = us
+                if level >= TB_COST_MICRO:
+                    level -= TB_COST_MICRO
+                else:
+                    throttled += 1
+            out.append((int(uid), len(grp), throttled, level))
         return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "n_throttled": [throttled],
-                "final_level_micro": [level],
-            }
+            out,
+            columns=[
+                "user_id", "n_events", "n_throttled", "final_level_micro",
+            ],
         )
 
     return (
-        ev.groupBy("user_id")
+        ev.groupBy("shard")
         .applyInPandas(
             run,
             schema=(
