@@ -190,6 +190,8 @@ HEADLINE = [
     "trend_slope_per_customer",
     "clamped_running_balance",
     "token_bucket_throttle",
+    "price_percentile_exact",
+    "distinct_rollup_pitfall",
     "fd_violation_check",
     "stratified_fixed_quota",
     "keyset_page_3",

@@ -2382,6 +2382,116 @@ ORDER BY o_custkey
 """
 
 
+
+# --- exact percentile rank (compressed cume) -----------------------------------------
+# Each part's price percentile within its type, exactly, in ppm: the
+# cumulative count runs over the COMPRESSED (type, cents, cnt) table
+# (distinct prices, not raw rows) and the ppm is the cross-multiplied
+# integer (1e6 * cum) DIV n — no percent_rank window over raw rows, no
+# float.  percentile here = fraction of rows with value <= this value
+# (cume_dist semantics), the one that is well-defined under ties.
+def price_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_type",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    comp = p.groupBy("p_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        W.partitionBy("p_type").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("p_type")
+    return (
+        comp.select(
+            "p_type",
+            "cents",
+            "cnt",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(wtot).alias("n"),
+        )
+        .selectExpr(
+            "p_type",
+            "CAST(cents AS BIGINT) AS cents",
+            "CAST(cnt AS BIGINT) AS cnt",
+            "CAST((1000000 * cum) DIV n AS BIGINT) AS cume_ppm",
+        )
+        .orderBy("p_type", "cents")
+    )
+
+
+PRICE_PERCENTILE_EXACT_SQL = """
+WITH comp AS (
+  SELECT p_type,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         count(*) AS cnt
+  FROM part GROUP BY 1, 2
+)
+SELECT p_type,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST((1000000 * sum(cnt) OVER (PARTITION BY p_type ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            // (sum(cnt) OVER (PARTITION BY p_type)) AS BIGINT) AS cume_ppm
+FROM comp
+ORDER BY p_type, cents
+"""
+
+
+# --- the count-distinct re-aggregation pitfall, measured -------------------------------
+# COUNT(DISTINCT) is not re-aggregable: summing per-type distinct-user
+# counts over-counts users active in several event types.  This op emits
+# BOTH numbers side by side — the correct overall distinct and the naive
+# sum of per-type distincts — plus the overlap they differ by, so the
+# pitfall is a hash-gated measurement instead of folklore.  (This is
+# exactly why the engine's distinct sketches (HLL) exist: registers
+# re-aggregate where counts cannot.)  Two combinable aggregations over
+# the deduped (type, user) table.
+def distinct_rollup_pitfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tu = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    per_type = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("distinct_users")
+    )
+    naive = per_type.agg(
+        F.sum("distinct_users").alias("naive_sum_of_distincts"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    true_overall = tu.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("true_distinct_users")
+    )
+    return (
+        naive.crossJoin(F.broadcast(true_overall))
+        .selectExpr(
+            "CAST(n_types AS BIGINT) AS n_types",
+            "CAST(naive_sum_of_distincts AS BIGINT) AS naive_sum_of_distincts",
+            "CAST(true_distinct_users AS BIGINT) AS true_distinct_users",
+            "CAST(naive_sum_of_distincts - true_distinct_users AS BIGINT)"
+            " AS overcount",
+        )
+    )
+
+
+DISTINCT_ROLLUP_PITFALL_SQL = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), per_type AS (
+  SELECT event_type, count(*) AS distinct_users FROM tu GROUP BY event_type
+)
+SELECT CAST((SELECT count(*) FROM per_type) AS BIGINT) AS n_types,
+       CAST((SELECT sum(distinct_users) FROM per_type) AS BIGINT)
+         AS naive_sum_of_distincts,
+       CAST((SELECT count(DISTINCT user_id) FROM tu) AS BIGINT)
+         AS true_distinct_users,
+       CAST((SELECT sum(distinct_users) FROM per_type)
+            - (SELECT count(DISTINCT user_id) FROM tu) AS BIGINT)
+         AS overcount
+"""
+
+
 QUERIES = {
     "mode_exact_per_group": mode_exact_per_group,
     "topp_revenue_suppliers": topp_revenue_suppliers,
@@ -2570,3 +2680,8 @@ ORDER BY user_id
 
 QUERIES["token_bucket_throttle"] = token_bucket_throttle
 ORACLES["token_bucket_throttle"] = TOKEN_BUCKET_THROTTLE_SQL
+
+QUERIES["price_percentile_exact"] = price_percentile_exact
+ORACLES["price_percentile_exact"] = PRICE_PERCENTILE_EXACT_SQL
+QUERIES["distinct_rollup_pitfall"] = distinct_rollup_pitfall
+ORACLES["distinct_rollup_pitfall"] = DISTINCT_ROLLUP_PITFALL_SQL
