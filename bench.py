@@ -712,11 +712,27 @@ def main() -> None:
     except OSError:
         detail_path = None  # headline still prints
 
+    # The driver's tail capture holds ~2000 bytes; the full 169-entry
+    # per-query map alone is ~5KB and would truncate the line again
+    # (r4's "parsed": null failure mode).  stdout carries the
+    # round-over-round ledger set (the names BENCH_r03/r04 tracked);
+    # every timed entry is in the detail file.
+    _LEDGER = (
+        "a1_pricing_summary", "j3_revenue_by_nation", "w5_sessionize_events",
+        "w7_event_numbering", "o2_topk_parts_per_brand", "text_quality_score",
+        "text_fingerprint", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "sim_cosine_topk", "sim_lsh_buckets", "sim_lsh_topk",
+        "sim_ivf_topk", "sim_recall", "a9_event_metrics", "s3_orders_by_month",
+        "split_train_val_test", "pack_training_sequences", "pack_greedy_exact",
+        "contamination_check", "embed_quantize_int8", "packed_sequence_texts",
+        "pipeline_extract_spans",
+    )
     headline = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": "sec",
-        "queries": query_secs,
+        "queries": {k: query_secs[k] for k in _LEDGER if k in query_secs},
+        "queries_timed": len(query_secs),
         "sf": result["sf"],
         "extraction": {
             k: extraction[k]
