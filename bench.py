@@ -68,6 +68,7 @@ HEADLINE = [
     "quantile_sketch_prices",
     "sliding_hll_user_days_7d",
     "hll_set_algebra_user_days",
+    "theta_sketch_intersection",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",
