@@ -69,6 +69,7 @@ HEADLINE = [
     "sliding_hll_user_days_7d",
     "hll_set_algebra_user_days",
     "theta_sketch_intersection",
+    "html_main_content_extract",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pdf_craft_spark.queries import (
     analyticsq,
     behavior,
+    htmlx,
     dataquality,
     indexing,
     bookmetaq,
@@ -57,6 +58,7 @@ for mod in (
     traindata,
     timeseries,
     sketches,
+    htmlx,
     sourcesq,
     behavior,
     graphq,

@@ -76,3 +76,68 @@ def test_theta_plan_has_no_cartesian_and_two_stage_topk(spark):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("row_number") >= 2
+
+
+# --- html_main_content_extract: the density rule is live, not template-keyed
+
+
+def _page(paras, ad_text="sponsored content click here"):
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    return (
+        "<html><head><title>doc 1</title></head><body>"
+        '<nav><a href="/">home</a> <a href="/a">archive</a></nav>'
+        "<header><h1>document 1</h1></header>"
+        f'<article>{body}<div class="ad"><a href="/s">{ad_text}</a></div>'
+        "</article>"
+        '<aside><ul><li><a href="/r">related one</a></li></ul></aside>'
+        "<footer>copyright twenty twenty six corpus press all rights"
+        " reserved</footer></body></html>"
+    )
+
+
+def _mains(html):
+    from pdf_craft_spark.queries.htmlx import classify_main, extract_blocks
+
+    return [
+        t for t, nw, lc in extract_blocks(html) if classify_main(nw, lc, len(t))
+    ]
+
+
+def test_html_density_rule_recovers_exactly_the_article():
+    para = " ".join(f"word{i}" for i in range(30))
+    assert _mains(_page([para])) == [para]
+
+
+def test_html_ad_padded_to_plain_prose_flips_to_main():
+    """Pad the ad block's LINK to 20 words: link density stays 1.0 so it
+    stays boiler; pad with text OUTSIDE the link and it flips to main —
+    the classifier reads density, not the class=ad attribute."""
+    para = " ".join(f"word{i}" for i in range(30))
+    linked = " ".join(f"buy{i}" for i in range(20))
+    assert _mains(_page([para], ad_text=linked)) == [para]
+    pad = " ".join(f"plain{i}" for i in range(20))
+    html = _page([para]).replace(
+        "</a></div>", f"</a> {pad}</div>"
+    )
+    mains = _mains(html)
+    assert len(mains) == 2 and mains[0] == para and "plain0" in mains[1]
+
+
+def test_html_paragraph_moved_into_aside_stays_main():
+    """Tag names never enter the classifier: a long link-free paragraph
+    inside <aside> is still main content (Boilerpipe semantics)."""
+    para = " ".join(f"word{i}" for i in range(30))
+    moved = " ".join(f"aside{i}" for i in range(25))
+    html = _page([para]).replace(
+        "<aside><ul>", f"<aside><p>{moved}</p><ul>"
+    )
+    mains = _mains(html)
+    assert mains == [para, moved]
+
+
+def test_html_malformed_markup_still_parses():
+    """Unclosed tags (tag-soup web reality): html.parser recovers and the
+    article text still comes back whole."""
+    para = " ".join(f"word{i}" for i in range(30))
+    html = _page([para]).replace("</p>", "").replace("</nav>", "")
+    assert _mains(html) == [para]
