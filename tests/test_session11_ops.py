@@ -141,3 +141,97 @@ def test_html_malformed_markup_still_parses():
     para = " ".join(f"word{i}" for i in range(30))
     html = _page([para]).replace("</p>", "").replace("</nav>", "")
     assert _mains(html) == [para]
+
+
+# --- randomized-corpus structural claims for the session-11 ops
+
+
+import datetime
+import hashlib
+import os
+import random
+
+import pytest
+
+
+def _write(spark, tmp, name, df):
+    df.write.mode("overwrite").parquet(os.path.join(tmp, f"{name}.parquet"))
+
+
+@pytest.mark.parametrize("seed", [13, 59])
+def test_theta_on_random_overlap(spark, tmp_path, seed):
+    """On a random corpus with a planted overlap the KMV estimates stay
+    inside the k=256 statistical envelope and the exact columns are the
+    true set sizes (recomputed independently in Python)."""
+    from pdf_craft_spark.queries.sketches import theta_sketch_intersection
+
+    rng = random.Random(seed)
+    users = list(range(1, 400))
+    days = [datetime.datetime(1996, 1, 1) + datetime.timedelta(days=d) for d in range(30)]
+    rows, p_set, c_set = [], set(), set()
+    eid = 0
+    for u in users:
+        for day in rng.sample(days, rng.randint(4, 16)):
+            kinds = rng.choice([("purchase",), ("click",), ("purchase", "click")])
+            for k in kinds:
+                eid += 1
+                # multiple events per (user, day, kind) — sets must dedup
+                for _ in range(rng.randint(1, 2)):
+                    rows.append((eid, day, u, k, 1.0, "{}"))
+                key = (u, (day.date() - datetime.date(1970, 1, 1)).days)
+                (p_set if k == "purchase" else c_set).add(key)
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    _write(spark, str(tmp_path), "events", df)
+
+    r = theta_sketch_intersection(spark, str(tmp_path)).collect()[0]
+    inter, union = p_set & c_set, p_set | c_set
+    assert r["exact_purchase"] == len(p_set)
+    assert r["exact_click"] == len(c_set)
+    assert r["exact_intersection"] == len(inter)
+    assert r["exact_union"] == len(union)
+    # sets are ~2-3k >> k=256: estimate mode, ~1/sqrt(k) envelope (+5 sigma)
+    assert 0.0 < r["theta_frac"] < 1.0
+    for part, true in (
+        ("purchase", len(p_set)),
+        ("click", len(c_set)),
+        ("union", len(union)),
+        ("intersection", len(inter)),
+    ):
+        assert abs(r[f"est_{part}"] - true) / true < 0.35, (part, r[f"est_{part}"], true)
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_html_lossless_recovery_on_random_texts(spark, tmp_path, seed):
+    """The lossless-recovery invariant holds on random token streams the
+    synthetic corpus never produces (token lengths 1..12, doc lengths
+    spanning both paragraph regimes including the merge-rule boundary)."""
+    from pdf_craft_spark.queries.htmlx import (
+        _BOILER_WORDS,
+        html_main_content_extract,
+    )
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(120):
+        # hit the boundary lengths (59/60) often — the para-merge rule edge
+        n = rng.choice([10, 25, 59, 60, 61, rng.randint(10, 120)])
+        toks = [
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randint(1, 12)))
+            for _ in range(n)
+        ]
+        docs.append((i, " ".join(toks), "en", "synth", len(" ".join(toks))))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    _write(spark, str(tmp_path), "documents", df)
+
+    got = {r["doc_id"]: r for r in html_main_content_extract(spark, str(tmp_path)).collect()}
+    assert len(got) == len(docs)
+    for i, text, *_ in docs:
+        r = got[i]
+        n = len(text.split())
+        assert r["main_md5"] == hashlib.md5(text.encode()).hexdigest(), i
+        assert r["main_words"] == n
+        assert r["boiler_words"] == _BOILER_WORDS
+        assert r["n_main"] == (2 if n >= 60 else 1)
+        assert r["n_blocks"] == 8 + r["n_main"]
