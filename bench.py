@@ -70,6 +70,7 @@ HEADLINE = [
     "hll_set_algebra_user_days",
     "theta_sketch_intersection",
     "html_main_content_extract",
+    "graph_random_walks",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

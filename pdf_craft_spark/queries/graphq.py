@@ -721,3 +721,131 @@ LIMIT {LP_TOP}
 
 QUERIES["graph_link_prediction"] = graph_link_prediction
 ORACLES["graph_link_prediction"] = GRAPH_LINK_PREDICTION_SQL
+
+
+# --- deterministic random-walk sampling (node2vec-style corpus builder) ---
+# The representation-learning feeder the graph family lacked: skip-gram /
+# node2vec embedding training consumes WALKS, not edges, and at scale the
+# walk generator is itself a distributed job.  Each start node takes
+# WALK_LEN hash-driven steps: at node v on step t of the walk started at
+# s, the next hop is the neighbor with 1-based rank
+#     H(s | t | v) mod deg(v) + 1
+# in v's dst-sorted adjacency list (H = the shared 60-bit md5 helper) —
+# a uniform, seedless, engine-identical choice, so the "random" walk is
+# a pure function of the graph: reruns, retries and repartitions emit
+# identical corpora (the determinism-under-retry contract of
+# split_train_val_test, applied to graph sampling).
+#
+# Scale shape: the adjacency list (src, dst, rnk, deg) is materialized
+# once — rnk via one row_number window per src (localCheckpoint here; the
+# written adjacency table at prod) — and each step is TWO equi-joins:
+# attach deg, compute the rank, then the (src, rnk) EXACT-neighbor
+# lookup.  Never a fan-out join over all neighbors followed by a filter,
+# so a hub node costs one probe per visiting walk, not one row per
+# neighbor.  Walks are embarrassingly parallel across start nodes and
+# the data volume is constant per step (one row per walk).
+#
+# Graph: the same customer<->supplier bipartite purchase graph as
+# pagerank (walks alternate c->s->c->s, the standard metapath walk on a
+# bipartite graph).  Oracle: the identical unrolled joins in DuckDB.
+WALK_LEN = 3
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .selectExpr(
+            "'c' || CAST(o_custkey AS STRING) AS src",
+            "'s' || CAST(l_suppkey AS STRING) AS dst",
+        )
+    )
+    edges = pairs.unionByName(pairs.selectExpr("dst AS src", "src AS dst"))
+    adj = edges.selectExpr(
+        "src",
+        "dst",
+        "row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk",
+        "count(1) OVER (PARTITION BY src) AS deg",
+    ).localCheckpoint(eager=True)
+    deg = adj.selectExpr("src AS node", "deg").distinct()
+
+    walk = (
+        adj.filter("src LIKE 'c%'")
+        .select(F.col("src").alias("start"))
+        .distinct()
+        .withColumn("node", F.col("start"))
+    )
+    for t in range(1, WALK_LEN + 1):
+        h = md5_prefix_long_sql(f"concat(start, '|{t}|', node)", 15, "spark")
+        walk = (
+            walk.join(deg, "node")
+            .withColumn("r", F.expr(f"CAST(({h}) % deg + 1 AS INT)"))
+            .withColumnRenamed("node", "prev")
+            .join(
+                adj.selectExpr("src AS prev", "rnk AS r", "dst AS node"),
+                ["prev", "r"],
+            )
+            .drop("deg", "prev", "r")
+            .withColumn(f"hop{t}", F.col("node"))
+        )
+    return walk.select("start", "hop1", "hop2", "hop3")
+
+
+def _random_walks_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    steps = []
+    prev = "w0"
+    for t in range(1, WALK_LEN + 1):
+        h = md5_prefix_long_sql(f"(w.start || '|{t}|' || w.node)", 15, "duck")
+        carry = "".join(f", w.hop{i}" for i in range(1, t))
+        carry_out = "".join(f", s.hop{i}" for i in range(1, t))
+        steps.append(
+            f"""w{t} AS (
+  SELECT s.start{carry_out}, a.dst AS node, a.dst AS hop{t}
+  FROM (
+    SELECT w.start, w.node{carry}, ({h}) % d.deg + 1 AS r
+    FROM {prev} w JOIN deg d ON d.node = w.node
+  ) s
+  JOIN adj a ON a.src = s.node AND a.rnk = s.r
+)"""
+        )
+        prev = f"w{t}"
+    body = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+), adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk,
+         count(1) OVER (PARTITION BY src) AS deg
+  FROM edges
+), deg AS (
+  SELECT DISTINCT src AS node, deg FROM adj
+), w0 AS (
+  SELECT DISTINCT src AS start, src AS node FROM adj WHERE src LIKE 'c%'
+),
+{body}
+SELECT start, hop1, hop2, hop3 FROM w{WALK_LEN}
+"""
+
+
+GRAPH_RANDOM_WALKS_SQL = _random_walks_sql()
+
+QUERIES["graph_random_walks"] = graph_random_walks
+ORACLES["graph_random_walks"] = GRAPH_RANDOM_WALKS_SQL

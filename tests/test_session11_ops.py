@@ -235,3 +235,51 @@ def test_html_lossless_recovery_on_random_texts(spark, tmp_path, seed):
         assert r["boiler_words"] == _BOILER_WORDS
         assert r["n_main"] == (2 if n >= 60 else 1)
         assert r["n_blocks"] == 8 + r["n_main"]
+
+
+# --- graph_random_walks: structural claims
+
+
+def test_random_walks_follow_real_edges_and_alternate(spark):
+    """Every consecutive hop pair is an actual edge of the bipartite
+    purchase graph and the metapath alternates c->s->c->s."""
+    from pyspark.sql import functions as F
+
+    from pdf_craft_spark.queries.graphq import graph_random_walks
+
+    sf = SF_SMALL
+    walks = graph_random_walks(spark, sf).collect()
+    assert walks
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    pairs = {
+        (f"c{r['o_custkey']}", f"s{r['l_suppkey']}")
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    }
+    edges = pairs | {(b, a) for a, b in pairs}
+    for w in walks:
+        seq = [w["start"], w["hop1"], w["hop2"], w["hop3"]]
+        kinds = [n[0] for n in seq]
+        assert kinds == ["c", "s", "c", "s"], seq
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edges, (a, b)
+
+
+def test_random_walks_deterministic_under_shuffle_width(spark):
+    """The walk corpus is a pure function of the graph: changing the
+    shuffle width (different physical partitioning) yields the identical
+    set of walks — the rerun/retry determinism contract."""
+    from pdf_craft_spark.queries.graphq import graph_random_walks
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, graph_random_walks(spark, SF_SMALL).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, graph_random_walks(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b and len(a) > 0
