@@ -71,6 +71,8 @@ HEADLINE = [
     "theta_sketch_intersection",
     "html_main_content_extract",
     "graph_random_walks",
+    "decision_stump_train",
+    "pca_power_iteration",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

@@ -18,6 +18,7 @@ from pdf_craft_spark.queries import (
     analyticsq,
     behavior,
     htmlx,
+    mlq,
     dataquality,
     indexing,
     bookmetaq,
@@ -59,6 +60,7 @@ for mod in (
     timeseries,
     sketches,
     htmlx,
+    mlq,
     sourcesq,
     behavior,
     graphq,

@@ -283,3 +283,102 @@ def test_random_walks_deterministic_under_shuffle_width(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b and len(a) > 0
+
+
+# --- decision_stump_train: the learner finds a planted split
+
+
+@pytest.mark.parametrize("seed,planted_t", [(17, 30), (41, 12)])
+def test_stump_finds_planted_split(spark, tmp_path, seed, planted_t):
+    """Plant a strong dependency y ~ (qty > T) in a random fact table:
+    the stump must select the qty feature at exactly threshold T, with a
+    large gain; price stays uninformative by construction."""
+    from pdf_craft_spark.queries.mlq import decision_stump_train
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(4000):
+        qty = rng.randint(1, 50)
+        noisy = rng.random() < 0.05
+        y = (qty > planted_t) != noisy
+        rows.append(
+            (
+                i,
+                float(qty),
+                "R" if y else rng.choice("AN"),
+                float(rng.randint(1000, 99999)),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, ["l_orderkey", "l_quantity", "l_returnflag", "l_extendedprice"]
+    )
+    _write(spark, str(tmp_path), "lineitem", df)
+
+    r = decision_stump_train(spark, str(tmp_path)).collect()[0]
+    assert r["feature"] == "qty"
+    assert r["threshold"] == planted_t
+    assert r["gain_ppm"] > 300_000, r["gain_ppm"]
+    assert r["n_left"] + r["n_right"] == 4000
+    assert r["pos_left"] + r["pos_right"] == sum(
+        1 for _, _, f, _ in rows if f == "R"
+    )
+
+
+def test_stump_near_zero_gain_on_uncorrelated_corpus(spark):
+    """On the synthetic corpus the label is independent of both features:
+    the best split's gain must be ppm-noise (the learner does not invent
+    structure)."""
+    from pdf_craft_spark.queries.mlq import decision_stump_train
+
+    r = decision_stump_train(spark, SF_EST).collect()[0]
+    assert 0 <= r["gain_ppm"] < 2000, r["gain_ppm"]
+
+
+# --- pca_power_iteration: converges onto a planted dominant direction
+
+
+@pytest.mark.parametrize("seed", [23, 67])
+def test_pca_finds_planted_direction(spark, tmp_path, seed):
+    """Vectors = +/- u + small noise for a random unit u: after three
+    integer power iterations the state must align with u
+    (|cos| > 0.95) — convergence is measured, not assumed."""
+    import math
+
+    from pdf_craft_spark.queries.mlq import pca_power_iteration
+
+    rng = random.Random(seed)
+    dimn = 64
+    u = [rng.gauss(0, 1) for _ in range(dimn)]
+    nrm = math.sqrt(sum(x * x for x in u))
+    u = [x / nrm for x in u]
+    rows = []
+    for i in range(800):
+        sign = 1.0 if rng.random() < 0.5 else -1.0
+        vec = [
+            sign * u[k] + rng.gauss(0, 0.15) / math.sqrt(dimn)
+            for k in range(dimn)
+        ]
+        rows.append((i, vec, 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    _write(spark, str(tmp_path), "embeddings", df)
+
+    got = {
+        r["dim"]: r["v_scaled"]
+        for r in pca_power_iteration(spark, str(tmp_path)).collect()
+    }
+    v = [got[k] for k in range(dimn)]
+    dot = sum(v[k] * u[k] for k in range(dimn))
+    cos = abs(dot) / math.sqrt(sum(x * x for x in v))
+    assert cos > 0.95, cos
+
+
+def test_pca_output_is_unit_scale_and_complete(spark):
+    """On the real corpus: one row per dimension, and the renormalized
+    state stays in the intended ~1e6 integer scale (no silent overflow
+    or collapse)."""
+    from pdf_craft_spark.queries.mlq import pca_power_iteration
+
+    rows = pca_power_iteration(spark, SF_EST).collect()
+    assert len(rows) == 64
+    mx = max(abs(r["v_scaled"]) for r in rows)
+    assert 500_000 <= mx <= 1_100_000, mx
