@@ -382,3 +382,51 @@ def test_pca_output_is_unit_scale_and_complete(spark):
     assert len(rows) == 64
     mx = max(abs(r["v_scaled"]) for r in rows)
     assert 500_000 <= mx <= 1_100_000, mx
+
+
+# --- plan-shape guards for the session-11 ops (scale regressions fail CI)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_html_extract_plan_is_zero_shuffle(spark):
+    """Synthesis is codegen, the parse is one Arrow crossing: the whole
+    plan must contain NO exchange — scan-shaped at any scale."""
+    from pdf_craft_spark.queries.htmlx import html_main_content_extract
+
+    plan = _plan(html_main_content_extract(spark, SF_EST))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_stump_plan_compresses_before_windows(spark):
+    """The histogram method's contract: partial aggregation (map-side
+    combine) runs below the windows, and no cartesian anywhere."""
+    from pdf_craft_spark.queries.mlq import decision_stump_train
+
+    plan = _plan(decision_stump_train(spark, SF_EST))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_walks_plan_has_no_neighbor_fanout_join(spark):
+    """Every step's neighbor lookup must be an equi-join on (src, rnk) —
+    a SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin with two join
+    keys — never a nested-loop over the adjacency."""
+    from pdf_craft_spark.queries.graphq import graph_random_walks
+
+    plan = _plan(graph_random_walks(spark, SF_EST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_plan_broadcasts_the_state_vector(spark):
+    """The 64-row state joins the exploded table broadcast-side (the
+    pagerank discipline); no cartesian."""
+    from pdf_craft_spark.queries.mlq import pca_power_iteration
+
+    plan = _plan(pca_power_iteration(spark, SF_EST))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
