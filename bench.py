@@ -73,6 +73,7 @@ HEADLINE = [
     "graph_random_walks",
     "decision_stump_train",
     "pca_power_iteration",
+    "dedup_lsh_quality",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

@@ -1044,3 +1044,68 @@ FROM ppm GROUP BY 1 ORDER BY 1
 
 QUERIES["minhash_estimate_error"] = minhash_estimate_error
 ORACLES["minhash_estimate_error"] = MINHASH_ESTIMATE_ERROR_SQL
+
+
+# --- dedup_lsh_quality: the dedup family's sim_recall -------------------
+# sim_recall gates the ANN paths' retrieval quality every round; nothing
+# gated the LSH DEDUP pass the same way — this op does: precision and
+# recall of the minhash band index's candidate pairs against the exact
+# shingle-Jaccard >= 0.2 ground truth (the identical pair universe:
+# both sides run over the same df-cutoff shingle sets).  Banding theory
+# says b=4/r=4 fires with p = 1-(1-J^4)^4 — near-certain on true
+# near-dups (J >= 0.5 of the planted 'dup' family), probabilistic in the
+# 0.2-0.3 band — so recall lands high-but-not-1 and precision reflects
+# band-collision noise; BOTH are driver-hashed output columns, making
+# the index's quality a per-round regression gate, not a one-time claim.
+# Metrics are integer ppm with a -1 sentinel for empty denominators
+# (Spark DIV-by-zero yields NULL where DuckDB // raises — the sentinel
+# keeps the engines aligned without dialect-divergent NULL handling).
+
+
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    truth = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    hit = pred.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    np_ = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        hit.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nt))
+        .selectExpr(
+            "n_truth",
+            "n_pred",
+            "n_hit",
+            "CASE WHEN n_pred = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE (1000000 * n_hit) DIV n_pred END AS precision_ppm",
+            "CASE WHEN n_truth = 0 THEN CAST(-1 AS BIGINT)"
+            " ELSE (1000000 * n_hit) DIV n_truth END AS recall_ppm",
+        )
+    )
+
+
+DEDUP_LSH_QUALITY_SQL = f"""
+WITH pred AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+), truth AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_SHINGLE_JACCARD_SQL})
+), m AS (
+  SELECT (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM pred JOIN truth USING (doc_a, doc_b)) AS n_hit
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_pred = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST((1000000 * n_hit) // n_pred AS BIGINT) END
+         AS precision_ppm,
+       CASE WHEN n_truth = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST((1000000 * n_hit) // n_truth AS BIGINT) END
+         AS recall_ppm
+FROM m
+"""
+
+QUERIES["dedup_lsh_quality"] = dedup_lsh_quality
+ORACLES["dedup_lsh_quality"] = DEDUP_LSH_QUALITY_SQL

@@ -430,3 +430,17 @@ def test_pca_plan_broadcasts_the_state_vector(spark):
     plan = _plan(pca_power_iteration(spark, SF_EST))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_dedup_quality_gate(spark):
+    """The per-round LSH dedup quality gate the driver will hash: recall
+    of the band index against exact Jaccard >= 0.2 truth must stay >= 0.9
+    (banding theory: near-certain firing on the planted J >= 0.5 family),
+    with sane precision and counts."""
+    from pdf_craft_spark.queries.dedup import dedup_lsh_quality
+
+    r = dedup_lsh_quality(spark, SF_EST).collect()[0]
+    assert r["n_truth"] > 0 and r["n_pred"] > 0
+    assert r["n_hit"] <= min(r["n_truth"], r["n_pred"])
+    assert r["recall_ppm"] >= 900_000, r
+    assert 0 < r["precision_ppm"] <= 1_000_000
