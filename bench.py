@@ -74,6 +74,7 @@ HEADLINE = [
     "decision_stump_train",
     "pca_power_iteration",
     "dedup_lsh_quality",
+    "poisson_bootstrap_ci",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

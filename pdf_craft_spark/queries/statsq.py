@@ -612,3 +612,147 @@ GROUP BY r.f, n.n ORDER BY l_returnflag
 
 QUERIES["median_binned_two_pass"] = median_binned_two_pass
 ORACLES["median_binned_two_pass"] = MEDIAN_BINNED_TWO_PASS_SQL
+
+
+# --- poisson_bootstrap_ci: distributed statistical inference -------------
+# The bootstrap is THE nonparametric CI, and the Poisson bootstrap is its
+# distributed form: classic resampling (draw n of n with replacement)
+# needs global coordination, but for large n the multinomial weight of
+# each row converges to independent Poisson(1) draws — so every row can
+# compute its own weight in every resample from a hash, one scan, no
+# coordination, perfectly combinable aggregation (the Google/Meta
+# large-scale CI recipe; Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams").  Determinism discipline: the Poisson(1)
+# inverse-CDF is applied to the shared 60-bit md5 uniform via INTEGER
+# thresholds floor(cdf_k * 2^60) rendered once in Python and embedded as
+# the same literals in both engines — no libm at query time, identical
+# weights everywhere.  Per (priority group, resample b in 0..63) the
+# weighted mean is exact integer milli-cents; the 95% CI is the 2nd and
+# 63rd order statistic of the 64 resample means (window rank, 320 rows).
+# Output also carries the exact group mean, so the driver hash gates
+# BOTH the CI construction and the claim that it brackets the truth.
+#
+# Scale: the explode is a constant 64x map-side multiplier feeding ONE
+# partial-agg shuffle keyed by (group, b) — 5*64 = 320 reduce rows; no
+# row-level state, no second scan.
+_BOOT_B = 64
+_R60_BOOT = 1 << 60
+
+
+def _poisson_thresholds() -> list[int]:
+    # cdf of Poisson(1) up to k=8 (tail mass ~1e-6 collapses into k=8)
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(9):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(acc, 1.0))
+    return [int(c * _R60_BOOT) for c in cdf]
+
+
+_BOOT_T = _poisson_thresholds()
+
+
+def _boot_weight_case(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    h = md5_prefix_long_sql("concat(o_orderkey, '|', b)", 15, "spark")
+    means = (
+        orders.selectExpr(
+            "o_orderpriority AS grp",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+            "o_orderkey",
+        )
+        .selectExpr("grp", "cents", "o_orderkey", f"explode(sequence(0, {_BOOT_B - 1})) AS b")
+        .selectExpr("grp", "cents", "b", f"{_boot_weight_case(f'({h})')} AS w")
+        .groupBy("grp", "b")
+        .agg(
+            F.expr("sum(w * cents)").alias("sw_cents"),
+            F.expr("sum(w)").alias("sw"),
+        )
+        .selectExpr("grp", "b", "(1000 * sw_cents) DIV sw AS mean_mc")
+    )
+    ranked = means.selectExpr(
+        "grp",
+        "mean_mc",
+        "row_number() OVER (PARTITION BY grp ORDER BY mean_mc, b) AS rk",
+    )
+    ci = ranked.groupBy("grp").agg(
+        F.expr("min(CASE WHEN rk = 2 THEN mean_mc END)").alias("ci_lo_mc"),
+        F.expr(f"min(CASE WHEN rk = {_BOOT_B - 1} THEN mean_mc END)").alias(
+            "ci_hi_mc"
+        ),
+    )
+    exact = orders.selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    ).groupBy("grp").agg(
+        F.expr("(1000 * sum(cents)) DIV count(1)").alias("mean_exact_mc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        ci.join(exact, "grp")
+        .selectExpr(
+            "grp",
+            "n",
+            "mean_exact_mc",
+            "ci_lo_mc",
+            "ci_hi_mc",
+            "ci_hi_mc - ci_lo_mc AS ci_width_mc",
+            "CASE WHEN mean_exact_mc BETWEEN ci_lo_mc AND ci_hi_mc"
+            " THEN 1 ELSE 0 END AS covers_truth",
+        )
+    )
+
+
+def _bootstrap_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("(o_orderkey || '|' || b)", 15, "duck")
+    return f"""
+WITH expl AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey, unnest(range({_BOOT_B})) AS b
+  FROM orders
+), w AS (
+  SELECT grp, cents, b, {_boot_weight_case(f'({h})')} AS w FROM expl
+), means AS (
+  SELECT grp, b, (1000 * sum(w * cents)) // sum(w) AS mean_mc
+  FROM w GROUP BY grp, b
+), ranked AS (
+  SELECT grp, mean_mc,
+         row_number() OVER (PARTITION BY grp ORDER BY mean_mc, b) AS rk
+  FROM means
+), ci AS (
+  SELECT grp,
+         min(CASE WHEN rk = 2 THEN mean_mc END) AS ci_lo_mc,
+         min(CASE WHEN rk = {_BOOT_B - 1} THEN mean_mc END) AS ci_hi_mc
+  FROM ranked GROUP BY grp
+), exact AS (
+  SELECT o_orderpriority AS grp,
+         (1000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+           // count(*) AS mean_exact_mc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT ci.grp AS grp, n, mean_exact_mc, ci_lo_mc, ci_hi_mc,
+       ci_hi_mc - ci_lo_mc AS ci_width_mc,
+       CASE WHEN mean_exact_mc BETWEEN ci_lo_mc AND ci_hi_mc
+            THEN 1 ELSE 0 END AS covers_truth
+FROM ci JOIN exact ON exact.grp = ci.grp
+"""
+
+
+POISSON_BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
+ORACLES["poisson_bootstrap_ci"] = POISSON_BOOTSTRAP_CI_SQL

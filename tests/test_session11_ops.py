@@ -444,3 +444,48 @@ def test_lsh_dedup_quality_gate(spark):
     assert r["n_hit"] <= min(r["n_truth"], r["n_pred"])
     assert r["recall_ppm"] >= 900_000, r
     assert 0 < r["precision_ppm"] <= 1_000_000
+
+
+# --- poisson_bootstrap_ci: coverage and width scaling
+
+
+def test_bootstrap_covers_truth_on_real_corpus(spark):
+    """Deterministic md5 resampling: the observed outcome is fixed, so the
+    5/5 coverage seen at sf0.01 is a pinned regression gate, not a
+    probabilistic claim."""
+    from pdf_craft_spark.queries.statsq import poisson_bootstrap_ci
+
+    rows = poisson_bootstrap_ci(spark, SF_EST).collect()
+    assert len(rows) == 5
+    assert all(r["covers_truth"] == 1 for r in rows)
+    for r in rows:
+        assert r["ci_lo_mc"] < r["mean_exact_mc"] < r["ci_hi_mc"]
+        # ~2% relative width at n~3000 — an order-of-magnitude envelope
+        assert r["ci_width_mc"] < 0.2 * r["mean_exact_mc"]
+
+
+def test_bootstrap_width_shrinks_with_n(spark, tmp_path):
+    """CI width must scale roughly 1/sqrt(n): a 16x larger group's
+    interval is 2.5-6x narrower (random corpus, same value
+    distribution)."""
+    from pdf_craft_spark.queries.statsq import poisson_bootstrap_ci
+
+    rng = random.Random(97)
+    rows = []
+    k = 0
+    for grp, n in (("small", 400), ("large", 6400)):
+        for _ in range(n):
+            k += 1
+            rows.append((k, grp, round(rng.uniform(100.0, 900.0), 2)))
+    df = spark.createDataFrame(
+        rows, ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    _write(spark, str(tmp_path), "orders", df)
+
+    got = {
+        r["grp"]: r
+        for r in poisson_bootstrap_ci(spark, str(tmp_path)).collect()
+    }
+    ratio = got["small"]["ci_width_mc"] / got["large"]["ci_width_mc"]
+    assert 2.5 < ratio < 6.5, ratio
+    assert got["large"]["covers_truth"] == 1
