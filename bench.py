@@ -75,6 +75,7 @@ HEADLINE = [
     "pca_power_iteration",
     "dedup_lsh_quality",
     "poisson_bootstrap_ci",
+    "permutation_test_diff",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",

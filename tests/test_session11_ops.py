@@ -489,3 +489,47 @@ def test_bootstrap_width_shrinks_with_n(spark, tmp_path):
     ratio = got["small"]["ci_width_mc"] / got["large"]["ci_width_mc"]
     assert 2.5 < ratio < 6.5, ratio
     assert got["large"]["covers_truth"] == 1
+
+
+# --- permutation_test_diff: both tails pinned on planted corpora
+
+
+def _perm_orders(rng, n, shift):
+    rows = []
+    for i in range(n):
+        grp = "1-URGENT" if i % 2 == 0 else "5-LOW"
+        val = rng.uniform(100.0, 900.0) + (shift if grp == "1-URGENT" else 0.0)
+        rows.append((i, grp, round(val, 2)))
+    return rows
+
+
+def test_permutation_detects_planted_shift(spark, tmp_path):
+    """A +40% mean shift on one group must drive p to the add-one floor
+    (1000 // 129 = 7)."""
+    from pdf_craft_spark.queries.statsq import permutation_test_diff
+
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        _perm_orders(rng, 3000, 200.0),
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    _write(spark, str(tmp_path), "orders", df)
+    r = permutation_test_diff(spark, str(tmp_path)).collect()[0]
+    assert r["p_milli"] == 7, r
+    # $200 planted shift = 20M milli-cents
+    assert r["obs_diff_mc"] > 15_000_000
+
+
+def test_permutation_high_p_under_true_null(spark, tmp_path):
+    """Identical distributions in both groups: p must land well above any
+    rejection threshold (deterministic md5 resampling pins the value)."""
+    from pdf_craft_spark.queries.statsq import permutation_test_diff
+
+    rng = random.Random(8)
+    df = spark.createDataFrame(
+        _perm_orders(rng, 3000, 0.0),
+        ["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    _write(spark, str(tmp_path), "orders", df)
+    r = permutation_test_diff(spark, str(tmp_path)).collect()[0]
+    assert r["p_milli"] > 100, r
