@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_lsh_quality",
     "poisson_bootstrap_ci",
     "permutation_test_diff",
+    "conformal_interval_orders",
     "bloom_membership_probe",
     "funnel_conversion",
     "cohort_retention",
