@@ -961,3 +961,196 @@ STREAMING_UPSERT_MERGE_SQL = _streaming_upsert_sql()
 
 QUERIES["streaming_upsert_merge"] = streaming_upsert_merge
 ORACLES["streaming_upsert_merge"] = STREAMING_UPSERT_MERGE_SQL
+
+
+def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY under real incremental execution — the reason
+    registers exist at 100 TB: the event feed arrives as three time-split
+    micro-batches, each batch reduces to per-(event_type, bucket) HLL
+    register maxes, and ``foreachBatch`` merges them into the accumulated
+    state by register-wise GREATEST (a full-outer join on the register
+    key — the written-sketch-table twin).  The oracle is the ONE-SHOT
+    batch sketch over the whole table: registers are set-max-composable,
+    so the streamed merge must be BIT-IDENTICAL to the batch build no
+    matter how rows were batched — if foreachBatch dropped, double-
+    applied or mis-merged a batch, every downstream estimate hash breaks.
+    Counted entity: (user, day) per event_type (~1,600 per type at
+    sf0.01 — inside the m=256 raw-estimate validity band, same choice as
+    sliding_hll_user_days_7d); the exact distinct count rides along so
+    the record shows estimator error, not just merge equality."""
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _mpl
+    from pdf_craft_spark.queries.sketches import (
+        _AM2,
+        _M,
+        _RHO,
+        _SCALE,
+        _WBITS,
+    )
+
+    key = "concat(CAST(user_id AS STRING), '|', CAST(day AS STRING))"
+    h = _mpl(key, 15, "spark")
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .selectExpr(
+            "event_type",
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') AS day",
+            "user_id",
+        )
+        .selectExpr(
+            "event_type",
+            "day",
+            "user_id",
+            "day % 3 AS batch_id",
+            f"({h}) AS h",
+        )
+        .selectExpr(
+            "event_type",
+            "day",
+            "user_id",
+            "batch_id",
+            f"CAST(h % {_M} AS INT) AS bucket",
+            f"h DIV {_M} AS w",
+        )
+        .selectExpr(
+            "event_type", "day", "user_id", "batch_id", "bucket",
+            f"{_RHO} AS rho",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    in_dir = os.path.join(work, "in")
+    state: dict = {"df": None}
+
+    def merge(bdf, batch_id):
+        regs = (
+            bdf.groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("mreg"))
+        )
+        if state["df"] is None:
+            state["df"] = regs.localCheckpoint(eager=True)
+            return
+        s = state["df"].alias("s")
+        n = regs.alias("n")
+        state["df"] = (
+            s.join(
+                n,
+                (F.col("s.event_type") == F.col("n.event_type"))
+                & (F.col("s.bucket") == F.col("n.bucket")),
+                "full_outer",
+            )
+            .selectExpr(
+                "coalesce(s.event_type, n.event_type) AS event_type",
+                "coalesce(s.bucket, n.bucket) AS bucket",
+                "greatest(coalesce(s.mreg, 0), coalesce(n.mreg, 0)) AS mreg",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    try:
+        for b in range(3):
+            batch = base.filter(F.col("batch_id") == b).select(
+                "event_type", "bucket", "rho"
+            )
+            batch.coalesce(1).write.parquet(os.path.join(in_dir, f"b{b}"))
+        stream = (
+            spark.readStream.schema("event_type string, bucket int, rho int")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        sums = (
+            state["df"]
+            .groupBy("event_type")
+            .agg(
+                F.expr(
+                    f"CAST(sum(CAST(power(2, {_WBITS + 1} - mreg) AS BIGINT))"
+                    f" + ({_M} - count(1)) * {_SCALE} AS BIGINT)"
+                ).alias("s_scaled"),
+                F.count(F.lit(1)).cast("int").alias("n_buckets_set"),
+            )
+        )
+        exact = (
+            base.select("event_type", "day", "user_id")
+            .distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_user_days"))
+        )
+        final = (
+            sums.join(exact, "event_type")
+            .selectExpr(
+                "event_type",
+                f"CAST(round(CAST({_AM2} AS DOUBLE) * CAST({_SCALE} AS"
+                " DOUBLE) / CAST(s_scaled AS DOUBLE), 3) AS DOUBLE)"
+                " AS est_user_days",
+                "n_buckets_set",
+                "exact_user_days",
+            )
+            .orderBy("event_type")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _streaming_hll_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql as _mpl
+    from pdf_craft_spark.queries.sketches import (
+        _AM2,
+        _M,
+        _SCALE,
+        _WBITS,
+        _bitlen_case,
+    )
+
+    key = "CAST(user_id AS VARCHAR) || '|' || CAST(day AS VARCHAR)"
+    hd = _mpl(key, 15, "duck")
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         user_id
+  FROM events
+), rho AS (
+  SELECT event_type,
+         CAST(h % {_M} AS INT) AS bucket,
+         {_WBITS + 1} - {_bitlen_case(f'(h // {_M})')} AS rho
+  FROM (SELECT event_type, ({hd}) AS h FROM base)
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS mreg
+  FROM rho GROUP BY event_type, bucket
+), sums AS (
+  SELECT event_type,
+         CAST(sum(CAST(power(2, {_WBITS + 1} - mreg) AS BIGINT))
+              + ({_M} - count(*)) * {_SCALE} AS BIGINT) AS s_scaled,
+         CAST(count(*) AS INT) AS n_buckets_set
+  FROM regs GROUP BY event_type
+), exact AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_user_days
+  FROM (SELECT DISTINCT event_type, day, user_id FROM base)
+  GROUP BY event_type
+)
+SELECT s.event_type AS event_type,
+       CAST(round(CAST({_AM2} AS DOUBLE) * CAST({_SCALE} AS DOUBLE)
+            / CAST(s_scaled AS DOUBLE), 3) AS DOUBLE) AS est_user_days,
+       n_buckets_set,
+       exact_user_days
+FROM sums s JOIN exact e ON e.event_type = s.event_type
+ORDER BY event_type
+"""
+
+
+STREAMING_HLL_MERGE_SQL = _streaming_hll_sql()
+
+QUERIES["streaming_hll_merge"] = streaming_hll_merge
+ORACLES["streaming_hll_merge"] = STREAMING_HLL_MERGE_SQL

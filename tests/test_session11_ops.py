@@ -580,3 +580,17 @@ def test_conformal_adapts_to_noise_scale(spark, tmp_path):
         widths.append(r["width_mc"])
     ratio = widths[1] / widths[0]
     assert 3.0 < ratio < 5.0, ratio
+
+
+def test_streaming_hll_merge_estimates_sane(spark):
+    """The streamed-merge == batch-sketch invariant is the oracle hash;
+    here: all five event types present, estimator error inside the m=256
+    band (~6%/sqrt-ish at n~1600), and every register count <= m."""
+    from pdf_craft_spark.queries.streamingq import streaming_hll_merge
+
+    rows = streaming_hll_merge(spark, SF_EST).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r["n_buckets_set"] <= 256
+        rel = abs(r["est_user_days"] - r["exact_user_days"]) / r["exact_user_days"]
+        assert rel < 0.15, (r["event_type"], rel)
