@@ -9,7 +9,7 @@ only; the storage format is a plugin.  Two implementations:
   operations expressed against Spark's DataSourceV2 ``writeTo`` API.  It
   needs the iceberg-spark-runtime jar + a configured catalog (neither is
   in this image — re-checked each round, last 2026-08-18 round 5
-  session 10: no iceberg jar anywhere on the filesystem and no network
+  session 11: no iceberg jar anywhere on the filesystem and no network
   to fetch one; the class raises a clear error without them and its
   test is import-gated), but
   every method body is the real call so "use Iceberg at prod" is a
