@@ -370,3 +370,332 @@ CONFORMAL_INTERVAL_ORDERS_SQL = _conformal_sql()
 
 QUERIES["conformal_interval_orders"] = conformal_interval_orders
 ORACLES["conformal_interval_orders"] = CONFORMAL_INTERVAL_ORDERS_SQL
+
+
+# --- als_factor_step: the canonical Spark distributed-ML operator ---------
+# One exact half-step of Alternating Least Squares (Koren/Hu-Koren-Volinsky;
+# the operator Spark MLlib's recommender is built on): hold the ITEM factor
+# matrix fixed and solve every USER's ridge normal equations
+#     (Q_u^T Q_u + lambda I) x_u = Q_u^T r_u
+# in closed form.  The rating matrix is the purchase matrix (customer x
+# part, r = total quantity over orders |X| lineitem); item factors are a
+# deterministic k=2 integer function of the part key's md5 (the fixed
+# "other side" any single ALS sweep conditions on), so both engines
+# construct the identical problem.  Because k=2, the per-user solve is
+# exact integer Cramer's rule — adj(A) b over det(A) — emitted in micro
+# units via truncating division (Spark DIV == DuckDB //, both toward
+# zero), making every user's factor vector bit-identical cross-engine.
+# The ridge term guarantees det > 0 (A is positive definite), so the
+# division is always defined.
+#
+# Scale shape: EXACTLY production ALS — the ratings shuffle groups by
+# user, the normal-equation entries (a11, a12, a22, b1, b2) are plain
+# combinable SUMs of per-rating products, and the solve is five
+# arithmetic expressions per user row.  No matrix library, no driver
+# state, no iteration-local collect; a full ALS alternation is this same
+# plan run with user/item roles swapped.  Overflow headroom: q in [1,8],
+# per-user ratings <= ~50 rows, r <= ~2000 => |b| <= 8e5, |adj*b| <=
+# ~3e9, times 1e6 well inside int64; a billion-user corpus widens the
+# five sums to DECIMAL(38,0) with the same plan (spearman precedent).
+_ALS_LAMBDA = 10
+_ALS_Q_MOD = 7  # q components in [1, 7]
+
+
+def als_factor_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(l_partkey AS STRING)", 8, "spark")
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    rat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias("r"))
+        .selectExpr(
+            "o_custkey",
+            "r",
+            f"1 + ({h}) % {_ALS_Q_MOD} AS q1",
+            f"1 + (({h}) DIV {_ALS_Q_MOD}) % {_ALS_Q_MOD} AS q2",
+        )
+    )
+    eq = rat.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.expr(f"{_ALS_LAMBDA} + sum(q1 * q1)").alias("a11"),
+        F.expr("sum(q1 * q2)").alias("a12"),
+        F.expr(f"{_ALS_LAMBDA} + sum(q2 * q2)").alias("a22"),
+        F.expr("sum(q1 * r)").alias("b1"),
+        F.expr("sum(q2 * r)").alias("b2"),
+    )
+    return eq.selectExpr(
+        "o_custkey",
+        "n_items",
+        "CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det",
+        f"CAST(((a22 * b1 - a12 * b2) * {_MICRO})"
+        " DIV (a11 * a22 - a12 * a12) AS BIGINT) AS x1_micro",
+        f"CAST(((a11 * b2 - a12 * b1) * {_MICRO})"
+        " DIV (a11 * a22 - a12 * a12) AS BIGINT) AS x2_micro",
+    ).orderBy("o_custkey")
+
+
+def _als_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(l_partkey AS VARCHAR)", 8, "duck")
+    return f"""
+WITH rat AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r,
+         1 + ({h}) % {_ALS_Q_MOD} AS q1,
+         1 + (({h}) // {_ALS_Q_MOD}) % {_ALS_Q_MOD} AS q2
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_partkey
+), eq AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         {_ALS_LAMBDA} + sum(q1 * q1) AS a11,
+         sum(q1 * q2) AS a12,
+         {_ALS_LAMBDA} + sum(q2 * q2) AS a22,
+         sum(q1 * r) AS b1,
+         sum(q2 * r) AS b2
+  FROM rat GROUP BY o_custkey
+)
+SELECT o_custkey, n_items,
+       CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det,
+       CAST(((a22 * b1 - a12 * b2) * {_MICRO})
+            // (a11 * a22 - a12 * a12) AS BIGINT) AS x1_micro,
+       CAST(((a11 * b2 - a12 * b1) * {_MICRO})
+            // (a11 * a22 - a12 * a12) AS BIGINT) AS x2_micro
+FROM eq ORDER BY o_custkey
+"""
+
+
+ALS_FACTOR_STEP_SQL = _als_sql()
+
+QUERIES["als_factor_step"] = als_factor_step
+ORACLES["als_factor_step"] = ALS_FACTOR_STEP_SQL
+
+
+# --- gbt_residual_boost: the gradient-boosting outer loop -----------------
+# Two rounds of least-squares boosting over decision stumps — the loop
+# that makes decision_stump_train into a gradient-boosted model
+# (Friedman's L2Boost; XGBoost's outer iteration with learning rate 1 and
+# depth-1 trees): round 1 fits a regression stump to the milli-scaled
+# label, round 2 fits a second stump to the EXACT integer residuals the
+# first one leaves behind.  Split quality is the SSE-reduction identity
+#     gain = S_l^2/n_l + S_r^2/n_r - S_t^2/n_t
+# (S = sum of the target in milli), evaluated with truncating division on
+# the compressed (feature, value) -> (n, S) table, so candidate
+# enumeration never revisits raw rows (the histogram method, as in
+# decision_stump_train).  Leaf values are integer milli means; residuals
+# are therefore exact integers and round 2 is bit-identical cross-engine.
+# The argmax tiebreak (gain DESC, feat, val) is total, so the chosen
+# model is deterministic everywhere.
+#
+# Scale shape: each round is ONE aggregation over the fact table plus
+# window prefix-sums over a ~100-row candidate table; the fitted stump
+# re-enters as a broadcast single row (BroadcastNestedLoopJoin on a
+# 1-row side — the whitelisted scalar-broadcast shape), so residual
+# computation is a map stage.  Overflow: |S| <= n * 1000; squares stay
+# inside int64 up to ~3e6 rows, beyond which the sums widen to
+# DECIMAL(38,0) with the same plan (spearman/tfidf precedent).
+def gbt_residual_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    base = li.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(l_extendedprice AS BIGINT) DIV 1000 AS price_kilo",
+        "CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END AS t",
+    ).localCheckpoint(eager=True)  # scanned by both rounds; = written split
+
+    def best_stump(target: DataFrame, rnd: int) -> DataFrame:
+        comp = (
+            target.selectExpr("'qty' AS feat", "qty AS val", "t")
+            .unionByName(
+                target.selectExpr("'price_kilo' AS feat", "price_kilo AS val", "t")
+            )
+            .groupBy("feat", "val")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("t").cast("long").alias("s"))
+        )
+        cand = comp.selectExpr(
+            "feat",
+            "val",
+            "sum(n) OVER (PARTITION BY feat ORDER BY val) AS n_l",
+            "sum(s) OVER (PARTITION BY feat ORDER BY val) AS s_l",
+            "sum(n) OVER (PARTITION BY feat) AS n_t",
+            "sum(s) OVER (PARTITION BY feat) AS s_t",
+        ).filter("n_l < n_t")
+        return (
+            cand.selectExpr(
+                "feat",
+                "val",
+                "s_l DIV n_l AS leaf_l",
+                "(s_t - s_l) DIV (n_t - n_l) AS leaf_r",
+                "(s_l * s_l) DIV n_l + ((s_t - s_l) * (s_t - s_l))"
+                " DIV (n_t - n_l) - (s_t * s_t) DIV n_t AS gain",
+            )
+            .orderBy(F.desc("gain"), "feat", "val")
+            .limit(1)
+            .selectExpr(
+                f"CAST({rnd} AS BIGINT) AS round",
+                "feat AS feature",
+                "CAST(val AS BIGINT) AS threshold",
+                "CAST(leaf_l AS BIGINT) AS leaf_left_milli",
+                "CAST(leaf_r AS BIGINT) AS leaf_right_milli",
+                "CAST(gain AS BIGINT) AS gain",
+            )
+        )
+
+    b1 = best_stump(base, 1)
+    resid = base.crossJoin(F.broadcast(b1)).selectExpr(
+        "qty",
+        "price_kilo",
+        "t - CASE WHEN (feature = 'qty' AND qty <= threshold)"
+        " OR (feature = 'price_kilo' AND price_kilo <= threshold)"
+        " THEN leaf_left_milli ELSE leaf_right_milli END AS t",
+    )
+    return b1.unionByName(best_stump(resid, 2)).orderBy("round")
+
+
+def _gbt_stump_sql(src: str, rnd: int, out: str) -> str:
+    return f"""comp{rnd} AS (
+  SELECT feat, val, count(*) AS n, CAST(sum(t) AS BIGINT) AS s
+  FROM (
+    SELECT 'qty' AS feat, qty AS val, t FROM {src}
+    UNION ALL
+    SELECT 'price_kilo' AS feat, price_kilo AS val, t FROM {src}
+  ) GROUP BY feat, val
+), cand{rnd} AS (
+  SELECT feat, val,
+         sum(n) OVER (PARTITION BY feat ORDER BY val) AS n_l,
+         sum(s) OVER (PARTITION BY feat ORDER BY val) AS s_l,
+         sum(n) OVER (PARTITION BY feat) AS n_t,
+         sum(s) OVER (PARTITION BY feat) AS s_t
+  FROM comp{rnd}
+), {out} AS (
+  SELECT CAST({rnd} AS BIGINT) AS round, feat AS feature,
+         CAST(val AS BIGINT) AS threshold,
+         CAST(s_l // n_l AS BIGINT) AS leaf_left_milli,
+         CAST((s_t - s_l) // (n_t - n_l) AS BIGINT) AS leaf_right_milli,
+         CAST((s_l * s_l) // n_l + ((s_t - s_l) * (s_t - s_l))
+              // (n_t - n_l) - (s_t * s_t) // n_t AS BIGINT) AS gain
+  FROM cand{rnd} WHERE n_l < n_t
+  ORDER BY gain DESC, feat, val
+  LIMIT 1
+)"""
+
+
+GBT_RESIDUAL_BOOST_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_extendedprice AS BIGINT) // 1000 AS price_kilo,
+         CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END AS t
+  FROM lineitem
+), {_gbt_stump_sql('base', 1, 'b1')},
+resid AS (
+  SELECT qty, price_kilo,
+         t - CASE WHEN (feature = 'qty' AND qty <= threshold)
+                   OR (feature = 'price_kilo' AND price_kilo <= threshold)
+              THEN leaf_left_milli ELSE leaf_right_milli END AS t
+  FROM base CROSS JOIN b1
+), {_gbt_stump_sql('resid', 2, 'b2')}
+SELECT * FROM b1 UNION ALL SELECT * FROM b2 ORDER BY round
+"""
+
+QUERIES["gbt_residual_boost"] = gbt_residual_boost
+ORACLES["gbt_residual_boost"] = GBT_RESIDUAL_BOOST_SQL
+
+
+# --- calibration_bins_eval: reliability diagram + ECE ---------------------
+# The model-evaluation step classifier_eval_lang doesn't cover: is a
+# probabilistic predictor CALIBRATED — when it says "p% likely", does the
+# event happen p% of the time?  The reliability-diagram procedure
+# (DeGroot/Fienberg; Guo et al.'s Expected Calibration Error) reduced to
+# integer relational algebra: the house md5 doc_id split separates train
+# from test; the predictor is the train fold's per-(lang, source)
+# long-document rate in ppm (the corpus's one grouping with genuine 0..1
+# rate spread, so the diagram populates many bins); test rows land in ten
+# equal-width prediction bins (pred_ppm DIV 100000); each bin reports its
+# mean predicted vs realized rate and the absolute gap, and
+#     ECE_ppm = sum_b n_b * |gap_b| / sum_b n_b
+# rides along as a window sum so the driver hash re-proves the measured
+# calibration level every round.  All arithmetic is integer ppm with
+# truncating division — no floats, no libm.  (The small per-group train
+# samples make the predictor genuinely overconfident at the bin edges —
+# a nonzero ECE is the honest, informative reading.)
+#
+# Scale shape: one scan fans into the two folds by a per-row hash
+# predicate; the model is a tiny grouped aggregate broadcast back onto
+# the test fold; the bin rollup is a second combinable aggregate; the
+# ECE window runs over <= 11 rows.  Nothing grows with corpus size
+# except the two aggregations.
+_CAL_LONG_CHARS = 300
+
+
+def calibration_bins_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(doc_id AS STRING)", 4, "spark")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.selectExpr(
+        "lang",
+        "source",
+        f"CASE WHEN n_chars > {_CAL_LONG_CHARS} THEN 1 ELSE 0 END AS y",
+        f"({h}) % 100 AS pct",
+    ).localCheckpoint(eager=True)  # both folds scan it; = written split
+    model = (
+        base.filter("pct < 70")
+        .groupBy("lang", "source")
+        .agg(F.expr("(1000000 * sum(y)) DIV count(1)").alias("pred_ppm"))
+    )
+    test = base.filter("pct >= 70").join(F.broadcast(model), ["lang", "source"])
+    bins = test.groupBy(F.expr("pred_ppm DIV 100000").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(pred_ppm)").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return bins.selectExpr(
+        "CAST(bin AS BIGINT) AS bin",
+        "n AS n_test",
+        "CAST(sp DIV n AS BIGINT) AS mean_pred_ppm",
+        "CAST((1000000 * sy) DIV n AS BIGINT) AS actual_ppm",
+        "CAST(abs(sp DIV n - (1000000 * sy) DIV n) AS BIGINT) AS gap_ppm",
+        "CAST(sum(n * abs(sp DIV n - (1000000 * sy) DIV n)) OVER ()"
+        " DIV sum(n) OVER () AS BIGINT) AS ece_ppm",
+    ).orderBy("bin")
+
+
+def _calibration_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(doc_id AS VARCHAR)", 4, "duck")
+    return f"""
+WITH base AS (
+  SELECT lang, source,
+         CASE WHEN n_chars > {_CAL_LONG_CHARS} THEN 1 ELSE 0 END AS y,
+         ({h}) % 100 AS pct
+  FROM documents
+), model AS (
+  SELECT lang, source, (1000000 * sum(y)) // count(*) AS pred_ppm
+  FROM base WHERE pct < 70 GROUP BY lang, source
+), test AS (
+  SELECT pred_ppm, y FROM base JOIN model USING (lang, source)
+  WHERE pct >= 70
+), bins AS (
+  SELECT pred_ppm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+         sum(pred_ppm) AS sp, CAST(sum(y) AS BIGINT) AS sy
+  FROM test GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       n AS n_test,
+       CAST(sp // n AS BIGINT) AS mean_pred_ppm,
+       CAST((1000000 * sy) // n AS BIGINT) AS actual_ppm,
+       CAST(abs(sp // n - (1000000 * sy) // n) AS BIGINT) AS gap_ppm,
+       CAST(sum(n * abs(sp // n - (1000000 * sy) // n)) OVER ()
+            // sum(n) OVER () AS BIGINT) AS ece_ppm
+FROM bins ORDER BY bin
+"""
+
+
+CALIBRATION_BINS_EVAL_SQL = _calibration_sql()
+
+QUERIES["calibration_bins_eval"] = calibration_bins_eval
+ORACLES["calibration_bins_eval"] = CALIBRATION_BINS_EVAL_SQL

@@ -763,3 +763,103 @@ ORDER BY 1
 
 QUERIES["sliding_distinct_users_7d"] = sliding_distinct_users_7d
 ORACLES["sliding_distinct_users_7d"] = SLIDING_DISTINCT_USERS_7D_SQL
+
+
+# --- ewma_order_smoothing: the exponential-smoothing recurrence ------------
+# EWMA / simple exponential smoothing (Holt's level equation) per customer
+# over the order-value series:  s_1 = x_1,  s_t = (x_t + 3 * s_{t-1}) DIV 4
+# (alpha = 1/4 as an exact dyadic rational; all values are positive cents,
+# so truncating and floor division coincide and both engines agree
+# bit-for-bit).  Under integer truncation each step depends on the
+# truncated previous state, so the recurrence is NOT window-expressible —
+# like token_bucket_throttle and clamped_running_balance it runs as a
+# shard-amortized applyInPandas kernel (64 user-hash shards, the
+# sequential unit stays the single customer's ordered series), and the
+# DuckDB oracle walks the identical recurrence with WITH RECURSIVE, so
+# the driver hash PROVES the kernel implements the recurrence exactly.
+# Ordering is total ((o_orderdate, o_orderkey)), making the walk
+# deterministic under any partitioning.
+#
+# Scale shape: ONE shuffle (groupBy shard); each shard is an independent
+# Arrow batch; per-customer state is O(1).  This is the streaming-ready
+# formulation — the same kernel body is what applyInPandasWithState would
+# run per micro-batch with s carried in state.
+_EWMA_NUM, _EWMA_DEN = 3, 4  # s <- (x + 3 s) / 4
+
+
+def ewma_order_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        "CAST(o_custkey % 64 AS INT) AS shard",
+        "o_orderkey",
+        # raw NTZ timestamp: used for ORDERING only, and kept tz-free so
+        # the kernel's sort matches the oracle's ORDER BY o_orderdate
+        # under any session timezone
+        "o_orderdate AS od",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_custkey", "od", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        out = []
+        for cust, grp in pdf.groupby("o_custkey", sort=True):
+            s = None
+            peak = 0
+            for cents in grp["cents"]:
+                x = int(cents)
+                s = x if s is None else (x + _EWMA_NUM * s) // _EWMA_DEN
+                peak = max(peak, s)
+            out.append((int(cust), len(grp), s, peak))
+        return pd.DataFrame(
+            out,
+            columns=["o_custkey", "n_orders", "final_ewma_cents", "peak_ewma_cents"],
+        )
+
+    return (
+        o.groupBy("shard")
+        .applyInPandas(
+            run,
+            schema=(
+                "o_custkey long, n_orders long, final_ewma_cents long,"
+                " peak_ewma_cents long"
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+EWMA_ORDER_SMOOTHING_SQL = f"""
+WITH RECURSIVE o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), walk AS (
+  SELECT o_custkey, rn, cents AS s, cents AS peak
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT nxt.o_custkey, nxt.rn,
+         (nxt.cents + {_EWMA_NUM} * w.s) // {_EWMA_DEN},
+         greatest(w.peak, (nxt.cents + {_EWMA_NUM} * w.s) // {_EWMA_DEN})
+  FROM walk w JOIN o nxt
+    ON nxt.o_custkey = w.o_custkey AND nxt.rn = w.rn + 1
+)
+SELECT o_custkey,
+       CAST(max(rn) AS BIGINT) AS n_orders,
+       CAST(max_by(s, rn) AS BIGINT) AS final_ewma_cents,
+       CAST(max_by(peak, rn) AS BIGINT) AS peak_ewma_cents
+FROM walk
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+QUERIES["ewma_order_smoothing"] = ewma_order_smoothing
+ORACLES["ewma_order_smoothing"] = EWMA_ORDER_SMOOTHING_SQL
