@@ -699,3 +699,256 @@ CALIBRATION_BINS_EVAL_SQL = _calibration_sql()
 
 QUERIES["calibration_bins_eval"] = calibration_bins_eval
 ORACLES["calibration_bins_eval"] = CALIBRATION_BINS_EVAL_SQL
+
+
+# --- isotonic_price_by_items: PAVA as exact relational algebra ------------
+# Weighted isotonic (monotone nondecreasing) regression of mean order
+# value against the order's line-item count — the curve-fitting step
+# behind monotone calibrators (Zadrozny/Elkan) and Spark MLlib's
+# IsotonicRegression.  Rather than port PAVA's sequential pooling loop,
+# the fit uses the EXACT minimax characterization of the isotonic
+# solution (Barlow et al. 1972):
+#     f(i) = max_{j <= i} min_{k >= i} avg(y_j .. y_k)
+# over the COMPRESSED (x, n, sum) table, with every candidate interval
+# average taken from two prefix sums.  The x domain is the line-item
+# count (<= ~15 distinct values — bounded by order width, NOT corpus
+# size), so the O(|x|^3) pair enumeration is a constant-size plan stage
+# over a table that a billion-order corpus still compresses to ~15 rows.
+# Averages are integer micro-cents with truncating division; the
+# truncated-average minimax is order-identical in both engines, so the
+# fitted step function is bit-exact cross-engine.  (With truncation the
+# minimax is our DEFINED fit — within 1 micro-cent of the rational PAVA
+# solution; the property test checks monotonicity and pool-mean
+# conservation against an independent pure-Python PAVA.)
+#
+# Scale shape: one orderkey-grouped count over the fact join, one
+# ~15-row compression, then constant-size self-joins.  Nothing after the
+# first aggregation grows with data volume.
+def isotonic_price_by_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.expr("CAST(round(max(o_totalprice) * 100) AS BIGINT)").alias("cents"),
+            F.count(F.lit(1)).alias("x"),
+        )
+    )
+    comp = (
+        per_order.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("sum(cents)").alias("s"))
+        .selectExpr(
+            "x",
+            "n",
+            "s",
+            "sum(n) OVER (ORDER BY x) AS np",
+            "sum(s) OVER (ORDER BY x) AS sp",
+        )
+    )
+    lo = comp.selectExpr("x AS xj", "np - n AS np0", "sp - s AS sp0")
+    hi = comp.selectExpr("x AS xk", "np AS np1", "sp AS sp1")
+    # non-equi joins over the ~15-row compressed table: broadcast the
+    # build side explicitly so the plan is BroadcastNestedLoopJoin (the
+    # registry bans CartesianProduct; static stats can't see how tiny
+    # these aggregates are)
+    pairs = lo.join(F.broadcast(hi), F.expr("xj <= xk")).selectExpr(
+        "xj",
+        "xk",
+        "((sp1 - sp0) * 1000000) DIV (np1 - np0) AS avg_micro",
+    )
+    pts = comp.select("x", "n")
+    inner = (
+        pts.join(F.broadcast(pairs), F.expr("xj <= x AND x <= xk"))
+        .groupBy("x", "n", "xj")
+        .agg(F.expr("min(avg_micro)").alias("m"))
+    )
+    return (
+        inner.groupBy("x", "n")
+        .agg(F.expr("max(m)").alias("fit_micro_cents"))
+        .selectExpr(
+            "CAST(x AS BIGINT) AS n_items",
+            "CAST(n AS BIGINT) AS n_orders",
+            "CAST(fit_micro_cents AS BIGINT) AS fit_micro_cents",
+        )
+        .orderBy("n_items")
+    )
+
+
+ISOTONIC_PRICE_BY_ITEMS_SQL = """
+WITH per_order AS (
+  SELECT o_orderkey,
+         CAST(round(max(o_totalprice) * 100) AS BIGINT) AS cents,
+         count(*) AS x
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey
+), comp AS (
+  SELECT x, count(*) AS n, sum(cents) AS s,
+         sum(count(*)) OVER (ORDER BY x) AS np,
+         sum(sum(cents)) OVER (ORDER BY x) AS sp
+  FROM per_order GROUP BY x
+), pairs AS (
+  SELECT lo.x AS xj, hi.x AS xk,
+         ((hi.sp - (lo.sp - lo.s)) * 1000000)
+           // (hi.np - (lo.np - lo.n)) AS avg_micro
+  FROM comp lo JOIN comp hi ON lo.x <= hi.x
+), inner_min AS (
+  SELECT p.x, p.n, pr.xj, min(pr.avg_micro) AS m
+  FROM comp p JOIN pairs pr ON pr.xj <= p.x AND p.x <= pr.xk
+  GROUP BY p.x, p.n, pr.xj
+)
+SELECT CAST(x AS BIGINT) AS n_items,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(max(m) AS BIGINT) AS fit_micro_cents
+FROM inner_min GROUP BY x, n ORDER BY n_items
+"""
+
+QUERIES["isotonic_price_by_items"] = isotonic_price_by_items
+ORACLES["isotonic_price_by_items"] = ISOTONIC_PRICE_BY_ITEMS_SQL
+
+
+# --- survival_km_curve: the Kaplan-Meier product-limit estimator ----------
+# The survival curve survival_reorder_times only bucketizes: S(t) for
+# time-to-second-purchase with right-censoring (single-order customers
+# censor at the corpus horizon = max order date).  The estimator is
+#     S(t) = prod_{t_i <= t, d_i > 0} (n_i - d_i) / n_i
+# computed over the COMPRESSED risk table (one row per distinct
+# event/censor day — bounded by the time domain, ~2200 days here, never
+# by corpus size).  Everything parallel stays in Catalyst: the
+# per-customer gap extraction is one window pass, the risk table is one
+# aggregation, and n_at_risk comes from a prefix-sum window.  Only the
+# running product is inherently sequential — under the house integer-ppm
+# truncation scheme S_i = (S_{i-1} * (n_i - d_i)) DIV n_i each step
+# depends on the truncated previous value, so (like token_bucket and
+# ewma) it runs as an applyInPandas kernel over the tiny risk table and
+# the DuckDB oracle walks the identical recurrence with WITH RECURSIVE —
+# the driver hash proves the kernel is the recurrence.  Truncation error
+# is < 1 ppm per event step, two orders below the estimator's own
+# sampling noise.
+#
+# Scale shape: two shuffles over the fact table (customer window + risk
+# aggregation); the sequential unit is the ~|distinct days| compressed
+# table — constant in corpus size, exactly how production KM on billions
+# of rows is computed (the risk table IS the reduction).
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = "PARTITION BY o_custkey ORDER BY d, o_orderkey"
+    ranked = o.selectExpr(
+        "o_custkey", "d", f"row_number() OVER ({w}) AS rk"
+    ).filter("rk <= 2")
+    horizon = ranked.agg(F.expr("max(d) AS hz"))
+    gaps = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.expr("min(d) AS d1"),
+            F.expr("max(CASE WHEN rk = 2 THEN d END) AS d2"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .selectExpr(
+            "CASE WHEN d2 IS NOT NULL THEN datediff(d2, d1)"
+            " ELSE datediff(hz, d1) END AS t",
+            "CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS e",
+        )
+    )
+    risk = (
+        gaps.groupBy("t")
+        .agg(
+            F.expr("sum(e)").alias("d_events"),
+            F.expr("sum(1 - e)").alias("c_censored"),
+        )
+        .selectExpr(
+            "t",
+            "d_events",
+            "c_censored",
+            "sum(d_events + c_censored) OVER (ORDER BY t ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND CURRENT ROW) AS consumed",
+            "sum(d_events + c_censored) OVER () AS total",
+        )
+        .selectExpr(
+            "t",
+            "d_events",
+            "c_censored",
+            "total - consumed + d_events + c_censored AS n_at_risk",
+        )
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        s = 1_000_000
+        out = []
+        for t, d, c, n in zip(
+            pdf["t"], pdf["d_events"], pdf["c_censored"], pdf["n_at_risk"]
+        ):
+            if d > 0:
+                s = (s * (int(n) - int(d))) // int(n)
+                out.append((int(t), int(n), int(d), int(c), s))
+        return pd.DataFrame(
+            out, columns=["t_days", "n_at_risk", "d_events", "c_censored", "s_ppm"]
+        )
+
+    return (
+        risk.groupBy(F.lit(0).alias("g"))
+        .applyInPandas(
+            walk,
+            schema=(
+                "t_days long, n_at_risk long, d_events long,"
+                " c_censored long, s_ppm long"
+            ),
+        )
+        .orderBy("t_days")
+    )
+
+
+SURVIVAL_KM_CURVE_SQL = """
+WITH RECURSIVE ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk
+  FROM orders
+), two AS (
+  SELECT * FROM ranked WHERE rk <= 2
+), hz AS (
+  SELECT max(d) AS hz FROM two
+), gaps AS (
+  SELECT CASE WHEN max(CASE WHEN rk = 2 THEN d END) IS NOT NULL
+              THEN date_diff('day', min(d), max(CASE WHEN rk = 2 THEN d END))
+              ELSE date_diff('day', min(d), (SELECT hz FROM hz)) END AS t,
+         CASE WHEN max(CASE WHEN rk = 2 THEN d END) IS NOT NULL
+              THEN 1 ELSE 0 END AS e
+  FROM two GROUP BY o_custkey
+), risk AS (
+  SELECT t, sum(e) AS d_events, sum(1 - e) AS c_censored,
+         sum(sum(e) + sum(1 - e)) OVER (ORDER BY t) AS consumed,
+         sum(sum(e) + sum(1 - e)) OVER () AS total
+  FROM gaps GROUP BY t
+), ev AS (
+  SELECT t, d_events, c_censored,
+         total - consumed + d_events + c_censored AS n_at_risk,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM risk WHERE d_events > 0
+), km AS (
+  SELECT rn, t, d_events, c_censored, n_at_risk,
+         (1000000 * (n_at_risk - d_events)) // n_at_risk AS s
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.rn, e.t, e.d_events, e.c_censored, e.n_at_risk,
+         (k.s * (e.n_at_risk - e.d_events)) // e.n_at_risk
+  FROM km k JOIN ev e ON e.rn = k.rn + 1
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       CAST(c_censored AS BIGINT) AS c_censored,
+       CAST(s AS BIGINT) AS s_ppm
+FROM km ORDER BY t_days
+"""
+
+QUERIES["survival_km_curve"] = survival_km_curve
+ORACLES["survival_km_curve"] = SURVIVAL_KM_CURVE_SQL

@@ -1637,3 +1637,52 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["q22_wealthy_inactive"] = q22_wealthy_inactive
 ORACLES["q22_wealthy_inactive"] = Q22_WEALTHY_INACTIVE_SQL
+
+
+# --- GROUPING SETS: the generalized multi-grain aggregation -----------------
+# a1_cube_revenue / unpivot_status_counts cover CUBE/ROLLUP/PIVOT/UNPIVOT;
+# this is the general form they both desugar to — an explicit GROUPING
+# SETS list mixing grains that CUBE would over-produce: per
+# (returnflag, linestatus), per returnflag, and the grand total, with
+# GROUPING() flags distinguishing "NULL because rolled up" from a NULL
+# key (the lossless-aggregation subtlety pivot tables get wrong).
+# Revenue stays in DECIMAL(18,2) end-to-end (the house float-parity
+# rule) and is emitted in exact cents.  One scan, one expand+aggregate —
+# Spark's Expand node replicates each row once per set (3x here), all
+# partial-aggregable, so the 100 TB cost is the same one shuffle as a
+# plain GROUP BY with a constant-factor map-side expand.
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS grain,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+GROUPING_SETS_REVENUE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+            AS BIGINT) AS grain,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY returnflag, linestatus
+"""
+
+QUERIES["grouping_sets_revenue"] = grouping_sets_revenue
+ORACLES["grouping_sets_revenue"] = GROUPING_SETS_REVENUE_SQL

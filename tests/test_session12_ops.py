@@ -228,3 +228,135 @@ def test_ewma_smooths_toward_series_range(spark):
     for r in ewma_order_smoothing(spark, SF).collect():
         assert lo - 3 <= r["final_ewma_cents"] <= hi
         assert lo - 3 <= r["peak_ewma_cents"] <= hi
+
+
+# --- isotonic_price_by_items ---------------------------------------------------
+
+
+def _pure_pava(points):
+    """Independent weighted PAVA (pool-adjacent-violators) in exact
+    rationals: [(x, n, s)] -> fitted Fraction per x."""
+    blocks = [[n, s, [x]] for x, n, s in points]  # weight, sum, members
+    i = 0
+    while i < len(blocks) - 1:
+        if Fraction(blocks[i][1], blocks[i][0]) > Fraction(
+            blocks[i + 1][1], blocks[i + 1][0]
+        ):
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fit = {}
+    for w, s, xs in blocks:
+        for x in xs:
+            fit[x] = Fraction(s, w)
+    return fit
+
+
+def test_isotonic_matches_pure_pava_within_truncation(spark):
+    from pdf_craft_spark.queries.mlq import isotonic_price_by_items
+
+    rows = isotonic_price_by_items(spark, SF01).collect()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+    pts = con.execute(
+        """
+        SELECT x, count(*) AS n, sum(cents) AS s FROM (
+          SELECT o_orderkey,
+                 CAST(round(max(o_totalprice) * 100) AS BIGINT) AS cents,
+                 count(*) AS x
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderkey
+        ) GROUP BY x ORDER BY x
+        """
+    ).fetchall()
+    fit = _pure_pava(pts)
+    got = {r["n_items"]: r["fit_micro_cents"] for r in rows}
+    assert set(got) == set(fit)
+    prev = None
+    for x in sorted(got):
+        # monotone nondecreasing
+        assert prev is None or got[x] >= prev
+        prev = got[x]
+        # within 1 micro-cent of the exact rational PAVA solution
+        assert abs(Fraction(got[x], 1_000_000) - fit[x]) * 1_000_000 <= 1, x
+
+
+# --- survival_km_curve ---------------------------------------------------------
+
+
+def test_km_curve_matches_pure_python_product_limit(spark):
+    from pdf_craft_spark.queries.mlq import survival_km_curve
+
+    rows = survival_km_curve(spark, SF).collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    raw = con.execute(
+        """
+        WITH ranked AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rk
+          FROM orders
+        )
+        SELECT o_custkey, min(d) AS d1,
+               max(CASE WHEN rk = 2 THEN d END) AS d2
+        FROM ranked WHERE rk <= 2 GROUP BY o_custkey
+        """
+    ).fetchall()
+    horizon = max(max(d1, d2 or d1) for _, d1, d2 in raw)
+    obs = []
+    for _, d1, d2 in raw:
+        if d2 is not None:
+            obs.append(((d2 - d1).days, 1))
+        else:
+            obs.append(((horizon - d1).days, 0))
+    times = sorted({t for t, _ in obs})
+    n_at_risk = len(obs)
+    s = 1_000_000
+    expect = []
+    for t in times:
+        d = sum(1 for tt, e in obs if tt == t and e == 1)
+        c = sum(1 for tt, e in obs if tt == t and e == 0)
+        if d > 0:
+            s = (s * (n_at_risk - d)) // n_at_risk
+            expect.append((t, n_at_risk, d, c, s))
+        n_at_risk -= d + c
+    got = [
+        (r["t_days"], r["n_at_risk"], r["d_events"], r["c_censored"], r["s_ppm"])
+        for r in sorted(rows, key=lambda r: r["t_days"])
+    ]
+    assert got == expect
+    # survival is a nonincreasing probability
+    ss = [r[-1] for r in got]
+    assert all(a >= b for a, b in zip(ss, ss[1:]))
+    assert 0 <= ss[-1] <= ss[0] <= 1_000_000
+
+
+# --- grouping_sets_revenue -----------------------------------------------------
+
+
+def test_grouping_sets_grains_are_consistent(spark):
+    from pdf_craft_spark.queries.relational2 import grouping_sets_revenue
+
+    rows = grouping_sets_revenue(spark, SF).collect()
+    fine = [r for r in rows if r["grain"] == 0]
+    per_flag = {r["returnflag"]: r for r in rows if r["grain"] == 1}
+    total = [r for r in rows if r["grain"] == 3]
+    assert len(total) == 1
+    # each rollup level must sum exactly to the level below
+    for flag, fr in per_flag.items():
+        sub = [r for r in fine if r["returnflag"] == flag]
+        assert fr["n_rows"] == sum(r["n_rows"] for r in sub)
+        assert fr["revenue_cents"] == sum(r["revenue_cents"] for r in sub)
+    assert total[0]["n_rows"] == sum(r["n_rows"] for r in per_flag.values())
+    assert total[0]["revenue_cents"] == sum(
+        r["revenue_cents"] for r in per_flag.values()
+    )
+    # rolled-up keys read 'ALL', and grain flags match the key pattern
+    assert total[0]["returnflag"] == total[0]["linestatus"] == "ALL"
+    assert all(r["linestatus"] == "ALL" for r in per_flag.values())
