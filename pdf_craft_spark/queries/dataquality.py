@@ -661,3 +661,86 @@ FROM m CROSS JOIN g
 
 QUERIES["null_semantics_matrix"] = null_semantics_matrix
 ORACLES["null_semantics_matrix"] = NULL_SEMANTICS_MATRIX_SQL
+
+
+# --- benford_first_digit: the forensic-accounting screening audit -----------
+# First-significant-digit distribution of order values vs Benford's law
+# (Newcomb 1881 / Benford 1938; the standard fraud/synthetic-data screen
+# auditors run over financial fact tables).  The expected frequencies
+# floor(1e6 * log10(1 + 1/d)) are PLAN-TIME integer literals (libm at
+# plan construction only — the hll/ndcg constant precedent), so the
+# audit itself is one scan + one 9-row aggregate in pure integers:
+# per digit the observed count, observed and expected ppm, the absolute
+# deviation, and the total-variation distance
+#     tvd_ppm = sum_d |obs_d - exp_d| / 2
+# as a window sum the driver hash re-checks every round.  On this
+# synthetic corpus the verdict is (correctly) NON-conformant — uniform
+# price generators are exactly what the screen exists to flag.
+#
+# Scale shape: the digit is substring arithmetic on the cents integer
+# (codegen, no cast through float), the rollup is a 9-group combinable
+# aggregate, and the window runs over 9 rows.  One shuffle total.
+import math as _math
+
+_BENFORD_EXP_PPM = {
+    d: int(1_000_000 * _math.log10(1 + 1 / d)) for d in range(1, 10)
+}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_EXP_PPM.items()
+    ) + " END"
+    o = _t(spark, sf_dir, "orders")
+    digits = o.selectExpr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS STRING), 1, 1) AS BIGINT) AS digit"
+    )
+    agg = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.selectExpr(
+            "digit",
+            "n",
+            "(1000000 * n) DIV sum(n) OVER () AS observed_ppm",
+            f"{exp_case} AS expected_ppm",
+        )
+        .selectExpr(
+            "digit",
+            "n",
+            "observed_ppm",
+            "expected_ppm",
+            "abs(observed_ppm - expected_ppm) AS dev_ppm",
+            "sum(abs(observed_ppm - expected_ppm)) OVER () DIV 2 AS tvd_ppm",
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_EXP_PPM.items()
+    ) + " END"
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), agg AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), scored AS (
+  SELECT digit, n,
+         (1000000 * n) // sum(n) OVER () AS observed_ppm,
+         {exp_case} AS expected_ppm
+  FROM agg
+)
+SELECT digit, n, observed_ppm, expected_ppm,
+       abs(observed_ppm - expected_ppm) AS dev_ppm,
+       sum(abs(observed_ppm - expected_ppm)) OVER () // 2 AS tvd_ppm
+FROM scored ORDER BY digit
+"""
+
+
+BENFORD_FIRST_DIGIT_SQL = _benford_sql()
+
+QUERIES["benford_first_digit"] = benford_first_digit
+ORACLES["benford_first_digit"] = BENFORD_FIRST_DIGIT_SQL

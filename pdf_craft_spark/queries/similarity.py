@@ -1706,3 +1706,152 @@ except (FileNotFoundError, OSError):  # pragma: no cover - testdata present here
 QUERIES["ivfpq_topk"] = ivfpq_topk
 if IVFPQ_TOPK_SQL is not None:
     ORACLES["ivfpq_topk"] = IVFPQ_TOPK_SQL
+
+
+# --- ndcg_eval_topk: the canonical graded ranking metric --------------------
+# NDCG@k of the exact-cosine retrieval against label relevance — the
+# ranking-quality gate the retrieval family (bm25_topk, rrf_rank_fusion,
+# sim_recall) was missing.  Relevance is binary label agreement
+# (neighbor.label == query.label, self excluded); the discount table
+# floor(1e6 / log2(rank + 1)) for ranks 1..k is a PLAN-TIME integer
+# literal list (libm runs at plan construction, never at query time —
+# the hll/bpe constant precedent), identical in both engines.  IDCG uses
+# the standard corpus-wide ideal: the query's label population (minus
+# self) capped at k fills the top ranks, so
+#     ndcg_ppm = (sum_i rel_i * disc_i) * 1e6 / sum_{i<=min(R,k)} disc_i
+# in pure integer arithmetic, bit-identical cross-engine.
+#
+# Scale shape: identical to sim_cosine_topk — the k-query side broadcasts
+# into a linear scan, the rank window partitions by query, and the label
+# populations are one tiny aggregate joined back by label.  Nothing
+# quadratic; the eval costs one extra scan of the label column.
+import math as _math
+
+_NDCG_DISC = [int(1_000_000 / _math.log2(r + 1)) for r in range(1, TOP_K + 1)]
+
+
+def ndcg_eval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+        F.expr(_DOT.format(a="embedding", b="embedding")).alias("nc"),
+    )
+    joined = (
+        F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    scored = joined.select(
+        "query_id",
+        "qlabel",
+        "neighbor_id",
+        F.expr("CASE WHEN qlabel = clabel THEN 1 ELSE 0 END").alias("rel"),
+        F.round(dot / F.sqrt(F.col("nq") * F.col("nc")), 6).alias("cs"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    disc = "CASE rank " + " ".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+    ) + " END"
+    pop = (
+        emb.groupBy(F.col("label").alias("qlabel"))
+        .agg(F.count(F.lit(1)).alias("n_label"))
+    )
+    idisc = "CASE WHEN i <= least(n_label - 1, " + str(TOP_K) + ") THEN " + (
+        "CASE i " + " ".join(
+            f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+        ) + " END"
+    ) + " ELSE 0 END"
+    dcg = top.groupBy("query_id", "qlabel").agg(
+        F.expr(f"sum(rel * ({disc}))").alias("dcg_micro"),
+        F.expr("sum(rel)").alias("rel_at_k"),
+    )
+    ideal = (
+        pop.select(
+            "qlabel",
+            "n_label",
+            F.explode(F.array(*[F.lit(i + 1) for i in range(TOP_K)])).alias("i"),
+        )
+        .selectExpr("qlabel", f"{idisc} AS idisc")
+        .groupBy("qlabel")
+        .agg(F.expr("sum(idisc)").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(F.broadcast(ideal), "qlabel")
+        .selectExpr(
+            "query_id",
+            "CAST(qlabel AS BIGINT) AS label",
+            "CAST(rel_at_k AS BIGINT) AS rel_at_k",
+            "CAST(dcg_micro AS BIGINT) AS dcg_micro",
+            "CAST(idcg_micro AS BIGINT) AS idcg_micro",
+            "CAST((dcg_micro * 1000000) DIV idcg_micro AS BIGINT) AS ndcg_ppm",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_sql() -> str:
+    disc = "CASE rank " + " ".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+    ) + " END"
+    idisc = "CASE i " + " ".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+    ) + " END"
+    dotqc = _DOT_DUCK.format(a="qe", b="ce", n=DIM)
+    dotqq = _DOT_DUCK.format(a="qe", b="qe", n=DIM)
+    dotcc = _DOT_DUCK.format(a="ce", b="ce", n=DIM)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label AS clabel, embedding AS ce
+  FROM embeddings
+), scored AS (
+  SELECT query_id, qlabel, neighbor_id,
+         CASE WHEN qlabel = clabel THEN 1 ELSE 0 END AS rel,
+         round({dotqc} / sqrt(({dotqq}) * ({dotcc})), 6) AS cs
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+), pop AS (
+  SELECT label AS qlabel, count(*) AS n_label FROM embeddings GROUP BY label
+), dcg AS (
+  SELECT query_id, qlabel,
+         sum(rel * ({disc})) AS dcg_micro,
+         sum(rel) AS rel_at_k
+  FROM top GROUP BY query_id, qlabel
+), ideal AS (
+  SELECT qlabel, sum(CASE WHEN i <= least(n_label - 1, {TOP_K})
+                          THEN {idisc} ELSE 0 END) AS idcg_micro
+  FROM pop CROSS JOIN (SELECT unnest(range(1, {TOP_K} + 1)) AS i)
+  GROUP BY qlabel
+)
+SELECT query_id,
+       CAST(qlabel AS BIGINT) AS label,
+       CAST(rel_at_k AS BIGINT) AS rel_at_k,
+       CAST(dcg_micro AS BIGINT) AS dcg_micro,
+       CAST(idcg_micro AS BIGINT) AS idcg_micro,
+       CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_ppm
+FROM dcg JOIN ideal USING (qlabel)
+ORDER BY query_id
+"""
+
+
+NDCG_EVAL_TOPK_SQL = _ndcg_sql()
+
+QUERIES["ndcg_eval_topk"] = ndcg_eval_topk
+ORACLES["ndcg_eval_topk"] = NDCG_EVAL_TOPK_SQL

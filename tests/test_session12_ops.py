@@ -360,3 +360,90 @@ def test_grouping_sets_grains_are_consistent(spark):
     # rolled-up keys read 'ALL', and grain flags match the key pattern
     assert total[0]["returnflag"] == total[0]["linestatus"] == "ALL"
     assert all(r["linestatus"] == "ALL" for r in per_flag.values())
+
+
+# --- ndcg_eval_topk ------------------------------------------------------------
+
+
+def test_ndcg_perfect_on_planted_clustered_corpus(spark, tmp_path):
+    """A corpus where every query's label-mates are its exact nearest
+    neighbors must score ndcg_ppm == 1_000_000 for every query — the
+    metric's calibration point (dcg == idcg exactly, including the
+    truncated discount literals)."""
+    import os as _os
+
+    from pdf_craft_spark.queries.similarity import ndcg_eval_topk
+
+    rows = []
+    for vid in range(40):
+        lab = vid % 4
+        emb = [0.0] * 64
+        emb[16 * lab] = 1.0
+        emb[16 * lab + 1] = 0.001 * (vid // 4)  # break exact ties
+        rows.append((vid, lab, emb))
+    df = spark.createDataFrame(rows, schema="vec_id long, label int, embedding array<float>")
+    df.write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "embeddings.parquet")
+    )
+    out = ndcg_eval_topk(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["rel_at_k"] == 5
+        assert r["ndcg_ppm"] == 1_000_000, r
+
+
+def test_ndcg_bounds_and_idcg_on_corpus(spark):
+    from pdf_craft_spark.queries.similarity import (
+        _NDCG_DISC,
+        TOP_K,
+        ndcg_eval_topk,
+    )
+
+    rows = ndcg_eval_topk(spark, SF01).collect()
+    assert len(rows) == 10
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF01}/embeddings.parquet'"
+    )
+    pops = dict(
+        con.execute("SELECT label, count(*) FROM embeddings GROUP BY 1").fetchall()
+    )
+    for r in rows:
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        k_eff = min(pops[r["label"]] - 1, TOP_K)
+        assert r["idcg_micro"] == sum(_NDCG_DISC[:k_eff])
+        assert r["dcg_micro"] <= r["idcg_micro"]
+
+
+# --- benford_first_digit --------------------------------------------------------
+
+
+def test_benford_conformant_vs_uniform_sample(spark, tmp_path):
+    """A log-uniform (scale-invariant) sample must pass the screen with a
+    small TVD; a uniform sample must be flagged with a large one — the
+    audit separates the two regimes it exists to separate."""
+    import os as _os
+    import random as _random
+
+    from pdf_craft_spark.queries.dataquality import benford_first_digit
+
+    rng = _random.Random(7)
+    n = 6000
+    conform = [
+        (i, round(10 ** (2 + 3 * rng.random()) / 100.0, 2)) for i in range(n)
+    ]
+    uniform = [(i, round(rng.uniform(1000.0, 9999.99), 2)) for i in range(n)]
+    tvds = {}
+    for name, rows in (("conform", conform), ("uniform", uniform)):
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, schema="o_orderkey long, o_totalprice double"
+        ).write.mode("overwrite").parquet(_os.path.join(d, "orders.parquet"))
+        out = benford_first_digit(spark, d).collect()
+        assert sum(r["n"] for r in out) == n
+        for r in out:
+            assert r["dev_ppm"] == abs(r["observed_ppm"] - r["expected_ppm"])
+        tvds[name] = out[0]["tvd_ppm"]
+    assert tvds["conform"] < 30_000, tvds
+    assert tvds["uniform"] > 150_000, tvds
+    assert tvds["uniform"] > 5 * tvds["conform"]
