@@ -2685,3 +2685,76 @@ QUERIES["price_percentile_exact"] = price_percentile_exact
 ORACLES["price_percentile_exact"] = PRICE_PERCENTILE_EXACT_SQL
 QUERIES["distinct_rollup_pitfall"] = distinct_rollup_pitfall
 ORACLES["distinct_rollup_pitfall"] = DISTINCT_ROLLUP_PITFALL_SQL
+
+
+# --- l-diversity audit -----------------------------------------------------------
+# k-anonymity's necessary companion (Machanavajjhala et al. 2007):
+# a class can be k-large yet leak the sensitive attribute if everyone in
+# it shares one value.  Over the released join (customer quasi-identifiers
+# x order priority as the sensitive attribute), each (segment, nation)
+# equivalence class reports its size, its count of DISTINCT sensitive
+# values (distinct l), and the frequency of its most common value —
+# classes failing distinct-l < L or majority > 1/2 are flagged; the
+# table-wide minimum l rides along as a window column so the release gate
+# is one hash.  Two combinable aggregations (class x value, then class);
+# the distinct-l is exact, computed from the value-level rollup, never a
+# raw-row count-distinct re-aggregation (the distinct_rollup_pitfall).
+L_DIVERSITY = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").selectExpr("c_custkey", "c_mktsegment", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").selectExpr("o_custkey", "o_orderpriority")
+    released = o.join(c, o.o_custkey == c.c_custkey)
+    vals = released.groupBy("c_mktsegment", "c_nationkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    classes = vals.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.expr("sum(nv)").alias("class_size"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        F.expr("max(nv)").alias("max_value_freq"),
+    )
+    return (
+        classes.selectExpr(
+            "c_mktsegment",
+            "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+            "CAST(class_size AS BIGINT) AS class_size",
+            "CAST(distinct_l AS BIGINT) AS distinct_l",
+            "CAST(max_value_freq AS BIGINT) AS max_value_freq",
+            f"CASE WHEN distinct_l < {L_DIVERSITY}"
+            " OR 2 * max_value_freq > class_size THEN CAST(1 AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END AS flagged",
+            "CAST(min(distinct_l) OVER () AS BIGINT) AS table_min_l",
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = f"""
+WITH released AS (
+  SELECT c_mktsegment, c_nationkey, o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), vals AS (
+  SELECT c_mktsegment, c_nationkey, o_orderpriority, count(*) AS nv
+  FROM released GROUP BY 1, 2, 3
+), classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         sum(nv) AS class_size,
+         count(*) AS distinct_l,
+         max(nv) AS max_value_freq
+  FROM vals GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST(distinct_l AS BIGINT) AS distinct_l,
+       CAST(max_value_freq AS BIGINT) AS max_value_freq,
+       CASE WHEN distinct_l < {L_DIVERSITY}
+            OR 2 * max_value_freq > class_size THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS flagged,
+       CAST(min(distinct_l) OVER () AS BIGINT) AS table_min_l
+FROM classes ORDER BY c_mktsegment, c_nationkey
+"""
+
+QUERIES["l_diversity_audit"] = l_diversity_audit
+ORACLES["l_diversity_audit"] = L_DIVERSITY_AUDIT_SQL

@@ -849,3 +849,126 @@ GRAPH_RANDOM_WALKS_SQL = _random_walks_sql()
 
 QUERIES["graph_random_walks"] = graph_random_walks
 ORACLES["graph_random_walks"] = GRAPH_RANDOM_WALKS_SQL
+
+
+# --- weighted single-source shortest paths (Bellman-Ford relaxation) --------
+# The weighted-distance member of the graph family (BFS gives hops; this
+# gives COST): shortest weighted distance from a 3-seed set over the
+# co-purchase graph, edge weight w = 1000 DIV support (strong ties are
+# short — the standard affinity-to-distance inversion, exact integer).
+# Pregel/Bellman-Ford relaxation: each round joins the edge table to the
+# current distance table and takes a per-vertex min,
+#     d'(v) = min(d(v), min_{(u,v) in E} d(u) + w(u,v)),
+# one shuffle per round, lineage cut per round, convergence CHECKED (a
+# graph still relaxing after SSSP_MAX_ROUNDS raises rather than emitting
+# an unconverged table).  The oracle unrolls the same relaxation a fixed
+# SSSP_MAX_ROUNDS times — after convergence extra rounds are fixpoint
+# no-ops, so the driver hash proves the loop computed the true fixpoint.
+# Bellman-Ford is exactly how weighted SSSP runs at 10^12-edge scale
+# (GraphX/Pregel shape): no priority queue, just iterated joins.
+SSSP_MAX_ROUNDS = 24
+SSSP_N_SEEDS = 3
+
+
+def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .selectExpr("pa", "pb", "1000 DIV sup AS w")
+    )
+    edges = (
+        und.selectExpr("pa AS src", "pb AS dst", "w")
+        .unionAll(und.selectExpr("pb AS src", "pa AS dst", "w"))
+        .localCheckpoint(eager=True)  # relaxed every round; = written edges
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(SSSP_N_SEEDS)
+        .selectExpr("node", "CAST(0 AS BIGINT) AS dist")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SSSP_MAX_ROUNDS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .selectExpr("dst AS node", "dist + w AS dist")
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            relaxed.join(dist.withColumnRenamed("dist", "od"), "node", "left")
+            .filter(F.col("od").isNull() | (F.col("dist") != F.col("od")))
+            .count()
+        )
+        dist = relaxed
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"sssp_weighted_copurchase: still relaxing after "
+            f"{SSSP_MAX_ROUNDS} rounds"
+        )
+    return dist.selectExpr(
+        "CAST(node AS BIGINT) AS part_id", "CAST(dist AS BIGINT) AS dist"
+    ).orderBy("part_id")
+
+
+def _sssp_sql() -> str:
+    rounds = []
+    prev = "d0"
+    for r in range(1, SSSP_MAX_ROUNDS + 1):
+        # MATERIALIZED is load-bearing: d{r} references d{r-1} twice
+        # (relaxation join + UNION ALL carry), so an inlining planner
+        # would expand the 24-round chain exponentially.
+        rounds.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    UNION ALL SELECT node, dist FROM {prev}
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{r}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH basket AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, 1000 // count(*) AS w
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst, w FROM und
+  UNION ALL SELECT pb, pa, w FROM und
+), d0 AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+    SELECT DISTINCT src AS node FROM edges ORDER BY node
+    LIMIT {SSSP_N_SEEDS})
+),
+{body}
+SELECT CAST(node AS BIGINT) AS part_id, CAST(dist AS BIGINT) AS dist
+FROM {prev} ORDER BY part_id
+"""
+
+
+SSSP_WEIGHTED_COPURCHASE_SQL = _sssp_sql()
+
+QUERIES["sssp_weighted_copurchase"] = sssp_weighted_copurchase
+ORACLES["sssp_weighted_copurchase"] = SSSP_WEIGHTED_COPURCHASE_SQL

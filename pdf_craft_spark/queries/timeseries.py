@@ -863,3 +863,96 @@ ORDER BY o_custkey
 
 QUERIES["ewma_order_smoothing"] = ewma_order_smoothing
 ORACLES["ewma_order_smoothing"] = EWMA_ORDER_SMOOTHING_SQL
+
+
+# --- cusum_changepoint_revenue: offline change-point detection --------------
+# The CUSUM / Kolmogorov-style single change-point statistic over the
+# daily revenue series: with S_t the cumulative revenue through day t
+# (day index t = 1..n over the DENSE day scaffold — days with no orders
+# count as zero revenue, they carry evidence too),
+#     D_t = | n * S_t - t * S_n |
+# is the integer cross-multiplied form of |S_t/S_n - t/n| (no division,
+# no floats); the argmax day is the estimated break point and
+# stat_cents = max_t D_t / n normalizes back to cents.  Pure Catalyst:
+# one day rollup, a sequence() scaffold join to fill gaps, two window
+# prefix sums, one argmax via the house (max_by | deterministic-order
+# limit) — everything combinable, nothing sequential, so the detector
+# is a constant number of shuffles at any scale.  Liveness is pinned by
+# the planted-shift random-corpus test (the argmax lands on the planted
+# break; the null corpus scores far lower).
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_orderdate AS DATE) AS day",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    daily = o.groupBy("day").agg(F.expr("sum(cents)").alias("rev"))
+    bounds = daily.agg(
+        F.expr("min(day) AS d0"), F.expr("max(day) AS d1")
+    )
+    scaffold = bounds.selectExpr(
+        "explode(sequence(d0, d1, interval 1 day)) AS day"
+    )
+    dense = (
+        scaffold.join(daily, "day", "left")
+        .selectExpr("day", "coalesce(rev, CAST(0 AS BIGINT)) AS rev")
+    )
+    walk = dense.selectExpr(
+        "day",
+        "rev",
+        "row_number() OVER (ORDER BY day) AS t",
+        "sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS s_t",
+        "sum(rev) OVER () AS s_n",
+        "count(1) OVER () AS n",
+    ).selectExpr(
+        "day", "t", "n", "s_t", "s_n", "abs(n * s_t - t * s_n) AS d_stat"
+    )
+    return (
+        walk.orderBy(F.desc("d_stat"), "day")
+        .limit(1)
+        .selectExpr(
+            "CAST(day AS STRING) AS break_day",
+            "CAST(t AS BIGINT) AS t_index",
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(d_stat DIV n AS BIGINT) AS stat_cents",
+            "CAST((1000000 * t) DIV n AS BIGINT) AS position_ppm",
+        )
+    )
+
+
+CUSUM_CHANGEPOINT_REVENUE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM daily
+), scaffold AS (
+  SELECT CAST(unnest(range(CAST(d0 AS TIMESTAMP),
+                           CAST(d1 AS TIMESTAMP) + INTERVAL 1 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), dense AS (
+  SELECT s.day, coalesce(d.rev, 0) AS rev
+  FROM scaffold s LEFT JOIN daily d ON s.day = d.day
+), walk AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS n,
+         sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS s_t,
+         sum(rev) OVER () AS s_n
+  FROM dense
+)
+SELECT CAST(day AS VARCHAR) AS break_day,
+       CAST(t AS BIGINT) AS t_index,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(abs(n * s_t - t * s_n) // n AS BIGINT) AS stat_cents,
+       CAST((1000000 * t) // n AS BIGINT) AS position_ppm
+FROM walk
+ORDER BY abs(n * s_t - t * s_n) DESC, day
+LIMIT 1
+"""
+
+QUERIES["cusum_changepoint_revenue"] = cusum_changepoint_revenue
+ORACLES["cusum_changepoint_revenue"] = CUSUM_CHANGEPOINT_REVENUE_SQL

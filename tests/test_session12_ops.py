@@ -447,3 +447,152 @@ def test_benford_conformant_vs_uniform_sample(spark, tmp_path):
     assert tvds["conform"] < 30_000, tvds
     assert tvds["uniform"] > 150_000, tvds
     assert tvds["uniform"] > 5 * tvds["conform"]
+
+
+# --- sssp_weighted_copurchase ---------------------------------------------------
+
+
+def test_sssp_matches_dijkstra_on_planted_graph(spark, tmp_path):
+    """Build baskets whose co-purchase graph is a known weighted graph and
+    check the relaxation fixpoint against an independent Dijkstra."""
+    import heapq
+    import os as _os
+
+    from pdf_craft_spark.queries.graphq import (
+        SSSP_N_SEEDS,
+        sssp_weighted_copurchase,
+    )
+
+    # edge (u, v) with support s -> weight 1000 // s; build s distinct
+    # orders containing both u and v
+    planted = [
+        (0, 1, 2),
+        (1, 2, 4),
+        (0, 2, 2),
+        (2, 3, 2),
+        (3, 4, 5),
+        (1, 4, 2),
+        (4, 5, 4),
+        (3, 5, 2),
+    ]
+    rows = []
+    ok = 0
+    for u, v, s in planted:
+        for _ in range(s):
+            rows.append((ok, u))
+            rows.append((ok, v))
+            ok += 1
+    spark.createDataFrame(
+        rows, schema="l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    got = {
+        r["part_id"]: r["dist"]
+        for r in sssp_weighted_copurchase(spark, str(tmp_path)).collect()
+    }
+    adj: dict[int, list] = {}
+    for u, v, s in planted:
+        w = 1000 // s
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    seeds = sorted(adj)[:SSSP_N_SEEDS]
+    dist = {s: 0 for s in seeds}
+    pq = [(0, s) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+
+
+# --- l_diversity_audit ----------------------------------------------------------
+
+
+def test_l_diversity_flags_planted_leaky_classes(spark, tmp_path):
+    import os as _os
+
+    from pdf_craft_spark.queries.analyticsq import l_diversity_audit
+
+    custs, orders = [], []
+    # class ('A', 0): 10 customers, ALL orders URGENT -> flagged (l=1)
+    # class ('B', 1): majority LOW (7 of 10) -> flagged (majority rule)
+    # class ('C', 2): 4 distinct priorities evenly -> clean
+    ck = 0
+    for seg, nat, prios in (
+        ("A", 0, ["URGENT"] * 10),
+        ("B", 1, ["LOW"] * 7 + ["HIGH", "MEDIUM", "URGENT"]),
+        ("C", 2, ["LOW", "HIGH", "MEDIUM", "URGENT"] * 3),
+    ):
+        for p in prios:
+            custs.append((ck, seg, nat))
+            orders.append((ck, ck, p))
+            ck += 1
+    spark.createDataFrame(
+        custs, schema="c_custkey long, c_mktsegment string, c_nationkey long"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "customer.parquet")
+    )
+    spark.createDataFrame(
+        orders, schema="o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "orders.parquet")
+    )
+    rows = {r["c_mktsegment"]: r for r in l_diversity_audit(spark, str(tmp_path)).collect()}
+    assert rows["A"]["flagged"] == 1 and rows["A"]["distinct_l"] == 1
+    assert rows["B"]["flagged"] == 1 and rows["B"]["max_value_freq"] == 7
+    assert rows["C"]["flagged"] == 0 and rows["C"]["distinct_l"] == 4
+    assert all(r["table_min_l"] == 1 for r in rows.values())
+
+
+# --- cusum_changepoint_revenue ---------------------------------------------------
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    import datetime as _dt
+    import os as _os
+    import random as _random
+
+    from pdf_craft_spark.queries.timeseries import cusum_changepoint_revenue
+
+    rng = _random.Random(13)
+    d0 = _dt.datetime(2000, 1, 1)
+    rows = []
+    ok = 0
+    shift_at = 120  # day index (1-based t = 120)
+    for day in range(200):
+        level = 100.0 if day < shift_at else 200.0
+        for _ in range(3):
+            rows.append(
+                (ok, d0 + _dt.timedelta(days=day), round(rng.gauss(level, 5.0), 2))
+            )
+            ok += 1
+    spark.createDataFrame(
+        rows, schema="o_orderkey long, o_orderdate timestamp_ntz, o_totalprice double"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "shifted", "orders.parquet")
+    )
+    r = cusum_changepoint_revenue(spark, str(tmp_path / "shifted")).collect()[0]
+    assert r["n_days"] == 200
+    assert abs(r["t_index"] - shift_at) <= 3, r
+
+    # null corpus: same noise, no shift -> much smaller statistic
+    rows = []
+    for day in range(200):
+        for k in range(3):
+            rows.append(
+                (day * 3 + k, d0 + _dt.timedelta(days=day), round(rng.gauss(100.0, 5.0), 2))
+            )
+    spark.createDataFrame(
+        rows, schema="o_orderkey long, o_orderdate timestamp_ntz, o_totalprice double"
+    ).write.mode("overwrite").parquet(
+        _os.path.join(str(tmp_path), "null", "orders.parquet")
+    )
+    r0 = cusum_changepoint_revenue(spark, str(tmp_path / "null")).collect()[0]
+    assert r["stat_cents"] > 10 * r0["stat_cents"], (r, r0)
