@@ -32,6 +32,7 @@ from pdf_craft_spark.queries import (
     similarity,
     sketches,
     sourcesq,
+    stats2,
     statsq,
     streamingq,
     textops,
@@ -67,6 +68,7 @@ for mod in (
     indexing,
     dataquality,
     statsq,
+    stats2,
     analyticsq,
     tpchx,
 ):
