@@ -1238,3 +1238,100 @@ TEXT_NOVELTY_PPM_SQL = _text_novelty_sql()
 
 QUERIES["text_novelty_ppm"] = text_novelty_ppm
 ORACLES["text_novelty_ppm"] = TEXT_NOVELTY_PPM_SQL
+
+
+# --- bigram collocation lift (top-20 by frequency) ---------------------------
+# "Which word pairs co-occur more than their margins predict?" — the PMI-rank
+# primitive behind phrase mining and stopword-pair detection, with the log
+# dropped (lift = P(ab)/(P(a.)P(.b)) ranks identically to PMI; no libm at
+# query time per house rules).  Bigrams come from posexplode + one lead
+# window (codegen); the three count tables (joint, first-margin,
+# second-margin) are partial-agg shuffles bounded by |vocab|^2, and the
+# margin joins are broadcastable at any corpus scale because the vocabulary,
+# not the corpus, bounds them.  Lift is the single final double expression
+# over exact counts (products < 2^53 through SF1, so the doubles are exact).
+# Top-20 by joint count with bigram-lexicographic tiebreak — deterministic.
+COLLOC_TOPK = 20
+
+
+def collocation_lift_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(text, '[A-Za-z]{2,}', 0)")
+        ).alias("pos", "t"),
+    ).select("doc_id", "pos", F.lower("t").alias("t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("t2", F.lead("t").over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(F.col("t").alias("a"), F.col("t2").alias("b"))
+    )
+    joint = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    first = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+    second = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_b"))
+    n = bg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        joint.join(F.broadcast(first), "a")
+        .join(F.broadcast(second), "b")
+        .crossJoin(F.broadcast(n))
+    )
+    wk = W.orderBy(F.col("c_ab").desc(), F.col("a"), F.col("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= COLLOC_TOPK)
+        .selectExpr(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "n",
+            "CAST(round(1000000 * CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)"
+            " / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) AS BIGINT)"
+            " AS lift_micro",
+        )
+        .orderBy("rk")
+        .drop("rk")
+    )
+
+
+COLLOCATION_LIFT_BIGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z]{{2,}}'), 1) AS pos,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z]{{2,}}'))) AS t
+  FROM documents
+), bg AS (
+  SELECT t AS a, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+  QUALIFY lead(t) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), joint AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+), fst AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY 1
+), snd AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_b FROM bg GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM bg
+), scored AS (
+  SELECT j.a, j.b, c_ab, c_a, c_b, n,
+         row_number() OVER (ORDER BY c_ab DESC, j.a, j.b) AS rk
+  FROM joint j JOIN fst USING (a) JOIN snd USING (b), nn
+)
+SELECT a, b, c_ab, c_a, c_b, n,
+       CAST(round(1000000 * CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+            / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) AS BIGINT)
+         AS lift_micro
+FROM scored
+WHERE rk <= {COLLOC_TOPK}
+ORDER BY rk
+"""
+
+QUERIES["collocation_lift_bigrams"] = collocation_lift_bigrams
+ORACLES["collocation_lift_bigrams"] = COLLOCATION_LIFT_BIGRAMS_SQL

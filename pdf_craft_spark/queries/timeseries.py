@@ -956,3 +956,176 @@ LIMIT 1
 
 QUERIES["cusum_changepoint_revenue"] = cusum_changepoint_revenue
 ORACLES["cusum_changepoint_revenue"] = CUSUM_CHANGEPOINT_REVENUE_SQL
+
+
+# --- autocorrelation function of daily revenue (lags 1..7) -------------------
+# The stationarity probe a forecasting pipeline runs first.  The fact table
+# collapses to one row per day (partial-agg shuffle), so every window below
+# runs over the ~2.5k-row compressed series, never the orders — the same
+# compression argument as spearman's rank join.  Exactness: daily revenue in
+# whole DOLLARS (cents DIV 100) and centering by the TRUNCATED global mean
+# c = S DIV n — a defined, engine-identical statistic (bias <= $1 per term)
+# that keeps every product within int64 through SF1 (y ~ 1e7, y^2*n ~ 3e17).
+# num/den are exact integers; acf is the single final double division.  Lag
+# is ROW lag over the observed day sequence (the corpus has near-complete
+# calendar coverage; gaps are documented semantics, not noise).
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    daily = o.groupBy("day").agg(
+        F.expr("sum(c) DIV 100").cast("long").alias("x")
+    )
+    mean = daily.agg(
+        F.expr("sum(x) DIV count(*)").cast("long").alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = W.orderBy("day")
+    cent = daily.crossJoin(F.broadcast(mean)).select(
+        "n", (F.col("x") - F.col("m")).alias("y"), F.col("day")
+    )
+    lagged = cent.select(
+        "n",
+        "y",
+        *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, 8)],
+    )
+    # ONE pass over the series: all seven lag moments in a single aggregate,
+    # unpivoted with stack() — never seven re-scans of the lag plan.
+    one = lagged.agg(
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("den"),
+        *[
+            c
+            for k in range(1, 8)
+            for c in (
+                F.count(F.col(f"y{k}")).cast("long").alias(f"n_{k}"),
+                F.sum(F.col("y") * F.col(f"y{k}")).cast("long").alias(f"num_{k}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), n_{k}, num_{k}" for k in range(1, 8)
+    )
+    return one.selectExpr(
+        f"stack(7, {stack_args}) AS (lag, n_pairs, num)", "den"
+    ).selectExpr(
+        "lag",
+        "n_pairs",
+        "num",
+        "den",
+        "CAST(round(1000000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT)"
+        " AS acf_micro",
+    ).orderBy("lag")
+
+
+def _acf_sql() -> str:
+    lag_rows = "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({k} AS BIGINT) AS lag,
+         CAST(count(y{k}) AS BIGINT) AS n_pairs,
+         CAST(sum(y * y{k}) AS BIGINT) AS num,
+         CAST(sum(y * y) AS BIGINT) AS den
+  FROM lagged"""
+        for k in range(1, 8)
+    )
+    leads = ",\n         ".join(
+        f"lead(y, {k}) OVER (ORDER BY day) AS y{k}" for k in range(1, 8)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(sum(x) // count(*) AS BIGINT) AS m FROM daily
+), cent AS (
+  SELECT day, x - m AS y FROM daily, m
+), lagged AS (
+  SELECT day, y,
+         {leads}
+  FROM cent
+)
+SELECT lag, n_pairs, num, den,
+       CAST(round(1000000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT)
+         AS acf_micro
+FROM (
+{lag_rows}
+)
+ORDER BY lag
+"""
+
+
+ACF_DAILY_REVENUE_SQL = _acf_sql()
+
+QUERIES["acf_daily_revenue"] = acf_daily_revenue
+ORACLES["acf_daily_revenue"] = ACF_DAILY_REVENUE_SQL
+
+
+# --- additive seasonal decomposition (period 7, centered MA trend) -----------
+# Classic decompose(x) = trend + seasonal + remainder: trend is the 7-row centered
+# moving average over the daily ORDER COUNT series (exact milli-scale:
+# (sum7*1000) DIV 7), the seasonal index is the mean detrended value per
+# weekday slot, where the slot is the CALENDAR-FREE residue epoch_day % 7 —
+# deterministic in both engines with no locale/week-start trap.  The window
+# runs over the compressed per-day table; output is the 7-row seasonal
+# profile plus each slot's support.  Scale: the per-day table is bounded by
+# the date domain, so this is a broadcast-size series op at any corpus SF.
+def seasonal_decompose_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("ed")
+        )
+        .groupBy("ed")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = W.orderBy("ed").rowsBetween(-3, 3)
+    trended = daily.select(
+        "ed",
+        "x",
+        F.count(F.lit(1)).over(w).alias("span"),
+        (F.sum("x").over(w) * 1000).alias("sum7_milli"),
+    ).where(F.col("span") == 7)
+    det = trended.selectExpr(
+        "ed % 7 AS slot", "x * 1000 - sum7_milli DIV 7 AS d_milli"
+    )
+    return (
+        det.groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("sum(d_milli) DIV count(*)").cast("long").alias("seasonal_milli"),
+        )
+        .selectExpr("CAST(slot AS BIGINT) AS slot", "n_days", "seasonal_milli")
+        .orderBy("slot")
+    )
+
+
+SEASONAL_DECOMPOSE_MA7_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS ed,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT ed, x,
+         count(*) OVER (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS span,
+         sum(x) OVER (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           * 1000 AS sum7_milli
+  FROM daily
+), det AS (
+  SELECT ed % 7 AS slot, x * 1000 - sum7_milli // 7 AS d_milli
+  FROM trended WHERE span = 7
+)
+SELECT CAST(slot AS BIGINT) AS slot,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(d_milli) // count(*) AS BIGINT) AS seasonal_milli
+FROM det
+GROUP BY slot
+ORDER BY slot
+"""
+
+QUERIES["seasonal_decompose_ma7"] = seasonal_decompose_ma7
+ORACLES["seasonal_decompose_ma7"] = SEASONAL_DECOMPOSE_MA7_SQL
