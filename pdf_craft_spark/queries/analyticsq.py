@@ -2758,3 +2758,146 @@ FROM classes ORDER BY c_mktsegment, c_nationkey
 
 QUERIES["l_diversity_audit"] = l_diversity_audit
 ORACLES["l_diversity_audit"] = L_DIVERSITY_AUDIT_SQL
+
+
+# --- t-closeness audit -----------------------------------------------------------
+# The third leg of the release-gate triad (Li, Li, Venkatasubramanian
+# 2007): a class can be k-large AND l-diverse yet still leak if its
+# sensitive-value DISTRIBUTION skews far from the table's.  For an ORDERED
+# sensitive attribute the distance is the Earth Mover's Distance, which
+# for ordered categories is just the mean |CDF difference| over the first
+# m-1 categories — pure prefix sums, no transport solver.  Shape: the
+# released join collapses to the (QI class x band) count grid (one
+# combinable agg), densified against the distinct-band scaffold via a
+# broadcast nested-loop (never a CartesianProduct of two large sides);
+# CDFs are truncated-ppm integers (cum*1e6 DIV n — engine-identical), the
+# global CDF is a 1-row broadcast per band, and emd_ppm = sum|diff| DIV
+# (m-1).  Same QI (segment, nation) as the k-anonymity / l-diversity ops
+# so the three gates audit the same release.
+T_CLOSENESS_PPM = 150_000  # flag classes with EMD > 0.15
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_custkey",
+        # ordered sensitive attribute: $50k order-value bands
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 5000000 AS band",
+    )
+    released = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "c_nationkey", "band"
+    )
+    grid = released.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    bands = released.select("band").distinct()
+    groups = grid.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").cast("long").alias("n_g")
+    )
+    dense = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(grid), ["c_mktsegment", "c_nationkey", "band"], "left")
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "band",
+            "n_g",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    wg = W.partitionBy("c_mktsegment", "c_nationkey").orderBy("band")
+    gc = dense.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "band",
+        "n_g",
+        (F.sum("cnt").over(wg) * 1_000_000).alias("cum6"),
+    ).selectExpr(
+        "c_mktsegment", "c_nationkey", "band", "n_g",
+        "CAST(cum6 DIV n_g AS BIGINT) AS cdf_g_ppm",
+    )
+    glob = (
+        released.groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "band",
+            (F.sum("cnt").over(W.orderBy("band")) * 1_000_000).alias("cum6"),
+            F.sum("cnt").over(W.partitionBy()).alias("n_all"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+            F.row_number().over(W.orderBy("band")).alias("rk"),
+        )
+        .selectExpr(
+            "band",
+            "CAST(cum6 DIV n_all AS BIGINT) AS cdf_all_ppm",
+            "CAST(m AS BIGINT) AS m",
+            "CAST(rk AS BIGINT) AS rk",
+        )
+    )
+    scored = gc.join(F.broadcast(glob), "band").where(F.col("rk") < F.col("m"))
+    out = scored.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.max("n_g").alias("n_g"),
+        F.expr(
+            "sum(abs(cdf_g_ppm - cdf_all_ppm)) DIV (max(m) - 1)"
+        ).cast("long").alias("emd_ppm"),
+    )
+    return out.selectExpr(
+        "c_mktsegment",
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+        "n_g",
+        "emd_ppm",
+        f"CAST(emd_ppm > {T_CLOSENESS_PPM} AS BOOLEAN) AS breach",
+    ).orderBy("c_mktsegment", "c_nationkey")
+
+
+T_CLOSENESS_AUDIT_SQL = f"""
+WITH released AS (
+  SELECT c.c_mktsegment, c.c_nationkey,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 5000000 AS band
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), grid AS (
+  SELECT c_mktsegment, c_nationkey, band, CAST(count(*) AS BIGINT) AS cnt
+  FROM released GROUP BY 1, 2, 3
+), bands AS (
+  SELECT DISTINCT band FROM released
+), groups AS (
+  SELECT c_mktsegment, c_nationkey, CAST(sum(cnt) AS BIGINT) AS n_g
+  FROM grid GROUP BY 1, 2
+), dense AS (
+  SELECT g.c_mktsegment, g.c_nationkey, b.band, g.n_g,
+         CAST(coalesce(x.cnt, 0) AS BIGINT) AS cnt
+  FROM groups g CROSS JOIN bands b
+  LEFT JOIN grid x ON x.c_mktsegment = g.c_mktsegment
+    AND x.c_nationkey = g.c_nationkey AND x.band = b.band
+), gc AS (
+  SELECT c_mktsegment, c_nationkey, band, n_g,
+         CAST(sum(cnt) OVER (PARTITION BY c_mktsegment, c_nationkey
+              ORDER BY band) * 1000000 // n_g AS BIGINT) AS cdf_g_ppm
+  FROM dense
+), gall AS (
+  SELECT band,
+         CAST(sum(cnt) OVER (ORDER BY band) * 1000000
+              // (sum(cnt) OVER ()) AS BIGINT) AS cdf_all_ppm,
+         CAST(count(*) OVER () AS BIGINT) AS m,
+         CAST(row_number() OVER (ORDER BY band) AS BIGINT) AS rk
+  FROM (SELECT band, CAST(count(*) AS BIGINT) AS cnt
+        FROM released GROUP BY band)
+)
+SELECT s.c_mktsegment,
+       CAST(s.c_nationkey AS BIGINT) AS c_nationkey,
+       max(s.n_g) AS n_g,
+       CAST(sum(abs(s.cdf_g_ppm - g.cdf_all_ppm)) // (max(g.m) - 1)
+         AS BIGINT) AS emd_ppm,
+       CAST(sum(abs(s.cdf_g_ppm - g.cdf_all_ppm)) // (max(g.m) - 1)
+         > {T_CLOSENESS_PPM} AS BOOLEAN) AS breach
+FROM gc s JOIN gall g USING (band)
+WHERE g.rk < g.m
+GROUP BY s.c_mktsegment, s.c_nationkey
+ORDER BY s.c_mktsegment, s.c_nationkey
+"""
+
+QUERIES["t_closeness_audit"] = t_closeness_audit
+ORACLES["t_closeness_audit"] = T_CLOSENESS_AUDIT_SQL

@@ -952,3 +952,175 @@ FROM km ORDER BY t_days
 
 QUERIES["survival_km_curve"] = survival_km_curve
 ORACLES["survival_km_curve"] = SURVIVAL_KM_CURVE_SQL
+
+
+# --- leave-one-out target encoding -------------------------------------------
+# The feature-engineering classic for high-cardinality categoricals: encode
+# each row's category by the mean target of OTHER rows in the category —
+# the subtraction kills the self-leak that makes naive target encoding
+# overfit.  LOO is pure algebra over per-category sufficient statistics:
+# loo = (sum_cat - x) DIV (n_cat - 1) — so at 100 TB it is one combinable
+# agg on the category (5 rows out) broadcast back over the fact scan; no
+# per-row window, no second shuffle.  The category here is the customer's
+# market segment joined onto orders (broadcast dim join); the output is the
+# per-segment audit of the full encoded column (count, min, max, exact sum),
+# so the driver hash pins every encoded value, not a sample.  Everything is
+# integer cents with truncated division (engine-identical).
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "x"
+    )
+    stats = fact.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("x").cast("long").alias("s_cat"),
+    )
+    enc = fact.join(F.broadcast(stats), "c_mktsegment").select(
+        "c_mktsegment",
+        F.expr("(s_cat - x) DIV (n_cat - 1)").cast("long").alias("loo_cents"),
+    )
+    return (
+        enc.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("loo_cents").alias("min_loo_cents"),
+            F.max("loo_cents").alias("max_loo_cents"),
+            F.sum("loo_cents").cast("long").alias("sum_loo_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LOO_TARGET_ENCODING_SQL = """
+WITH fact AS (
+  SELECT c.c_mktsegment,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), stats AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_cat,
+         CAST(sum(x) AS BIGINT) AS s_cat
+  FROM fact GROUP BY c_mktsegment
+), enc AS (
+  SELECT f.c_mktsegment,
+         CAST((s.s_cat - f.x) // (s.n_cat - 1) AS BIGINT) AS loo_cents
+  FROM fact f JOIN stats s USING (c_mktsegment)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(loo_cents) AS BIGINT) AS min_loo_cents,
+       CAST(max(loo_cents) AS BIGINT) AS max_loo_cents,
+       CAST(sum(loo_cents) AS BIGINT) AS sum_loo_cents
+FROM enc
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["loo_target_encoding"] = loo_target_encoding
+ORACLES["loo_target_encoding"] = LOO_TARGET_ENCODING_SQL
+
+
+# --- k-fold cross-validation of the group-mean predictor ---------------------
+# The evaluation loop every model selection rests on, as pure relational
+# algebra: md5(o_orderkey) % 5 assigns folds (content-keyed — stable under
+# rerun, append, and repartition, like split_train_val_test); the per-fold
+# TRAIN statistics are derived by subtracting the fold's own (priority,
+# fold) partial from the priority totals — one combinable agg over the
+# compressed 25-row grid, never a second pass over the facts — and each
+# held-out row is scored against the prediction its train folds imply.
+# pred = train-mean in truncated cents; the squared errors accumulate in
+# DECIMAL(38,0); rmse is the one final double expression.  Contrast with
+# conformal_interval_orders (coverage guarantee) — this op is the point-
+# accuracy half of model evaluation.
+CV_FOLDS = 5
+
+
+def cv_kfold_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 4, "spark")
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS pri",
+        f"CAST(({h}) % {CV_FOLDS} AS BIGINT) AS fold",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+    )
+    grid = o.groupBy("pri", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pf"),
+        F.sum("x").cast("long").alias("s_pf"),
+    )
+    tot = grid.groupBy("pri").agg(
+        F.sum("n_pf").cast("long").alias("n_p"),
+        F.sum("s_pf").cast("long").alias("s_p"),
+    )
+    pred = grid.join(F.broadcast(tot), "pri").selectExpr(
+        "pri",
+        "fold",
+        "CAST((s_p - s_pf) DIV (n_p - n_pf) AS BIGINT) AS pred_cents",
+    )
+    scored = o.join(F.broadcast(pred), ["pri", "fold"]).select(
+        "fold",
+        ((F.col("x") - F.col("pred_cents")).cast("decimal(38,0)")
+         * (F.col("x") - F.col("pred_cents"))).alias("se"),
+    )
+    out = scored.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("se").alias("sse"),
+    )
+    return out.selectExpr(
+        "fold",
+        "n_test",
+        "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n_test AS DOUBLE)))"
+        " AS BIGINT) AS rmse_cents",
+    ).orderBy("fold")
+
+
+def _cv_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS VARCHAR)", 4, "duck")
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+         CAST(({h}) % {CV_FOLDS} AS BIGINT) AS fold,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM orders
+), grid AS (
+  SELECT pri, fold, CAST(count(*) AS BIGINT) AS n_pf,
+         CAST(sum(x) AS BIGINT) AS s_pf
+  FROM o GROUP BY pri, fold
+), tot AS (
+  SELECT pri, CAST(sum(n_pf) AS BIGINT) AS n_p,
+         CAST(sum(s_pf) AS BIGINT) AS s_p
+  FROM grid GROUP BY pri
+), pred AS (
+  SELECT g.pri, g.fold,
+         CAST((t.s_p - g.s_pf) // (t.n_p - g.n_pf) AS BIGINT) AS pred_cents
+  FROM grid g JOIN tot t USING (pri)
+), scored AS (
+  SELECT o.fold,
+         CAST(o.x - p.pred_cents AS DECIMAL(38,0)) * (o.x - p.pred_cents) AS se
+  FROM o JOIN pred p ON o.pri = p.pri AND o.fold = p.fold
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(round(sqrt(CAST(sum(se) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+         AS BIGINT) AS rmse_cents
+FROM scored
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+CV_KFOLD_MSE_SQL = _cv_sql()
+
+QUERIES["cv_kfold_mse"] = cv_kfold_mse
+ORACLES["cv_kfold_mse"] = CV_KFOLD_MSE_SQL

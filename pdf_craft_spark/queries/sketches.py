@@ -1099,3 +1099,106 @@ THETA_SKETCH_INTERSECTION_SQL = _theta_sql()
 
 QUERIES["theta_sketch_intersection"] = theta_sketch_intersection
 ORACLES["theta_sketch_intersection"] = THETA_SKETCH_INTERSECTION_SQL
+
+
+# --- AMS (tug-of-war) F2 sketch: self-join size estimation -------------------
+# The fifth sketch family member (after HLL/CMS/Bloom/theta): the second
+# frequency moment F2 = sum_k cnt(k)^2 IS the self-join size on the key —
+# what a cost-based optimizer wants before planning a big self-join — and
+# the AMS sketch estimates it from K counters updated with +-1 hash signs
+# (Alon-Matias-Szegedy '96).  Z_j = sum_k sign_j(k)*cnt(k); E[Z_j^2] = F2.
+# Distributed shape: the fact table compresses to the (key, cnt) table
+# first (one combinable shuffle), then the K=64 estimators explode over the
+# COMPRESSED keys (constant 64x on ~|keys| rows, map-side, no extra
+# shuffle) — each Z_j is a plain conditional sum, so at 100 TB the sketch
+# is one agg over keys x 64 rows.  Mean-of-64 and the more robust
+# median-of-8-means-of-8 both come out; signs derive from the shared
+# md5_prefix_long_sql recipe so Spark and DuckDB see identical registers,
+# and every value (signs, Z, Z^2, means, median, exact F2) is integer —
+# err_pct is the one final double expression per estimator column.
+AMS_K = 256  # estimators, grouped 16x16 for median-of-means
+AMS_G = 16  # groups (of AMS_K // AMS_G estimators each)
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    keys = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    sign = _md5_long("concat(o_custkey, '|', j)", 15, "spark")
+    z = (
+        keys.select(
+            "o_custkey",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(AMS_K - 1))).alias("j"),
+        )
+        .selectExpr("cnt", "j", f"(({sign}) % 2) * 2 - 1 AS s")
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("s") * F.col("cnt")).cast("long").alias("zj"),
+        )
+        .select("j", (F.col("zj") * F.col("zj")).cast("long").alias("z2"))
+    )
+    # median of 8 group means: the 8 means are integers (truncated DIV 8);
+    # median of 8 values = mean of order stats 4 and 5, again truncated.
+    grp = z.groupBy((F.col("j") % AMS_G).alias("g")).agg(
+        F.expr(f"sum(z2) DIV {AMS_K // AMS_G}").cast("long").alias("gm")
+    )
+    mom = grp.agg(
+        F.expr(
+            f"(CAST(sort_array(collect_list(gm))[{AMS_G // 2 - 1}] AS BIGINT)"
+            f" + CAST(sort_array(collect_list(gm))[{AMS_G // 2}] AS BIGINT)) DIV 2"
+        ).alias("est_mom")
+    )
+    mean = z.agg(F.expr(f"sum(z2) DIV {AMS_K}").cast("long").alias("est_mean"))
+    exact = keys.agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2"))
+    out = exact.crossJoin(F.broadcast(mean)).crossJoin(F.broadcast(mom))
+    return out.selectExpr(
+        "f2 AS exact_f2",
+        "est_mean",
+        "CAST(est_mom AS BIGINT) AS est_mom",
+        "CAST(round(10000 * (CAST(est_mean AS DOUBLE) - CAST(f2 AS DOUBLE))"
+        " / CAST(f2 AS DOUBLE)) AS BIGINT) AS err_mean_bp",
+        "CAST(round(10000 * (CAST(est_mom AS DOUBLE) - CAST(f2 AS DOUBLE))"
+        " / CAST(f2 AS DOUBLE)) AS BIGINT) AS err_mom_bp",
+    )
+
+
+def _ams_sql() -> str:
+    sign = _md5_long("(o_custkey || '|' || j)", 15, "duck")
+    return f"""
+WITH keys AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+), z AS (
+  SELECT j, CAST(sum(((({sign}) % 2) * 2 - 1) * cnt) AS BIGINT) AS zj
+  FROM keys, (SELECT unnest(range(0, {AMS_K})) AS j) jj
+  GROUP BY j
+), z2 AS (
+  SELECT j, CAST(zj * zj AS BIGINT) AS z2 FROM z
+), grp AS (
+  SELECT j % {AMS_G} AS g, CAST(sum(z2) // {AMS_K // AMS_G} AS BIGINT) AS gm
+  FROM z2 GROUP BY 1
+), mom AS (
+  SELECT CAST((m4 + m5) // 2 AS BIGINT) AS est_mom
+  FROM (
+    SELECT CAST(list_sort(list(gm))[{AMS_G // 2}] AS BIGINT) AS m4,
+           CAST(list_sort(list(gm))[{AMS_G // 2 + 1}] AS BIGINT) AS m5
+    FROM grp
+  )
+), mean AS (
+  SELECT CAST(sum(z2) // {AMS_K} AS BIGINT) AS est_mean FROM z2
+), exact AS (
+  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2 FROM keys
+)
+SELECT f2 AS exact_f2, est_mean, est_mom,
+       CAST(round(10000 * (CAST(est_mean AS DOUBLE) - CAST(f2 AS DOUBLE))
+            / CAST(f2 AS DOUBLE)) AS BIGINT) AS err_mean_bp,
+       CAST(round(10000 * (CAST(est_mom AS DOUBLE) - CAST(f2 AS DOUBLE))
+            / CAST(f2 AS DOUBLE)) AS BIGINT) AS err_mom_bp
+FROM exact, mean, mom
+"""
+
+
+AMS_F2_SKETCH_SQL = _ams_sql()
+
+QUERIES["ams_f2_sketch"] = ams_f2_sketch
+ORACLES["ams_f2_sketch"] = AMS_F2_SKETCH_SQL

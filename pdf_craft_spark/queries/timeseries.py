@@ -1129,3 +1129,187 @@ ORDER BY slot
 
 QUERIES["seasonal_decompose_ma7"] = seasonal_decompose_ma7
 ORACLES["seasonal_decompose_ma7"] = SEASONAL_DECOMPOSE_MA7_SQL
+
+
+# --- Durbin-Watson statistic of the detrended daily-revenue series -----------
+# Regression diagnostics: after fitting the OLS line to daily revenue, is
+# there serial correlation left in the residuals (DW ~ 2 means no)?  Runs
+# entirely on the ~2.5k-row compressed day series (same argument as ACF).
+# Exactness: slope in TRUNCATED milli-dollars/day b_milli = (1000*Sxy) DIV
+# Sxx over mean-centered int64 moments (truncation is a defined, engine-
+# identical estimator; 1000*Sxy stays within int64 through SF1), scaled
+# residuals r_t = 1000*(y_t - m) - b_milli*(t - tm) in int64, and the two
+# quadratic sums in DECIMAL(38,0) (products may be wide; divisions never
+# are).  DW = sum(dr^2)/sum(r^2) is the one final double expression.
+def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    daily = o.groupBy("day").agg(F.expr("sum(c) DIV 100").cast("long").alias("y"))
+    wd = W.orderBy("day")
+    # t = 0-based day index over the observed series
+    ty = daily.select(
+        (F.row_number().over(wd) - 1).cast("long").alias("t"), "y", "day"
+    )
+    m = ty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(y) DIV count(*)").cast("long").alias("my"),
+        F.expr("sum(t) DIV count(*)").cast("long").alias("mt"),
+    )
+    cent = ty.crossJoin(F.broadcast(m)).select(
+        "day",
+        (F.col("t") - F.col("mt")).alias("u"),
+        (F.col("y") - F.col("my")).alias("v"),
+    )
+    mom = cent.agg(
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("sxy"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("sxx"),
+    )
+    res = cent.crossJoin(F.broadcast(mom)).select(
+        "day",
+        (
+            F.lit(1000) * F.col("v")
+            - F.expr("(1000 * sxy) DIV sxx").cast("long") * F.col("u")
+        ).alias("r"),
+    )
+    lagged = res.select(
+        "r", (F.col("r") - F.lag("r", 1).over(wd)).alias("dr")
+    )
+    out = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("ss_r"),
+        F.sum(F.col("dr").cast("decimal(38,0)") * F.col("dr")).alias("ss_dr"),
+    )
+    return out.selectExpr(
+        "n_days",
+        "CAST(ss_r AS DOUBLE) AS ss_r",
+        "CAST(ss_dr AS DOUBLE) AS ss_dr",
+        "CAST(round(1000000 * CAST(ss_dr AS DOUBLE) / CAST(ss_r AS DOUBLE))"
+        " AS BIGINT) AS dw_micro",
+    )
+
+
+DURBIN_WATSON_TREND_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), ty AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t, y, day
+  FROM daily
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(y) // count(*) AS BIGINT) AS my,
+         CAST(sum(t) // count(*) AS BIGINT) AS mt
+  FROM ty
+), cent AS (
+  SELECT day, t - mt AS u, y - my AS v FROM ty, m
+), mom AS (
+  SELECT CAST(sum(u * v) AS BIGINT) AS sxy,
+         CAST(sum(u * u) AS BIGINT) AS sxx
+  FROM cent
+), res AS (
+  SELECT day, 1000 * v - CAST((1000 * sxy) // sxx AS BIGINT) * u AS r
+  FROM cent, mom
+), lagged AS (
+  SELECT r, r - lag(r, 1) OVER (ORDER BY day) AS dr FROM res
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CAST(r AS DECIMAL(38,0)) * r) AS DOUBLE) AS ss_r,
+       CAST(sum(CAST(dr AS DECIMAL(38,0)) * dr) AS DOUBLE) AS ss_dr,
+       CAST(round(1000000 * CAST(sum(CAST(dr AS DECIMAL(38,0)) * dr) AS DOUBLE)
+                  / CAST(sum(CAST(r AS DECIMAL(38,0)) * r) AS DOUBLE)) AS BIGINT)
+         AS dw_micro
+FROM lagged
+"""
+
+QUERIES["durbin_watson_trend"] = durbin_watson_trend
+ORACLES["durbin_watson_trend"] = DURBIN_WATSON_TREND_SQL
+
+
+# --- rolling-origin forecast backtest: naive vs seasonal-naive, SMAPE --------
+# The honest way to pick a baseline forecaster: replay history, forecast
+# each day from what was known before it, and score symmetric percentage
+# error.  Per event_type daily counts (one partial-agg shuffle compresses
+# the fact table to ~type x days rows); forecasts are ROW lags 1 and 7 over
+# the observed day sequence (gap semantics as in acf_daily_revenue); each
+# day with both forecasts available scores term = (2e6*|f-y|) DIV (f+y)
+# (0 when both are 0), and the per-type SMAPE is the truncated mean of the
+# integer terms — every value-deciding step integer, floor-division
+# identical in both engines.
+def forecast_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    f = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("f1"),
+        F.lag("y", 7).over(w).alias("f7"),
+    ).where(F.col("f1").isNotNull() & F.col("f7").isNotNull())
+
+    def term(fc: str) -> str:
+        return (
+            f"CASE WHEN {fc} + y = 0 THEN 0 "
+            f"ELSE (2000000 * abs({fc} - y)) DIV ({fc} + y) END"
+        )
+
+    out = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.expr(f"sum({term('f1')}) DIV count(*)").cast("long").alias(
+            "smape_naive_ppm"
+        ),
+        F.expr(f"sum({term('f7')}) DIV count(*)").cast("long").alias(
+            "smape_snaive_ppm"
+        ),
+    )
+    return out.selectExpr(
+        "event_type",
+        "n_evals",
+        "smape_naive_ppm",
+        "smape_snaive_ppm",
+        "CASE WHEN smape_snaive_ppm < smape_naive_ppm THEN 'seasonal'"
+        " WHEN smape_naive_ppm < smape_snaive_ppm THEN 'naive'"
+        " ELSE 'tie' END AS winner",
+    ).orderBy("event_type")
+
+
+FORECAST_BACKTEST_SMAPE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, y,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+  FROM daily
+), scored AS (
+  SELECT event_type, y, f1, f7,
+         CASE WHEN f1 + y = 0 THEN 0
+              ELSE (2000000 * abs(f1 - y)) // (f1 + y) END AS t1,
+         CASE WHEN f7 + y = 0 THEN 0
+              ELSE (2000000 * abs(f7 - y)) // (f7 + y) END AS t7
+  FROM f WHERE f1 IS NOT NULL AND f7 IS NOT NULL
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_evals,
+         CAST(sum(t1) // count(*) AS BIGINT) AS smape_naive_ppm,
+         CAST(sum(t7) // count(*) AS BIGINT) AS smape_snaive_ppm
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, n_evals, smape_naive_ppm, smape_snaive_ppm,
+       CASE WHEN smape_snaive_ppm < smape_naive_ppm THEN 'seasonal'
+            WHEN smape_naive_ppm < smape_snaive_ppm THEN 'naive'
+            ELSE 'tie' END AS winner
+FROM agg
+ORDER BY event_type
+"""
+
+QUERIES["forecast_backtest_smape"] = forecast_backtest_smape
+ORACLES["forecast_backtest_smape"] = FORECAST_BACKTEST_SMAPE_SQL
