@@ -670,3 +670,132 @@ ORDER BY user_id, run_id
 
 QUERIES["event_compact_consecutive"] = event_compact_consecutive
 ORACLES["event_compact_consecutive"] = EVENT_COMPACT_CONSECUTIVE_SQL
+
+
+# --- FIFO inventory matching -------------------------------------------------
+# The classic "hard problem in SQL" — match each issue of stock to the
+# receipts that filled it under first-in-first-out — solved with ZERO
+# iteration via the prefix-sum interval identity: number supply units
+# per part as the running interval [s_hi - qty, s_hi) and demand units
+# as [d_hi - qty, d_hi); FIFO pairs exactly the overlapping unit ranges,
+# so the allocation of receipt s to issue d is
+#   min(s_hi, d_hi) - max(s_lo, d_lo)  where the intervals overlap.
+# Shape: two per-part cumulative windows (one shuffle on partkey — both
+# windows and the join share it), then an equi-join on partkey with the
+# overlap predicate; each receipt overlaps only the issues its units
+# span, so match fan-out is linear in receipts+issues per part, never
+# quadratic.  Supplies are odd line numbers, demands even (deterministic
+# synthetic roles on the corpus).  Quantities are exact integers; the
+# output audits the whole matching: global totals, the conservation
+# identity sum(alloc) == sum_part min(supply, demand), and a weighted
+# pair checksum that pins WHICH receipt fed WHICH issue.
+def fifo_inventory_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "l_partkey AS pk",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "l_linenumber % 2 = 1 AS is_supply",
+    )
+    w = (
+        W.partitionBy("pk", "is_supply")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+    ranked = li.select(
+        "pk",
+        "is_supply",
+        "qty",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("qty").over(w).alias("hi"),
+    ).selectExpr("pk", "is_supply", "rk", "hi - qty AS lo", "hi")
+    s = ranked.where("is_supply").selectExpr(
+        "pk", "rk AS s_rk", "lo AS s_lo", "hi AS s_hi"
+    )
+    d = ranked.where("NOT is_supply").selectExpr(
+        "pk", "rk AS d_rk", "lo AS d_lo", "hi AS d_hi"
+    )
+    m = (
+        s.join(d, "pk")
+        .where((F.col("s_lo") < F.col("d_hi")) & (F.col("d_lo") < F.col("s_hi")))
+        .selectExpr(
+            "pk",
+            "s_rk",
+            "d_rk",
+            "least(s_hi, d_hi) - greatest(s_lo, d_lo) AS alloc",
+        )
+    )
+    tot = ranked.groupBy("pk").agg(
+        F.sum(F.when(F.col("is_supply"), F.col("hi") - F.col("lo")).otherwise(0))
+        .alias("ts"),
+        F.sum(F.when(~F.col("is_supply"), F.col("hi") - F.col("lo")).otherwise(0))
+        .alias("td"),
+    )
+    audit = m.agg(
+        F.countDistinct("pk").cast("long").alias("n_parts_matched"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.sum("alloc").cast("long").alias("total_alloc"),
+        F.sum(
+            F.col("alloc") * ((F.col("s_rk") * 1009 + F.col("d_rk")) % 9973)
+        )
+        .cast("long")
+        .alias("pair_checksum"),
+    )
+    mins = tot.agg(
+        F.sum(F.least("ts", "td")).cast("long").alias("expected_alloc")
+    )
+    return audit.crossJoin(F.broadcast(mins)).selectExpr(
+        "n_parts_matched",
+        "n_matches",
+        "total_alloc",
+        "expected_alloc",
+        "total_alloc = expected_alloc AS conservation_ok",
+        "pair_checksum",
+    )
+
+
+FIFO_INVENTORY_MATCH_SQL = """
+WITH li AS (
+  SELECT l_partkey AS pk, l_orderkey, l_linenumber, l_shipdate,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_linenumber % 2 = 1 AS is_supply
+  FROM lineitem
+), ranked AS (
+  SELECT pk, is_supply,
+         CAST(row_number() OVER w AS BIGINT) AS rk,
+         CAST(sum(qty) OVER w - qty AS BIGINT) AS lo,
+         CAST(sum(qty) OVER w AS BIGINT) AS hi
+  FROM li
+  WINDOW w AS (PARTITION BY pk, is_supply
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT pk, rk AS s_rk, lo AS s_lo, hi AS s_hi FROM ranked WHERE is_supply
+), d AS (
+  SELECT pk, rk AS d_rk, lo AS d_lo, hi AS d_hi FROM ranked WHERE NOT is_supply
+), m AS (
+  SELECT s.pk, s_rk, d_rk,
+         least(s_hi, d_hi) - greatest(s_lo, d_lo) AS alloc
+  FROM s JOIN d ON s.pk = d.pk AND s_lo < d_hi AND d_lo < s_hi
+), tot AS (
+  SELECT pk,
+         sum(CASE WHEN is_supply THEN hi - lo ELSE 0 END) AS ts,
+         sum(CASE WHEN NOT is_supply THEN hi - lo ELSE 0 END) AS td
+  FROM ranked GROUP BY pk
+), audit AS (
+  SELECT CAST(count(DISTINCT pk) AS BIGINT) AS n_parts_matched,
+         CAST(count(*) AS BIGINT) AS n_matches,
+         CAST(sum(alloc) AS BIGINT) AS total_alloc,
+         CAST(sum(alloc * ((s_rk * 1009 + d_rk) % 9973)) AS BIGINT) AS pair_checksum
+  FROM m
+), mins AS (
+  SELECT CAST(sum(least(ts, td)) AS BIGINT) AS expected_alloc FROM tot
+)
+SELECT n_parts_matched, n_matches, total_alloc, expected_alloc,
+       total_alloc = expected_alloc AS conservation_ok,
+       pair_checksum
+FROM audit, mins
+"""
+
+QUERIES["fifo_inventory_match"] = fifo_inventory_match
+ORACLES["fifo_inventory_match"] = FIFO_INVENTORY_MATCH_SQL

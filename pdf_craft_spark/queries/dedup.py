@@ -1109,3 +1109,142 @@ FROM m
 
 QUERIES["dedup_lsh_quality"] = dedup_lsh_quality
 ORACLES["dedup_lsh_quality"] = DEDUP_LSH_QUALITY_SQL
+
+
+# --- substring-level dedup: duplicated token spans ---------------------------
+# The span-level half of training-data dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): document-
+# level near-dup removal keeps boilerplate passages that repeat ACROSS
+# otherwise-distinct documents; substring dedup finds the repeated spans
+# themselves.  Exact distributed shape (suffix arrays are the single-node
+# tool; the equivalent at cluster scale is gram chaining):
+#   1. positional L-grams (L=8 tokens) built codegen-side — posexplode +
+#      lead() window, the measured _shingle_rows formulation, never a HOF;
+#   2. grams occurring in >= 2 DISTINCT docs, found by ONE combinable agg
+#      on the 60-bit md5 of the gram (shuffle carries a long, not the
+#      40-char string);
+#   3. flagged positions widen to token intervals [pos, pos+L) and merge
+#      per doc with the covered_days_union window sweep (new span when
+#      pos > running max end), so overlapping duplicated grams compact
+#      into maximal spans.
+# Every step is one shuffle (gram agg; the window shares the doc key) and
+# all arithmetic is integer; output is the full span table, so the driver
+# hash pins every detected span boundary.
+SUBSTR_L = 8  # tokens per gram = minimum duplicated-span length
+
+
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("t"), *[F.lead("t", k).over(w) for k in range(1, SUBSTR_L)]
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            gram.alias("g"),
+            F.lead("t", SUBSTR_L - 1).over(w).alias("_tl"),
+        )
+        .filter(F.col("_tl").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "pos",
+            md5_prefix_long_sql("g", 15, "spark") + " AS gh",
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    flagged = grams.join(dup, "gh").select(
+        "doc_id", "pos", (F.col("pos") + SUBSTR_L).alias("end")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    prev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    spans = (
+        flagged.select(
+            "doc_id",
+            "pos",
+            "end",
+            F.when(
+                F.col("pos") > F.coalesce(F.max("end").over(prev), F.lit(-1)),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_span"),
+        )
+        .select(
+            "doc_id", "pos", "end", F.sum("new_span").over(wd).alias("span_id")
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+    )
+    return spans.selectExpr(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "span_end - span_start AS span_tokens",
+        "n_grams",
+    ).orderBy("doc_id", "span_start")
+
+
+def _substring_dedup_sql() -> str:
+    leads = " || ' ' || ".join(
+        ["t"] + [f"lead(t, {k}) OVER w" for k in range(1, SUBSTR_L)]
+    )
+    gh = md5_prefix_long_sql("g", 15, "duck")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t,
+         unnest(range(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))) AS pos
+  FROM documents
+), grams0 AS (
+  SELECT doc_id, pos, {leads} AS g,
+         lead(t, {SUBSTR_L - 1}) OVER w AS _tl
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), grams AS (
+  SELECT doc_id, pos, {gh} AS gh FROM grams0 WHERE _tl IS NOT NULL
+), dup AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT g.doc_id, g.pos, g.pos + {SUBSTR_L} AS e
+  FROM grams g JOIN dup USING (gh)
+), marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_span
+  FROM flagged
+), ids AS (
+  SELECT doc_id, pos, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM ids
+GROUP BY doc_id, span_id
+ORDER BY doc_id, span_start
+"""
+
+
+SUBSTRING_DEDUP_SPANS_SQL = _substring_dedup_sql()
+
+QUERIES["substring_dedup_spans"] = substring_dedup_spans
+ORACLES["substring_dedup_spans"] = SUBSTRING_DEDUP_SPANS_SQL

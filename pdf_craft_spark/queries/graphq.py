@@ -972,3 +972,137 @@ SSSP_WEIGHTED_COPURCHASE_SQL = _sssp_sql()
 
 QUERIES["sssp_weighted_copurchase"] = sssp_weighted_copurchase
 ORACLES["sssp_weighted_copurchase"] = SSSP_WEIGHTED_COPURCHASE_SQL
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+# Kleinberg's HITS on the bipartite purchase graph: customers are hubs
+# (good buyers point at good suppliers), suppliers are authorities.  Each
+# iteration is the pair of half-steps a = A^T h, h = A a with a max-
+# normalization after each half-step so the vectors stay in scaled
+# integers: v <- (v * SCALE) DIV max(v) — the 1-row max broadcasts, the
+# floor is engine-identical, and v * SCALE stays under 2^63 (scores are
+# <= SCALE after normalization, degree sums <= deg_max * SCALE ~ 1e10,
+# times SCALE = 1e16).  Same loop discipline as pagerank: the score
+# vector (one row per node) broadcasts into the edge join so the edge
+# table is NEVER shuffled; one partial-agg per half-step;
+# localCheckpoint cuts lineage per round (prod twin: written iteration
+# table).  FIXED unrolled iterations so DuckDB mirrors the exact
+# arithmetic as CTEs.
+HITS_SCALE = 10**6
+HITS_ITERS = 3
+HITS_TOPK = 10
+
+
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", spark.sparkContext.defaultParallelism
+    )
+    try:
+        return _hits(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    custs = edges.select("cust").distinct()
+    h = custs.select("cust", F.lit(HITS_SCALE).cast("long").alias("h"))
+    for _ in range(HITS_ITERS):
+        a = (
+            edges.join(F.broadcast(h), "cust")
+            .groupBy("supp")
+            .agg(F.sum("h").alias("a"))
+        )
+        amax = a.agg(F.max("a").alias("mx"))
+        a = (
+            a.crossJoin(F.broadcast(amax))
+            .selectExpr("supp", f"(a * {HITS_SCALE}) DIV mx AS a")
+            .localCheckpoint(eager=True)
+        )
+        h = (
+            edges.join(F.broadcast(a), "supp")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("h"))
+        )
+        hmax = h.agg(F.max("h").alias("mx"))
+        h = (
+            h.crossJoin(F.broadcast(hmax))
+            .selectExpr("cust", f"(h * {HITS_SCALE}) DIV mx AS h")
+            .localCheckpoint(eager=True)
+        )
+    top_a = (
+        a.orderBy(F.desc("a"), "supp")
+        .limit(HITS_TOPK)
+        .selectExpr("'authority' AS role", "CAST(supp AS BIGINT) AS node", "a AS score")
+    )
+    top_h = (
+        h.orderBy(F.desc("h"), "cust")
+        .limit(HITS_TOPK)
+        .selectExpr("'hub' AS role", "CAST(cust AS BIGINT) AS node", "h AS score")
+    )
+    return top_a.unionByName(top_h).orderBy("role", F.desc("score"), "node")
+
+
+def _hits_sql() -> str:
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h0 AS (
+  SELECT cust, CAST(%d AS BIGINT) AS h FROM (SELECT DISTINCT cust FROM edges)
+)"""
+        % HITS_SCALE
+    ]
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""a{i}r AS (
+  SELECT supp, CAST(sum(h) AS BIGINT) AS a
+  FROM edges JOIN {prev_h} USING (cust) GROUP BY supp
+), a{i} AS (
+  SELECT supp, CAST((a * {HITS_SCALE}) // (SELECT max(a) FROM a{i}r) AS BIGINT) AS a
+  FROM a{i}r
+), h{i}r AS (
+  SELECT cust, CAST(sum(a) AS BIGINT) AS h
+  FROM edges JOIN a{i} USING (supp) GROUP BY cust
+), h{i} AS (
+  SELECT cust, CAST((h * {HITS_SCALE}) // (SELECT max(h) FROM h{i}r) AS BIGINT) AS h
+  FROM h{i}r
+)"""
+        )
+        prev_h = f"h{i}"
+    n = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT * FROM (
+  SELECT 'authority' AS role, CAST(supp AS BIGINT) AS node, a AS score
+  FROM a{n} ORDER BY a DESC, supp LIMIT {HITS_TOPK}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS role, CAST(cust AS BIGINT) AS node, h AS score
+  FROM h{n} ORDER BY h DESC, cust LIMIT {HITS_TOPK}
+)
+ORDER BY role, score DESC, node
+"""
+    )
+
+
+GRAPH_HITS_SCORES_SQL = _hits_sql()
+
+QUERIES["graph_hits_scores"] = graph_hits_scores
+ORACLES["graph_hits_scores"] = GRAPH_HITS_SCORES_SQL

@@ -899,3 +899,200 @@ PERMUTATION_TEST_DIFF_SQL = _perm_sql()
 
 QUERIES["permutation_test_diff"] = permutation_test_diff
 ORACLES["permutation_test_diff"] = PERMUTATION_TEST_DIFF_SQL
+
+
+# --- bh_fdr_scan: many hypotheses at once + Benjamini-Hochberg ----------
+# The field-significance problem: scan all 15 (priority x status) segments
+# for "does this segment's mean order value differ from the rest?" and
+# control the FALSE DISCOVERY RATE across the family — the multiple-
+# testing discipline every metrics platform needs before flagging
+# segments.  Permutation nulls for ALL groups from ONE relabeling stream:
+# resample b gives each row one 40-bit uniform u = md5(key|b) DIV 2^20,
+# and group g's pseudo-group is the NESTED prefix set {u < t_g},
+# t_g = n_g * 2^40 DIV n (data-derived, engine-identical).  Marginally
+# each pseudo-group is a valid size-preserving relabeling; across groups
+# the prefix sets are positively dependent (PRDS), exactly the regime
+# where BH keeps its FDR guarantee (Benjamini-Yekutieli 2001).  The cost
+# win: because sum_g n_g/n = 1, the broadcast range join u < t_g fans
+# out to ~ONE row per (row, b) — all 15 null distributions for the price
+# of one.  BH step-up is exact integer arithmetic: discovery at level
+# alpha = 0.1 iff rank k satisfies (n_ge+1) * 10 * m <= (B+1) * k, with
+# K = max such k and every rank <= K discovered.  B = 192 puts the
+# add-one p floor (1/193) below alpha * 1/m (1/150), so a rank-1
+# discovery is reachable — a smaller B would silently make the scan
+# unable to reject anything at rank 1.
+_BH_B = 192
+_BH_ALPHA_INV = 10  # alpha = 1/10
+
+
+def bh_fdr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority AS pri",
+        "o_orderstatus AS st",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+    ).localCheckpoint(eager=True)
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s_all"),
+    )
+    sizes = (
+        base.groupBy("pri", "st")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("cents").cast("long").alias("s_g"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "pri",
+            "st",
+            "n_g",
+            "s_g",
+            "n",
+            "s_all",
+            f"(n_g * {1 << 40}) DIV n AS t_g",
+            "abs((1000 * s_g) DIV n_g"
+            " - (1000 * (s_all - s_g)) DIV (n - n_g)) AS obs_diff_mc",
+        )
+        .localCheckpoint(eager=True)
+    )
+    h = md5_prefix_long_sql("concat(o_orderkey, '|', b)", 15, "spark")
+    expl = base.selectExpr(
+        "cents", f"explode(sequence(0, {_BH_B - 1})) AS b", "o_orderkey"
+    ).selectExpr("cents", "b", f"({h}) DIV {1 << 20} AS u")
+    joined = expl.join(
+        F.broadcast(sizes.select("pri", "st", "t_g", "n_g")),
+        F.col("u") < F.col("t_g"),
+    )
+    perm = joined.groupBy("pri", "st", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_p"),
+        F.sum("cents").cast("long").alias("sum_p"),
+    )
+    pvals = (
+        perm.join(F.broadcast(sizes), ["pri", "st"])
+        .selectExpr(
+            "pri",
+            "st",
+            "CASE WHEN cnt_p = 0 OR cnt_p = n THEN NULL"
+            " ELSE abs((1000 * sum_p) DIV cnt_p"
+            "  - (1000 * (s_all - sum_p)) DIV (n - cnt_p)) END AS perm_diff_mc",
+            "obs_diff_mc",
+        )
+        .groupBy("pri", "st")
+        .agg(
+            F.count("perm_diff_mc").cast("long").alias("n_resamples"),
+            F.sum(
+                F.when(F.col("perm_diff_mc") >= F.col("obs_diff_mc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge"),
+            F.first("obs_diff_mc").alias("obs_diff_mc"),
+        )
+    )
+    wrk = W.orderBy("n_ge", "pri", "st")
+    wall = W.partitionBy()
+    ranked = pvals.select(
+        "pri",
+        "st",
+        "obs_diff_mc",
+        "n_resamples",
+        "n_ge",
+        F.row_number().over(wrk).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    ).selectExpr(
+        "pri",
+        "st",
+        "obs_diff_mc",
+        "n_resamples",
+        "n_ge",
+        "CAST((1000 * (n_ge + 1)) DIV (n_resamples + 1) AS BIGINT) AS p_milli",
+        "bh_rank",
+        "m",
+        f"(n_ge + 1) * {_BH_ALPHA_INV} * m <= (n_resamples + 1) * bh_rank AS bh_cond",
+    )
+    return (
+        ranked.select(
+            "*",
+            F.max(F.when(F.col("bh_cond"), F.col("bh_rank")).otherwise(0))
+            .over(wall)
+            .alias("bh_k"),
+        )
+        .selectExpr(
+            "pri",
+            "st",
+            "obs_diff_mc",
+            "n_resamples",
+            "n_ge",
+            "p_milli",
+            "bh_rank",
+            "bh_rank <= bh_k AS discovery",
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def _bh_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("(o_orderkey || '|' || b)", 15, "duck")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s_all
+  FROM base
+), sizes AS (
+  SELECT pri, st, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(cents) AS BIGINT) AS s_g, n, s_all,
+         (CAST(count(*) AS BIGINT) * {1 << 40}) // n AS t_g,
+         abs((1000 * CAST(sum(cents) AS BIGINT)) // count(*)
+           - (1000 * (s_all - CAST(sum(cents) AS BIGINT)))
+             // (n - count(*))) AS obs_diff_mc
+  FROM base, tot GROUP BY pri, st, n, s_all
+), expl AS (
+  SELECT cents, b, ({h}) // {1 << 20} AS u
+  FROM base, (SELECT unnest(range({_BH_B})) AS b) bb
+), joined AS (
+  SELECT s.pri, s.st, e.b, e.cents, s.n_g
+  FROM expl e JOIN sizes s ON e.u < s.t_g
+), perm AS (
+  SELECT pri, st, b, CAST(count(*) AS BIGINT) AS cnt_p,
+         CAST(sum(cents) AS BIGINT) AS sum_p
+  FROM joined GROUP BY pri, st, b
+), pv AS (
+  SELECT p.pri, p.st,
+         CAST(count(CASE WHEN p.cnt_p > 0 AND p.cnt_p < s.n THEN 1 END)
+           AS BIGINT) AS n_resamples,
+         CAST(sum(CASE WHEN p.cnt_p > 0 AND p.cnt_p < s.n
+              AND abs((1000 * p.sum_p) // p.cnt_p
+                    - (1000 * (s.s_all - p.sum_p)) // (s.n - p.cnt_p))
+                  >= s.obs_diff_mc THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+         max(s.obs_diff_mc) AS obs_diff_mc
+  FROM perm p JOIN sizes s ON p.pri = s.pri AND p.st = s.st
+  GROUP BY p.pri, p.st
+), ranked AS (
+  SELECT pri, st, obs_diff_mc, n_resamples, n_ge,
+         CAST((1000 * (n_ge + 1)) // (n_resamples + 1) AS BIGINT) AS p_milli,
+         CAST(row_number() OVER (ORDER BY n_ge, pri, st) AS BIGINT) AS bh_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m,
+         (n_ge + 1) * {_BH_ALPHA_INV} * (count(*) OVER ())
+           <= (n_resamples + 1) * row_number() OVER (ORDER BY n_ge, pri, st)
+           AS bh_cond
+  FROM pv
+)
+SELECT pri, st, obs_diff_mc, n_resamples, n_ge, p_milli, bh_rank,
+       bh_rank <= max(CASE WHEN bh_cond THEN bh_rank ELSE 0 END) OVER ()
+         AS discovery
+FROM ranked
+ORDER BY bh_rank
+"""
+
+
+BH_FDR_SCAN_SQL = _bh_sql()
+
+QUERIES["bh_fdr_scan"] = bh_fdr_scan
+ORACLES["bh_fdr_scan"] = BH_FDR_SCAN_SQL

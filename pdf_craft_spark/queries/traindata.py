@@ -1057,3 +1057,106 @@ ASSIGN_GLOBAL_IDS_SQL = _assign_global_ids_sql()
 
 QUERIES["assign_global_ids"] = assign_global_ids
 ORACLES["assign_global_ids"] = ASSIGN_GLOBAL_IDS_SQL
+
+
+# --- priority sampling: weighted sample with unbiased subset sums ------------
+# Priority sampling (Duffield, Lund, Thorup 2007): the weighted analog of
+# the hash-priority reservoir above — draw k items with priority
+# q_i = w_i / u_i (u_i the item's uniform), keep the top k, and estimate
+# any subset-sum with w_hat_i = max(w_i, tau) where tau is the (k+1)-th
+# priority; E[sum w_hat over sample ∩ S] = sum w over S, with variance
+# optimal up to a factor among all k-sample schemes.  Deterministic
+# integer recipe: u_i = (h40+1)/2^40 from the shared md5 helper, so the
+# scaled priority q_i = (w_i << 40) DIV (h40+1) is exact int64 (w in
+# dollars <= ~5e5 keeps w << 40 under 2^63); q_i = w_i/u_i is then
+# ALREADY in weight units (the 2^40 cancels), so tau is too and
+# w_hat_i = greatest(w_i, tau) directly.  Plan: the
+# top-(k+1) is TakeOrderedAndProject (no global sort), the estimator is
+# one agg over k rows, and the exact total (the check column) is one
+# combinable agg over the facts.  err_bp is the one final double.
+PRIORITY_K = 200
+
+
+def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 10, "spark")
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).selectExpr(
+        "o_orderkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100 AS w",
+        f"({h}) + 1 AS u",
+    )
+    ranked = (
+        o.selectExpr("o_orderkey", "w", f"(w * {1 << 40}) DIV u AS q")
+        .orderBy(F.desc("q"), "o_orderkey")
+        .limit(PRIORITY_K + 1)
+    )
+    wr = W.orderBy(F.desc("q"), "o_orderkey")
+    top = ranked.select("o_orderkey", "w", "q", F.row_number().over(wr).alias("rk"))
+    tau = top.where(F.col("rk") == PRIORITY_K + 1).selectExpr("q AS tau")
+    sample = top.where(F.col("rk") <= PRIORITY_K)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .selectExpr(
+            "o_orderkey",
+            "greatest(w, tau) AS w_hat",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("w_hat").cast("long").alias("est_total"),
+            F.sum("o_orderkey").cast("long").alias("sample_key_sum"),
+        )
+    )
+    exact = o.agg(F.sum("w").cast("long").alias("exact_total"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(tau))
+        .selectExpr(
+            "k",
+            "CAST(tau AS BIGINT) AS tau",
+            "sample_key_sum",
+            "est_total",
+            "exact_total",
+            "CAST(round(10000 * (CAST(est_total AS DOUBLE) - CAST(exact_total AS DOUBLE))"
+            " / CAST(exact_total AS DOUBLE)) AS BIGINT) AS err_bp",
+        )
+    )
+
+
+def _priority_sample_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS VARCHAR)", 10, "duck")
+    return f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS w,
+         ({h}) + 1 AS u
+  FROM orders
+), q AS (
+  SELECT o_orderkey, w, CAST((w * {1 << 40}) // u AS BIGINT) AS q FROM o
+), top AS (
+  SELECT o_orderkey, w, q,
+         row_number() OVER (ORDER BY q DESC, o_orderkey) AS rk
+  FROM (SELECT * FROM q ORDER BY q DESC, o_orderkey LIMIT {PRIORITY_K + 1})
+), tau AS (
+  SELECT q AS tau FROM top WHERE rk = {PRIORITY_K + 1}
+), est AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(greatest(w, tau)) AS BIGINT) AS est_total,
+         CAST(sum(o_orderkey) AS BIGINT) AS sample_key_sum
+  FROM top, tau WHERE rk <= {PRIORITY_K}
+), exact AS (
+  SELECT CAST(sum(w) AS BIGINT) AS exact_total FROM o
+)
+SELECT k, CAST(tau AS BIGINT) AS tau, sample_key_sum, est_total, exact_total,
+       CAST(round(10000 * (CAST(est_total AS DOUBLE) - CAST(exact_total AS DOUBLE))
+            / CAST(exact_total AS DOUBLE)) AS BIGINT) AS err_bp
+FROM est, exact, tau
+"""
+
+
+PRIORITY_SAMPLE_ORDERS_SQL = _priority_sample_sql()
+
+QUERIES["priority_sample_orders"] = priority_sample_orders
+ORACLES["priority_sample_orders"] = PRIORITY_SAMPLE_ORDERS_SQL

@@ -245,3 +245,229 @@ def test_tcloseness_real_corpus_shape(spark):
     for r in rows:
         assert 0 <= r["emd_ppm"] <= 1_000_000
         assert r["breach"] == (r["emd_ppm"] > T_CLOSENESS_PPM)
+
+
+# --- substring_dedup_spans ---------------------------------------------------
+
+
+def test_substring_spans_planted_passage():
+    """Two docs share an exact 20-token passage at known offsets; a third
+    shares nothing.  The op must emit exactly one span per sharing doc
+    covering exactly the passage, and nothing for the clean doc."""
+    from pdf_craft_spark.queries.dedup import SUBSTRING_DEDUP_SPANS_SQL
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    noise_a = " ".join(f"a{i}" for i in range(10))
+    noise_b = " ".join(f"b{i}" for i in range(5))
+    clean = " ".join(f"c{i}" for i in range(40))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{noise_a} {passage}'), "
+        f"(2, '{passage} {noise_b}'), "
+        f"(3, '{clean}')"
+        ") AS t(doc_id, text)"
+    )
+    rows = con.execute(SUBSTRING_DEDUP_SPANS_SQL).fetchall()
+    assert len(rows) == 2, rows
+    by = {r[0]: r for r in rows}
+    # doc 1: passage tokens occupy positions 10..29
+    assert by[1][1:4] == (10, 30, 20), by[1]
+    # doc 2: positions 0..19
+    assert by[2][1:4] == (0, 20, 20), by[2]
+    assert 3 not in by
+
+
+def test_substring_spans_merge_overlapping_grams():
+    """A single duplicated 10-token run yields ONE maximal span (the three
+    overlapping 8-gram hits merge), not three windows."""
+    from pdf_craft_spark.queries.dedup import SUBSTRING_DEDUP_SPANS_SQL
+
+    run = " ".join(f"r{i}" for i in range(10))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, 'x0 x1 {run}'), (2, '{run} y0 y1')"
+        ") AS t(doc_id, text)"
+    )
+    rows = con.execute(SUBSTRING_DEDUP_SPANS_SQL).fetchall()
+    assert [r[:5] for r in rows] == [(1, 2, 12, 10, 3), (2, 0, 10, 10, 3)], rows
+
+
+def test_substring_spans_real_corpus(spark):
+    """Spans exist on the corpus, all spans >= L tokens, grams consistent."""
+    from pdf_craft_spark.queries.dedup import SUBSTR_L, substring_dedup_spans
+
+    rows = substring_dedup_spans(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["span_tokens"] >= SUBSTR_L
+        assert r["n_grams"] == r["span_tokens"] - SUBSTR_L + 1 or r["n_grams"] >= 1
+
+
+# --- priority_sample_orders --------------------------------------------------
+
+
+def test_priority_sample_matches_python_recompute(spark):
+    """Recompute priorities q = (w << 40) // (h40+1) in python at sf0.001:
+    tau must be the (k+1)-th priority and the sample the top-k set."""
+    from pdf_craft_spark.queries.traindata import (
+        PRIORITY_K,
+        priority_sample_orders,
+    )
+
+    row = priority_sample_orders(spark, SF).collect()[0]
+    con = _duck(SF, ("orders",))
+    recs = con.execute(
+        """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS w,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10))
+                    AS BIGINT) + 1 AS u
+        FROM orders
+        """
+    ).fetchall()
+    qs = sorted(
+        ((w << 40) // u, key, w) for key, w, u in recs
+    )
+    qs.reverse()
+    top = qs[: PRIORITY_K]
+    tau = qs[PRIORITY_K][0]
+    assert row["tau"] == tau
+    assert row["k"] == PRIORITY_K
+    assert row["sample_key_sum"] == sum(k for _, k, _ in top)
+    assert row["est_total"] == sum(max(w, tau) for _, _, w in top)
+    assert row["exact_total"] == sum(w for _, w, _ in recs)
+
+
+# --- graph_hits_scores -------------------------------------------------------
+
+
+def test_hits_star_graph_extremes():
+    """Customer 1 buys from all 5 suppliers; customers 2-6 each buy from
+    supplier 1 only.  Top hub must be customer 1 (score SCALE), top
+    authority supplier 1 (score SCALE)."""
+    from pdf_craft_spark.queries.graphq import GRAPH_HITS_SCORES_SQL, HITS_SCALE
+
+    lis, ords = [], []
+    ok = 0
+    for s in range(1, 6):
+        ok += 1
+        ords.append(f"({ok}, 1)")
+        lis.append(f"({ok}, {s})")
+    for c in range(2, 7):
+        ok += 1
+        ords.append(f"({ok}, {c})")
+        lis.append(f"({ok}, 1)")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(ords)
+        + ") AS t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(lis)
+        + ") AS t(l_orderkey, l_suppkey)"
+    )
+    rows = con.execute(GRAPH_HITS_SCORES_SQL).fetchall()
+    auth = [r for r in rows if r[0] == "authority"]
+    hubs = [r for r in rows if r[0] == "hub"]
+    assert auth[0][1] == 1 and auth[0][2] == HITS_SCALE
+    assert hubs[0][1] == 1 and hubs[0][2] == HITS_SCALE
+    # every other authority scores strictly less than supplier 1
+    assert all(r[2] < HITS_SCALE for r in auth[1:])
+
+
+def test_hits_real_corpus_normalized(spark):
+    from pdf_craft_spark.queries.graphq import HITS_SCALE, HITS_TOPK, graph_hits_scores
+
+    rows = graph_hits_scores(spark, SF).collect()
+    roles = {}
+    for r in rows:
+        roles.setdefault(r["role"], []).append(r["score"])
+    assert set(roles) == {"authority", "hub"}
+    for role, scores in roles.items():
+        assert len(scores) == HITS_TOPK
+        assert max(scores) == HITS_SCALE  # max-normalized
+        assert scores == sorted(scores, reverse=True)
+
+
+# --- fifo_inventory_match ----------------------------------------------------
+
+
+def test_fifo_hand_example():
+    """One part: supplies [5, 5] (odd lines), demands [3, 4, 3] (even):
+    FIFO matching is s1-d1:3, s1-d2:2, s2-d2:2, s2-d3:3."""
+    from pdf_craft_spark.queries.behavior import FIFO_INVENTORY_MATCH_SQL
+
+    rows = [
+        # (orderkey, linenumber, qty) — shipdate ordering by orderkey
+        (1, 1, 5), (2, 1, 5),          # supplies
+        (1, 2, 3), (2, 2, 4), (3, 2, 3),  # demands
+    ]
+    vals = ", ".join(
+        f"(100, {ok}, {ln}, TIMESTAMP '2001-01-0{ok}', {q}.0)"
+        for ok, ln, q in rows
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(l_partkey, l_orderkey, l_linenumber, l_shipdate, l_quantity)"
+    )
+    r = con.execute(FIFO_INVENTORY_MATCH_SQL).fetchone()
+    n_parts, n_matches, total_alloc, expected, ok_flag, checksum = r
+    assert (n_parts, n_matches, total_alloc, expected, ok_flag) == (
+        1, 4, 10, 10, True,
+    )
+    # pin the pairing: (s_rk, d_rk, alloc) = (1,1,3),(1,2,2),(2,2,2),(2,3,3)
+    want = sum(a * ((s * 1009 + d) % 9973) for s, d, a in
+               [(1, 1, 3), (1, 2, 2), (2, 2, 2), (2, 3, 3)])
+    assert checksum == want
+
+
+def test_fifo_conservation_real(spark):
+    from pdf_craft_spark.queries.behavior import fifo_inventory_match
+
+    row = fifo_inventory_match(spark, SF).collect()[0]
+    assert row["conservation_ok"] is True
+    assert row["total_alloc"] > 0
+
+
+# --- bh_fdr_scan -------------------------------------------------------------
+
+
+def test_bh_planted_shift_is_discovered():
+    """Double one segment's prices in a synthetic orders table: that
+    segment must surface at bh_rank 1 and be a discovery; the discovery
+    set must be a prefix of the rank order."""
+    from pdf_craft_spark.queries.statsq import BH_FDR_SCAN_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE VIEW orders AS
+        SELECT o_orderkey, o_orderpriority, o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+                    THEN o_totalprice * 3 ELSE o_totalprice END AS o_totalprice
+        FROM '/root/testdata/sf0.001/orders.parquet'"""
+    )
+    rows = con.execute(BH_FDR_SCAN_SQL).fetchall()
+    assert rows[0][0] == "1-URGENT" and rows[0][1] == "O"
+    assert rows[0][7] is True  # discovered
+    flags = [r[7] for r in rows]
+    assert flags == sorted(flags, reverse=True)  # discoveries are a prefix
+
+
+def test_bh_null_corpus_controls_fdr(spark):
+    """On the real (homogeneous) corpus the scan must not reject wildly:
+    discoveries form a prefix and p_milli is nondecreasing in rank."""
+    from pdf_craft_spark.queries.statsq import bh_fdr_scan
+
+    rows = bh_fdr_scan(spark, SF01).collect()
+    assert len(rows) == 15
+    ps = [r["p_milli"] for r in rows]
+    assert ps == sorted(ps)
+    flags = [r["discovery"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    assert sum(flags) <= 3  # FDR control: at most a stray few on null data
