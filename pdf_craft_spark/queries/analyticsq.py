@@ -2901,3 +2901,132 @@ ORDER BY s.c_mktsegment, s.c_nationkey
 
 QUERIES["t_closeness_audit"] = t_closeness_audit
 ORACLES["t_closeness_audit"] = T_CLOSENESS_AUDIT_SQL
+
+
+# --- skew_salting_advisor: quantify shuffle skew and the salting fix ---------
+# join_fanout_audit predicts a join's SIZE from key counts; this op
+# predicts its SKEW — the thing that actually kills wall-clock at 100 TB,
+# where one hot hash-partition strands a single reducer with the whole
+# key.  The model is exact, not heuristic: a shuffle on key k sends
+# cnt(k) rows to task md5_40(k) % P, so per-task load is one small agg
+# over the key-count table; salting rewrites k -> (k, salt s of S) with
+# the rows split exactly (cnt DIV S + 1 for the first cnt % S salts) and
+# re-hashed.  The demo key is the classic pathology: a low-cardinality
+# join key (p_brand, 25 values) hashed into P=64 tasks — collisions
+# leave most tasks empty and stack brands on a few, and S=8 salting
+# provably flattens it.  Everything is integer; the key-count table (25
+# rows) comes from one broadcast dim join + one combinable agg, so the
+# advisor costs one scan regardless of fact size.
+SKEW_P_TASKS = 64
+SKEW_SALT_S = 8
+
+
+def skew_salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    keys = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    h0 = md5_prefix_long_sql("p_brand", 10, "spark")
+    unsalted = (
+        keys.selectExpr(f"({h0}) % {SKEW_P_TASKS} AS task", "cnt")
+        .groupBy("task")
+        .agg(F.sum("cnt").alias("load"))
+        .agg(
+            F.max("load").cast("long").alias("max_unsalted"),
+            F.count(F.lit(1)).cast("long").alias("tasks_used_unsalted"),
+        )
+    )
+    hs = md5_prefix_long_sql("concat(p_brand, '|', s)", 10, "spark")
+    salted = (
+        keys.selectExpr(
+            "p_brand",
+            "cnt",
+            f"explode(sequence(0, {SKEW_SALT_S - 1})) AS s",
+        )
+        .selectExpr(
+            f"({hs}) % {SKEW_P_TASKS} AS task",
+            f"cnt DIV {SKEW_SALT_S}"
+            f" + CASE WHEN s < cnt % {SKEW_SALT_S} THEN 1 ELSE 0 END AS share",
+        )
+        .groupBy("task")
+        .agg(F.sum("share").alias("load"))
+        .agg(
+            F.max("load").cast("long").alias("max_salted"),
+            F.count(F.lit(1)).cast("long").alias("tasks_used_salted"),
+        )
+    )
+    tot = keys.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(unsalted))
+        .crossJoin(F.broadcast(salted))
+        .selectExpr(
+            "n_rows",
+            "n_keys",
+            f"CAST({SKEW_P_TASKS} AS BIGINT) AS p_tasks",
+            f"n_rows DIV {SKEW_P_TASKS} AS mean_load",
+            "max_unsalted",
+            "max_salted",
+            "tasks_used_unsalted",
+            "tasks_used_salted",
+            f"(1000 * max_unsalted) DIV (n_rows DIV {SKEW_P_TASKS})"
+            " AS skew_unsalted_milli",
+            f"(1000 * max_salted) DIV (n_rows DIV {SKEW_P_TASKS})"
+            " AS skew_salted_milli",
+        )
+    )
+
+
+def _skew_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h0 = md5_prefix_long_sql("p_brand", 10, "duck")
+    hs = md5_prefix_long_sql("(p_brand || '|' || s)", 10, "duck")
+    return f"""
+WITH keys AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), unsalted AS (
+  SELECT CAST(max(load) AS BIGINT) AS max_unsalted,
+         CAST(count(*) AS BIGINT) AS tasks_used_unsalted
+  FROM (SELECT ({h0}) % {SKEW_P_TASKS} AS task, sum(cnt) AS load
+        FROM keys GROUP BY 1)
+), salted AS (
+  SELECT CAST(max(load) AS BIGINT) AS max_salted,
+         CAST(count(*) AS BIGINT) AS tasks_used_salted
+  FROM (
+    SELECT ({hs}) % {SKEW_P_TASKS} AS task, sum(share) AS load
+    FROM (
+      SELECT p_brand, s,
+             cnt // {SKEW_SALT_S}
+               + CASE WHEN s < cnt % {SKEW_SALT_S} THEN 1 ELSE 0 END AS share
+      FROM keys, (SELECT unnest(range({SKEW_SALT_S})) AS s) ss
+    ) GROUP BY 1
+  )
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM keys
+)
+SELECT n_rows, n_keys,
+       CAST({SKEW_P_TASKS} AS BIGINT) AS p_tasks,
+       n_rows // {SKEW_P_TASKS} AS mean_load,
+       max_unsalted, max_salted, tasks_used_unsalted, tasks_used_salted,
+       (1000 * max_unsalted) // (n_rows // {SKEW_P_TASKS}) AS skew_unsalted_milli,
+       (1000 * max_salted) // (n_rows // {SKEW_P_TASKS}) AS skew_salted_milli
+FROM tot, unsalted, salted
+"""
+
+
+SKEW_SALTING_ADVISOR_SQL = _skew_sql()
+
+QUERIES["skew_salting_advisor"] = skew_salting_advisor
+ORACLES["skew_salting_advisor"] = SKEW_SALTING_ADVISOR_SQL

@@ -1855,3 +1855,140 @@ NDCG_EVAL_TOPK_SQL = _ndcg_sql()
 
 QUERIES["ndcg_eval_topk"] = ndcg_eval_topk
 ORACLES["ndcg_eval_topk"] = NDCG_EVAL_TOPK_SQL
+
+
+# --- ann_dim_truncation_eval: matryoshka prefix-dimension recall --------------
+# The embedding-infra question behind Matryoshka representation learning
+# (Kusupati et al. 2022) and every "can we store 16 of the 64 dims?"
+# memory budget: how much top-k recall survives truncating vectors to a
+# PREFIX of their dimensions?  For d in {8, 16, 32}: score the same
+# broadcast 10-query side against the corpus with cosine over only the
+# first d components (slice both sides; norms recomputed over the
+# slice), take top-5 per query with the house tie-break (round 6dp,
+# neighbor_id), and measure recall against the full-64-dim ground truth.
+# Same no-cartesian shape as sim_cosine_topk (broadcast query side);
+# three extra linear passes, no new shuffle.  On isotropic synthetic
+# embeddings the answer SHOULD be harsh (prefix dims carry 1/8..1/2 of
+# the signal) — the op reports the measured curve, recall_ppm exact from
+# integer hit counts.
+TRUNC_DIMS = (8, 16, 32)
+
+
+def ann_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    qids = gt.select("query_id").distinct()
+    emb = _emb(spark, sf_dir)
+    parts = []
+    for d in TRUNC_DIMS:
+        dot = (
+            "aggregate(zip_with(slice({a}, 1, %d), slice({b}, 1, %d), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)" % (d, d)
+        )
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.expr(dot.format(a="embedding", b="embedding")).alias("nq"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ce"),
+            F.expr(dot.format(a="embedding", b="embedding")).alias("nc"),
+        )
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.expr(dot.format(a="qe", b="ce"))
+                    / F.sqrt(F.col("nq") * F.col("nc")),
+                    6,
+                ).alias("cs"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+        approx = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            approx.join(gt, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("n_hits"),
+            )
+            .selectExpr(
+                f"CAST({d} AS BIGINT) AS trunc_dim",
+                "n_queries",
+                "n_hits",
+                f"CAST((1000000 * n_hits) DIV (n_queries * {TOP_K}) AS BIGINT)"
+                " AS recall_ppm",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("trunc_dim")
+
+
+def _trunc_eval_sql() -> str:
+    blocks = []
+    for d in TRUNC_DIMS:
+        dot = _DOT_DUCK.replace("{n} + 1", f"{d} + 1")
+        blocks.append(
+            f"""
+  SELECT CAST({d} AS BIGINT) AS trunc_dim,
+         CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(coalesce(h.n, 0)) AS BIGINT) AS n_hits,
+         CAST((1000000 * sum(coalesce(h.n, 0))) // (count(*) * {TOP_K}) AS BIGINT)
+           AS recall_ppm
+  FROM (SELECT DISTINCT query_id FROM gt) qids
+  LEFT JOIN (
+    SELECT a.query_id, count(*) AS n
+    FROM (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id) AS rk
+        FROM (
+          SELECT q.query_id, c.neighbor_id,
+                 round({dot.format(a="q.qe", b="c.ce")}
+                       / sqrt({dot.format(a="q.qe", b="q.qe")}
+                              * {dot.format(a="c.ce", b="c.ce")}), 6) AS cs
+          FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+        )
+      ) WHERE rk <= {TOP_K}
+    ) a JOIN gt g ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+    GROUP BY a.query_id
+  ) h USING (query_id)"""
+        )
+    u = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH gt AS (
+  SELECT query_id, neighbor_id FROM ({SIM_COSINE_TOPK_SQL})
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+)
+SELECT * FROM (
+{u}
+)
+ORDER BY trunc_dim
+"""
+
+
+ANN_DIM_TRUNCATION_EVAL_SQL = _trunc_eval_sql()
+
+QUERIES["ann_dim_truncation_eval"] = ann_dim_truncation_eval
+ORACLES["ann_dim_truncation_eval"] = ANN_DIM_TRUNCATION_EVAL_SQL

@@ -1335,3 +1335,221 @@ ORDER BY rk
 
 QUERIES["collocation_lift_bigrams"] = collocation_lift_bigrams
 ORACLES["collocation_lift_bigrams"] = COLLOCATION_LIFT_BIGRAMS_SQL
+
+
+# --- cleaning_funnel_report: C4/Gopher-style gate funnel ----------------------
+# Production corpus cleaning is a SEQUENCE of gates, and what operators
+# actually debug is the funnel: how many documents each gate killed AND
+# how many survived to reach the next one — first-failing-gate
+# attribution, not independent per-gate counts (a doc failing length and
+# repetition must count once, at the first gate, or the report
+# double-books removals and the stage deltas stop reconciling).  Gates
+# (thresholds set from measured corpus quantiles so every gate has real
+# bite): too_short (< 20 tokens, ~p10), dup_marker (contains the 'dup'
+# boilerplate token, ~5%), too_repetitive (max single-token frequency
+# > 160000 ppm, ~p95), low_diversity (type-token ratio < 310000 ppm,
+# ~p5).  One token explode + two-level agg per doc (a single doc_id
+# shuffle), then CASE-ordered attribution and a 5-row funnel with
+# running survivors — all integer ppm.
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_REP_PPM = 160_000
+FUNNEL_MIN_TTR_PPM = 310_000
+
+
+def cleaning_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+    per_tok = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_dist"),
+        F.max("c").cast("long").alias("mx"),
+        F.max(F.when(F.col("t") == "dup", 1).otherwise(0)).alias("has_dup"),
+    )
+    gated = stats.selectExpr(
+        "doc_id",
+        f"""CASE
+             WHEN n_tok < {FUNNEL_MIN_TOKENS} THEN '1:too_short'
+             WHEN has_dup = 1 THEN '2:dup_marker'
+             WHEN (1000000 * mx) DIV n_tok > {FUNNEL_MAX_REP_PPM}
+               THEN '3:too_repetitive'
+             WHEN (1000000 * n_dist) DIV n_tok < {FUNNEL_MIN_TTR_PPM}
+               THEN '4:low_diversity'
+             ELSE '5:pass'
+           END AS gate""",
+    )
+    counts = gated.groupBy("gate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = W.orderBy("gate").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    return (
+        counts.select(
+            "gate",
+            "n_docs",
+            (F.sum("n_docs").over(wall) - F.sum("n_docs").over(w))
+            .cast("long")
+            .alias("n_remaining_after"),
+            F.sum("n_docs").over(wall).cast("long").alias("n_total"),
+        )
+        .selectExpr(
+            "gate",
+            "n_docs",
+            # survivors after this gate = docs not yet killed; the 'pass'
+            # row's remaining is itself (it kills nothing)
+            "CASE WHEN gate = '5:pass' THEN n_docs ELSE n_remaining_after END"
+            " AS n_remaining_after",
+            "CAST((1000000 * n_docs) DIV n_total AS BIGINT) AS frac_ppm",
+        )
+        .orderBy("gate")
+    )
+
+
+CLEANING_FUNNEL_REPORT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents)
+), per_tok AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+), stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_dist,
+         CAST(max(c) AS BIGINT) AS mx,
+         max(CASE WHEN t = 'dup' THEN 1 ELSE 0 END) AS has_dup
+  FROM per_tok GROUP BY doc_id
+), gated AS (
+  SELECT doc_id,
+         CASE
+           WHEN n_tok < {FUNNEL_MIN_TOKENS} THEN '1:too_short'
+           WHEN has_dup = 1 THEN '2:dup_marker'
+           WHEN (1000000 * mx) // n_tok > {FUNNEL_MAX_REP_PPM}
+             THEN '3:too_repetitive'
+           WHEN (1000000 * n_dist) // n_tok < {FUNNEL_MIN_TTR_PPM}
+             THEN '4:low_diversity'
+           ELSE '5:pass'
+         END AS gate
+  FROM stats
+), counts AS (
+  SELECT gate, CAST(count(*) AS BIGINT) AS n_docs FROM gated GROUP BY gate
+)
+SELECT gate, n_docs,
+       CASE WHEN gate = '5:pass' THEN n_docs
+            ELSE CAST(sum(n_docs) OVER () - sum(n_docs) OVER (ORDER BY gate
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       END AS n_remaining_after,
+       CAST((1000000 * n_docs) // (sum(n_docs) OVER ()) AS BIGINT) AS frac_ppm
+FROM counts
+ORDER BY gate
+"""
+
+QUERIES["cleaning_funnel_report"] = cleaning_funnel_report
+ORACLES["cleaning_funnel_report"] = CLEANING_FUNNEL_REPORT_SQL
+
+
+# --- rbo_rank_overlap: rank-biased overlap between two rankings ---------------
+# rrf_rank_fusion MERGES rankings; RBO (Webber, Moffat, Zobel 2010)
+# MEASURES how much two rankings agree, top-weighted — the metric for
+# "did the index rebuild change what users see?".  Rankings compared:
+# suppliers by total revenue vs suppliers by lineitem count (two
+# combinable aggs over the same scan).  Truncated RBO@10 without
+# extrapolation: RBO = (1-p) * sum_{d=1..10} p^(d-1) * |A_d ∩ B_d| / d.
+# Overlap at depth d needs no per-depth set ops: an item in both top-10
+# lists enters every depth >= max(rank_a, rank_b), so one equi-join on
+# the item gives m = max(ra, rb) and overlap_d = #{m <= d}.  The
+# geometric weights p^(d-1) (p = 0.9) are scaled-integer literals
+# precomputed by repeated (w * 9) DIV 10 — identical constants in both
+# engines, no libm.  All arithmetic integer; rbo_ppm is exact.
+RBO_DEPTH = 10
+RBO_W = []  # scaled 1e6 weights: w_1 = 1e6, w_{d+1} = (w_d * 9) DIV 10
+_w = 1_000_000
+for _ in range(RBO_DEPTH):
+    RBO_W.append(_w)
+    _w = (_w * 9) // 10
+
+
+def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "l_suppkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.sum("cents").cast("long").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    wa = W.orderBy(F.desc("rev"), "l_suppkey")
+    wb = W.orderBy(F.desc("cnt"), "l_suppkey")
+    ranked = per.select(
+        "l_suppkey",
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    ).where(
+        (F.col("ra") <= RBO_DEPTH) & (F.col("rb") <= RBO_DEPTH)
+    )
+    m = ranked.selectExpr("greatest(ra, rb) AS m")
+    depth = spark.range(1, RBO_DEPTH + 1).selectExpr("id AS d")
+    wmap = F.expr(
+        "CASE d " + " ".join(
+            f"WHEN {i + 1} THEN CAST({RBO_W[i]} AS BIGINT)"
+            for i in range(RBO_DEPTH)
+        ) + " END"
+    )
+    per_depth = (
+        depth.join(F.broadcast(m), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").cast("long").alias("overlap_d"))
+        .select("d", "overlap_d", wmap.alias("w"))
+    )
+    return per_depth.agg(
+        F.sum(F.expr("(w * overlap_d) DIV d")).cast("long").alias("rbo_scaled"),
+        F.max(F.when(F.col("d") == RBO_DEPTH, F.col("overlap_d"))).alias(
+            "overlap_at_k"
+        ),
+    ).selectExpr(
+        f"CAST({RBO_DEPTH} AS BIGINT) AS depth",
+        "CAST(overlap_at_k AS BIGINT) AS overlap_at_k",
+        "rbo_scaled DIV 10 AS rbo_ppm",
+    )
+
+
+def _rbo_sql() -> str:
+    wcase = " ".join(
+        f"WHEN {i + 1} THEN CAST({RBO_W[i]} AS BIGINT)" for i in range(RBO_DEPTH)
+    )
+    return f"""
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS rev,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT l_suppkey,
+         CAST(row_number() OVER (ORDER BY rev DESC, l_suppkey) AS BIGINT) AS ra,
+         CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS BIGINT) AS rb
+  FROM per
+), both_m AS (
+  SELECT greatest(ra, rb) AS m FROM ranked
+  WHERE ra <= {RBO_DEPTH} AND rb <= {RBO_DEPTH}
+), per_depth AS (
+  SELECT d, CAST(count(m) AS BIGINT) AS overlap_d,
+         CASE d {wcase} END AS w
+  FROM (SELECT unnest(range(1, {RBO_DEPTH} + 1)) AS d) dd
+  LEFT JOIN both_m ON m <= d
+  GROUP BY d
+)
+SELECT CAST({RBO_DEPTH} AS BIGINT) AS depth,
+       CAST(max(CASE WHEN d = {RBO_DEPTH} THEN overlap_d END) AS BIGINT)
+         AS overlap_at_k,
+       CAST(sum((w * overlap_d) // d) // 10 AS BIGINT) AS rbo_ppm
+FROM per_depth
+"""
+
+
+RBO_RANK_OVERLAP_SQL = _rbo_sql()
+
+QUERIES["rbo_rank_overlap"] = rbo_rank_overlap
+ORACLES["rbo_rank_overlap"] = RBO_RANK_OVERLAP_SQL

@@ -471,3 +471,149 @@ def test_bh_null_corpus_controls_fdr(spark):
     flags = [r["discovery"] for r in rows]
     assert flags == sorted(flags, reverse=True)
     assert sum(flags) <= 3  # FDR control: at most a stray few on null data
+
+
+# --- cleaning_funnel_report --------------------------------------------------
+
+
+def test_funnel_first_gate_attribution_and_reconciliation():
+    """Synthetic docs aimed at each gate: a doc failing BOTH length and
+    repetition counts only at too_short; stage deltas reconcile."""
+    from pdf_craft_spark.queries.textops import CLEANING_FUNNEL_REPORT_SQL
+
+    docs = {
+        1: "a b c",                                    # too_short (and repetitive)
+        2: " ".join(["dup"] + [f"w{i}" for i in range(25)]),   # dup_marker
+        3: " ".join(["x"] * 15 + [f"y{i}" for i in range(10)]),  # repetitive
+        # low diversity but NOT repetitive: 7 distinct over 26 tokens
+        # (ttr 269k < 310k) with max count 4 (154k ppm <= 160k)
+        4: " ".join(
+            ["p0"] * 4 + ["p1"] * 4 + ["p2"] * 4 + ["p3"] * 4
+            + ["p4"] * 4 + ["p5"] * 3 + ["p6"] * 3
+        ),
+        5: " ".join(f"z{i}" for i in range(30)),       # clean
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, '{v}')" for k, v in docs.items())
+        + ") AS t(doc_id, text)"
+    )
+    rows = con.execute(CLEANING_FUNNEL_REPORT_SQL).fetchall()
+    by = {r[0]: r for r in rows}
+    assert by["1:too_short"][1] == 1
+    assert by["2:dup_marker"][1] == 1
+    assert by["3:too_repetitive"][1] == 1
+    assert by["4:low_diversity"][1] == 1
+    assert by["5:pass"][1] == 1
+    # reconciliation: remaining after each gate drops by the next kill
+    order = ["1:too_short", "2:dup_marker", "3:too_repetitive",
+             "4:low_diversity", "5:pass"]
+    remaining = 5
+    for g in order[:-1]:
+        remaining -= by[g][1]
+        assert by[g][2] == remaining, g
+    assert sum(by[g][1] for g in order) == 5
+
+
+def test_funnel_real_corpus_reconciles(spark):
+    from pdf_craft_spark.queries.textops import cleaning_funnel_report
+
+    rows = cleaning_funnel_report(spark, SF01).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == 500
+    run = total
+    for r in rows[:-1]:
+        run -= r["n_docs"]
+        assert r["n_remaining_after"] == run
+
+
+# --- skew_salting_advisor ----------------------------------------------------
+
+
+def test_skew_advisor_matches_python_model(spark):
+    """Recompute both load models exactly in python from the key counts."""
+    from pdf_craft_spark.queries.analyticsq import (
+        SKEW_P_TASKS,
+        SKEW_SALT_S,
+        skew_salting_advisor,
+    )
+
+    row = skew_salting_advisor(spark, SF).collect()[0]
+    con = _duck(SF, ("lineitem", "part"))
+    keys = con.execute(
+        """SELECT p_brand, count(*) FROM lineitem
+           JOIN part ON l_partkey = p_partkey GROUP BY 1"""
+    ).fetchall()
+
+    def h40(s):
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+    loads = {}
+    for b, c in keys:
+        t = h40(b) % SKEW_P_TASKS
+        loads[t] = loads.get(t, 0) + c
+    assert row["max_unsalted"] == max(loads.values())
+    assert row["tasks_used_unsalted"] == len(loads)
+    sloads = {}
+    for b, c in keys:
+        for s in range(SKEW_SALT_S):
+            share = c // SKEW_SALT_S + (1 if s < c % SKEW_SALT_S else 0)
+            t = h40(f"{b}|{s}") % SKEW_P_TASKS
+            sloads[t] = sloads.get(t, 0) + share
+    assert row["max_salted"] == max(sloads.values())
+    assert sum(loads.values()) == sum(sloads.values()) == row["n_rows"]
+    assert row["max_salted"] <= row["max_unsalted"]
+
+
+# --- ann_dim_truncation_eval -------------------------------------------------
+
+
+def test_trunc_recall_monotone_and_bounded(spark):
+    from pdf_craft_spark.queries.similarity import ann_dim_truncation_eval
+
+    rows = ann_dim_truncation_eval(spark, SF01).collect()
+    assert [r["trunc_dim"] for r in rows] == [8, 16, 32]
+    recalls = [r["recall_ppm"] for r in rows]
+    assert all(0 <= r <= 1_000_000 for r in recalls)
+    # more dimensions never hurt on this corpus (weak monotonicity)
+    assert recalls[0] <= recalls[2]
+
+
+# --- rbo_rank_overlap --------------------------------------------------------
+
+
+def test_rbo_extremes():
+    """Identical rankings hit the truncated maximum sum(w_d)/10 exactly;
+    disjoint top-10s give 0."""
+    from pdf_craft_spark.queries.textops import RBO_DEPTH, RBO_W, RBO_RANK_OVERLAP_SQL
+
+    # identical: revenue and count rank suppliers the same way
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({s}, {1000.0 * (30 - s)})" for s in range(1, 21) for _ in range(30 - s)
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(l_suppkey, l_extendedprice)"
+    )
+    depth, overlap, rbo = con.execute(RBO_RANK_OVERLAP_SQL).fetchone()
+    assert overlap == RBO_DEPTH
+    assert rbo == sum(RBO_W) // 10
+    # disjoint: low keys win revenue, high keys win count
+    con2 = duckdb.connect()
+    rows = []
+    for s in range(1, 11):  # revenue kings: one huge line each
+        rows.append(f"({s}, 9000000.0)")
+    for s in range(11, 21):  # count kings: many cheap lines
+        rows += [f"({s}, 1.0)"] * 40
+    con2.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(l_suppkey, l_extendedprice)"
+    )
+    depth2, overlap2, rbo2 = con2.execute(RBO_RANK_OVERLAP_SQL).fetchone()
+    assert overlap2 == 0 and rbo2 == 0
