@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 QUERIES: dict = {}
@@ -1124,3 +1124,110 @@ CV_KFOLD_MSE_SQL = _cv_sql()
 
 QUERIES["cv_kfold_mse"] = cv_kfold_mse
 ORACLES["cv_kfold_mse"] = CV_KFOLD_MSE_SQL
+
+
+# --- bandit_replay_eval: offline policy evaluation by replay -----------------
+# Before a recommender policy ships, it is scored OFFLINE against logged
+# interactions with the replay method (Li et al. 2011): keep exactly the
+# logged rows whose action matches what the candidate policy would have
+# chosen in that context, and average their rewards — unbiased when the
+# logging policy randomizes uniformly over actions (the synthetic event
+# stream's types are near-uniform per context; documented assumption).
+# Temporal hygiene mirrors training_label_join: the greedy policy is FIT
+# on the first 15 days (per-context argmax of mean reward, deterministic
+# ties by action name) and REPLAYED on the rest — fit rows never score
+# themselves.  Shape: two conditional aggs over one scan (context x
+# action grid, ~20 rows), a broadcast policy join, one final agg; all
+# means in truncated integer cents.
+def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).selectExpr(
+        "CAST(ts AS DATE) AS day",
+        "CAST(hour(ts) DIV 6 AS BIGINT) AS ctx",
+        "event_type AS action",
+        "CAST(round(value * 100) AS BIGINT) AS reward",
+    )
+    cut = ev.agg(F.expr("date_add(min(day), 15)").alias("cutoff"))
+    evc = ev.crossJoin(F.broadcast(cut))
+    grid = (
+        evc.where(F.col("day") < F.col("cutoff"))
+        .groupBy("ctx", "action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.expr("sum(reward) DIV count(*)").cast("long").alias(
+                "train_mean_cents"
+            ),
+        )
+    )
+    wp = W.partitionBy("ctx").orderBy(
+        F.desc("train_mean_cents"), F.asc("action")
+    )
+    policy = (
+        grid.withColumn("rk", F.row_number().over(wp))
+        .where(F.col("rk") == 1)
+        .select("ctx", F.col("action").alias("chosen"), "train_mean_cents")
+    )
+    ev_eval = evc.where(F.col("day") >= F.col("cutoff"))
+    scored = ev_eval.join(F.broadcast(policy), "ctx").groupBy(
+        "ctx", "chosen", "train_mean_cents"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.expr("sum(reward) DIV count(*)").cast("long").alias(
+            "behavior_mean_cents"
+        ),
+        F.sum(F.when(F.col("action") == F.col("chosen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.expr(
+            "sum(CASE WHEN action = chosen THEN reward END)"
+            " DIV sum(CASE WHEN action = chosen THEN 1 END)"
+        )
+        .cast("long")
+        .alias("replay_mean_cents"),
+    )
+    return scored.selectExpr(
+        "ctx",
+        "chosen",
+        "train_mean_cents",
+        "n_eval",
+        "n_matched",
+        "behavior_mean_cents",
+        "replay_mean_cents",
+    ).orderBy("ctx")
+
+
+BANDIT_REPLAY_EVAL_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(hour(ts) // 6 AS BIGINT) AS ctx,
+         event_type AS action,
+         CAST(round(value * 100) AS BIGINT) AS reward
+  FROM events
+), cut AS (
+  SELECT min(day) + INTERVAL 15 DAY AS cutoff FROM ev
+), grid AS (
+  SELECT ctx, action, CAST(count(*) AS BIGINT) AS n_train,
+         CAST(sum(reward) // count(*) AS BIGINT) AS train_mean_cents
+  FROM ev, cut WHERE day < cutoff
+  GROUP BY ctx, action
+), policy AS (
+  SELECT ctx, action AS chosen, train_mean_cents
+  FROM (SELECT *, row_number() OVER (PARTITION BY ctx
+               ORDER BY train_mean_cents DESC, action) AS rk FROM grid)
+  WHERE rk = 1
+)
+SELECT e.ctx, p.chosen, p.train_mean_cents,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN e.action = p.chosen THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(e.reward) // count(*) AS BIGINT) AS behavior_mean_cents,
+       CAST(sum(CASE WHEN e.action = p.chosen THEN e.reward END)
+            // sum(CASE WHEN e.action = p.chosen THEN 1 END) AS BIGINT)
+         AS replay_mean_cents
+FROM ev e, cut JOIN policy p ON e.ctx = p.ctx
+WHERE e.day >= cutoff
+GROUP BY e.ctx, p.chosen, p.train_mean_cents
+ORDER BY e.ctx
+"""
+
+QUERIES["bandit_replay_eval"] = bandit_replay_eval
+ORACLES["bandit_replay_eval"] = BANDIT_REPLAY_EVAL_SQL

@@ -1096,3 +1096,227 @@ BH_FDR_SCAN_SQL = _bh_sql()
 
 QUERIES["bh_fdr_scan"] = bh_fdr_scan
 ORACLES["bh_fdr_scan"] = BH_FDR_SCAN_SQL
+
+
+# --- sequential_ab_sprt: Wald's sequential probability ratio test --------
+# The fixed-horizon tests above decide once; a LAUNCH GATE watches the
+# metric daily and wants to stop early without inflating error — Wald's
+# SPRT is the optimal such rule.  H0: purchase share p = 0.18 vs
+# H1: p = 0.20 at alpha = beta = 0.05; each event contributes a
+# LOG-LIKELIHOOD-RATIO increment — log(p1/p0) for a purchase,
+# log((1-p1)/(1-p0)) otherwise — and the test stops the first day the
+# running sum leaves (log(beta/(1-alpha)), log((1-beta)/alpha)).  The
+# log constants are MODULE-TIME literals in micro-nats (math.log runs at
+# build, never at query time — the same discipline as RBO's geometric
+# weights), so the daily walk is pure integer: the event stream first
+# compresses to per-day (purchases, others) counts — one combinable
+# shuffle, ~30 rows — and the cumulative LLR is a window over that tiny
+# series; increments enter multiplied by counts, exact.  On this corpus
+# the true share (~0.198) favors H1 and the gate fires mid-stream; the
+# property tests plant low-rate and boundary streams for the other
+# outcomes.
+import math as _math
+
+SPRT_P0, SPRT_P1 = 0.18, 0.20
+SPRT_C1 = round(1_000_000 * _math.log(SPRT_P1 / SPRT_P0))  # purchase
+SPRT_C0 = round(1_000_000 * _math.log((1 - SPRT_P1) / (1 - SPRT_P0)))
+SPRT_UPPER = round(1_000_000 * _math.log(0.95 / 0.05))
+SPRT_LOWER = -SPRT_UPPER
+
+
+def sequential_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).selectExpr(
+        "CAST(ts AS DATE) AS day",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p",
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum("is_p").cast("long").alias("n_p"),
+        F.sum(1 - F.col("is_p")).cast("long").alias("n_o"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum(
+            F.col("n_p") * SPRT_C1 + F.col("n_o") * SPRT_C0
+        )
+        .over(w)
+        .cast("long")
+        .alias("llr"),
+    )
+    crossed = cum.where(
+        (F.col("llr") >= SPRT_UPPER) | (F.col("llr") <= SPRT_LOWER)
+    )
+    first = crossed.orderBy("day").limit(1)
+    final = cum.orderBy(F.desc("day")).limit(1).selectExpr(
+        "CAST(llr AS BIGINT) AS final_llr_micro",
+        "CAST(day AS STRING) AS last_day",
+    )
+    n = cum.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    dec = first.selectExpr(
+        "CAST(day AS STRING) AS decision_day",
+        "CAST(llr AS BIGINT) AS llr_at_decision_micro",
+        f"CASE WHEN llr >= {SPRT_UPPER} THEN 'accept_h1'"
+        " ELSE 'accept_h0' END AS decision",
+    )
+    return (
+        n.crossJoin(F.broadcast(final))
+        .join(F.broadcast(dec), F.lit(True), "left")
+        .selectExpr(
+            "n_days",
+            "coalesce(decision, 'continue') AS decision",
+            "coalesce(decision_day, '') AS decision_day",
+            "coalesce(llr_at_decision_micro, 0) AS llr_at_decision_micro",
+            "final_llr_micro",
+        )
+    )
+
+
+SEQUENTIAL_AB_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_p,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+           AS BIGINT) AS n_o
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day,
+         CAST(sum(n_p * {SPRT_C1} + n_o * {SPRT_C0})
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS llr
+  FROM daily
+), first_cross AS (
+  SELECT CAST(day AS VARCHAR) AS decision_day,
+         llr AS llr_at_decision_micro,
+         CASE WHEN llr >= {SPRT_UPPER} THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision
+  FROM cum WHERE llr >= {SPRT_UPPER} OR llr <= {SPRT_LOWER}
+  ORDER BY day LIMIT 1
+), fin AS (
+  SELECT CAST(max_by(llr, day) AS BIGINT) AS final_llr_micro,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM cum
+)
+SELECT n_days,
+       coalesce(decision, 'continue') AS decision,
+       coalesce(decision_day, '') AS decision_day,
+       CAST(coalesce(llr_at_decision_micro, 0) AS BIGINT)
+         AS llr_at_decision_micro,
+       final_llr_micro
+FROM fin LEFT JOIN first_cross ON TRUE
+"""
+
+QUERIES["sequential_ab_sprt"] = sequential_ab_sprt
+ORACLES["sequential_ab_sprt"] = SEQUENTIAL_AB_SPRT_SQL
+
+
+# --- ipw_bias_correction: Horvitz-Thompson under unequal sampling --------
+# Every production corpus is a biased sample of something (dedup keeps
+# one copy, sampling favors long docs, traffic skews to power users);
+# the survey-statistics fix is inverse-probability weighting.  Here the
+# bias is PLANTED with known design probabilities — an order in price
+# band k (k = 1..6, $100k bands) is selected iff its 40-bit md5 uniform
+# < k * 2^40 / 6, so expensive orders are oversampled 6:1 — and the op
+# reports the naive sample mean (biased up), the Horvitz-Thompson
+# estimate sum(w*x)/sum(w) with w = 6/k scaled to the integer weights
+# 60/k in {60,30,20,15,12,10}, and the true population mean.  All
+# integer: thresholds are literal k * 2^40 // 6, weights exact, means
+# truncated cents; err columns are the one final double family.  One
+# scan computes population truth, the sample, and both estimators.
+IPW_BANDS = 6
+
+
+def ipw_bias_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 10, "spark")
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+        f"({h}) AS h",
+    ).selectExpr(
+        "x",
+        "h",
+        f"least(CAST({IPW_BANDS} AS BIGINT), 1 + x DIV 10000000) AS band",
+    ).selectExpr(
+        "x",
+        "band",
+        f"h < band * {(1 << 40) // IPW_BANDS} AS selected",
+        f"CAST(60 DIV band AS BIGINT) AS w",
+    )
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.expr("sum(x) DIV count(*)").cast("long").alias("true_mean_cents"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0)).cast("long").alias(
+            "n_sample"
+        ),
+        F.expr(
+            "sum(CASE WHEN selected THEN x END)"
+            " DIV sum(CASE WHEN selected THEN 1 END)"
+        )
+        .cast("long")
+        .alias("naive_mean_cents"),
+        F.expr(
+            "sum(CASE WHEN selected THEN w * x END)"
+            " DIV sum(CASE WHEN selected THEN w END)"
+        )
+        .cast("long")
+        .alias("ipw_mean_cents"),
+    ).selectExpr(
+        "n_pop",
+        "n_sample",
+        "true_mean_cents",
+        "naive_mean_cents",
+        "ipw_mean_cents",
+        "CAST(round(10000 * (CAST(naive_mean_cents AS DOUBLE)"
+        " - CAST(true_mean_cents AS DOUBLE)) / CAST(true_mean_cents AS DOUBLE))"
+        " AS BIGINT) AS naive_err_bp",
+        "CAST(round(10000 * (CAST(ipw_mean_cents AS DOUBLE)"
+        " - CAST(true_mean_cents AS DOUBLE)) / CAST(true_mean_cents AS DOUBLE))"
+        " AS BIGINT) AS ipw_err_bp",
+    )
+
+
+def _ipw_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS VARCHAR)", 10, "duck")
+    return f"""
+WITH o AS (
+  SELECT x, band,
+         ({h}) < band * {(1 << 40) // IPW_BANDS} AS selected,
+         CAST(60 // band AS BIGINT) AS w
+  FROM (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           least(CAST({IPW_BANDS} AS BIGINT),
+                 1 + CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 10000000) AS band,
+           o_orderkey
+    FROM orders
+  )
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pop,
+         CAST(sum(x) // count(*) AS BIGINT) AS true_mean_cents,
+         CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+         CAST(sum(CASE WHEN selected THEN x END)
+              // sum(CASE WHEN selected THEN 1 END) AS BIGINT)
+           AS naive_mean_cents,
+         CAST(sum(CASE WHEN selected THEN w * x END)
+              // sum(CASE WHEN selected THEN w END) AS BIGINT)
+           AS ipw_mean_cents
+  FROM o
+)
+SELECT n_pop, n_sample, true_mean_cents, naive_mean_cents, ipw_mean_cents,
+       CAST(round(10000 * (CAST(naive_mean_cents AS DOUBLE)
+            - CAST(true_mean_cents AS DOUBLE))
+            / CAST(true_mean_cents AS DOUBLE)) AS BIGINT) AS naive_err_bp,
+       CAST(round(10000 * (CAST(ipw_mean_cents AS DOUBLE)
+            - CAST(true_mean_cents AS DOUBLE))
+            / CAST(true_mean_cents AS DOUBLE)) AS BIGINT) AS ipw_err_bp
+FROM agg
+"""
+
+
+IPW_BIAS_CORRECTION_SQL = _ipw_sql()
+
+QUERIES["ipw_bias_correction"] = ipw_bias_correction
+ORACLES["ipw_bias_correction"] = IPW_BIAS_CORRECTION_SQL

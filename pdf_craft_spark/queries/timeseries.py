@@ -1313,3 +1313,126 @@ ORDER BY event_type
 
 QUERIES["forecast_backtest_smape"] = forecast_backtest_smape
 ORACLES["forecast_backtest_smape"] = FORECAST_BACKTEST_SMAPE_SQL
+
+
+# --- Holt linear trend (double exponential smoothing) -------------------------
+# ewma_order_smoothing tracks a LEVEL; Holt's method also tracks a TREND
+# with two COUPLED recurrences —
+#   l_t = (3 * 1000*y_t + 7 * (l_{t-1} + b_{t-1})) DIV 10      (alpha=0.3)
+#   b_t = (1 * (l_t - l_{t-1}) + 9 * b_{t-1}) DIV 10           (beta=0.1)
+# — which no window function can express (each state feeds the other).
+# Kernel house pattern: the fact table first compresses JVM-side to the
+# per-(priority, WEEK) revenue series (one combinable shuffle), so the
+# Arrow kernel walks ~5 series of ~350 weeks, not the raw orders (week
+# grain also keeps the WITH RECURSIVE oracle's round count at ~350 —
+# the day-grain variant measured 20.7s of pure DuckDB recursion);
+# applyInPandas over the 5 priority groups; the oracle is the same
+# recurrence as a DuckDB WITH RECURSIVE walk, so the driver hash PROVES
+# the kernel implements it.  State is milli-scaled integers with floor
+# division (engine-identical); the op also backtests itself: sae_milli
+# accumulates |one-step forecast - actual| so the hash pins every
+# intermediate state, not just the final one.
+HOLT_AN, HOLT_AD = 3, 10  # alpha = 0.3
+HOLT_BN, HOLT_BD = 1, 10  # beta = 0.1
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS pri",
+            "date_trunc('WEEK', CAST(o_orderdate AS DATE)) AS day",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        )
+        .groupBy("pri", "day")
+        .agg(F.expr("sum(cents) DIV 100").cast("long").alias("y"))
+    )
+
+    def tdiv(a: int, d: int) -> int:
+        # truncate toward zero — Spark DIV / DuckDB // semantics; python
+        # // floors, which diverges once the trend state goes negative
+        return -((-a) // d) if a < 0 else a // d
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["pri", "day"]).reset_index(drop=True)
+        out = []
+        for pri, grp in pdf.groupby("pri", sort=True):
+            l = b = None
+            sae = 0
+            n = 0
+            for y in grp["y"]:
+                y = int(y)
+                n += 1
+                if l is None:
+                    l, b = 1000 * y, 0
+                    continue
+                f = l + b  # one-step forecast made BEFORE seeing y
+                sae += abs(f - 1000 * y)
+                l_new = tdiv(HOLT_AN * 1000 * y + (HOLT_AD - HOLT_AN) * (l + b), HOLT_AD)
+                b = tdiv(HOLT_BN * (l_new - l) + (HOLT_BD - HOLT_BN) * b, HOLT_BD)
+                l = l_new
+            out.append((pri, n, l, b, l + b, sae))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "pri", "n_weeks", "level_milli", "trend_milli",
+                "forecast_next_milli", "sae_milli",
+            ],
+        )
+
+    return (
+        daily.groupBy((F.col("pri")).alias("_g"))
+        .applyInPandas(
+            lambda pdf: run(pdf.drop(columns=["_g"]) if "_g" in pdf else pdf),
+            schema=(
+                "pri string, n_weeks long, level_milli long, trend_milli long,"
+                " forecast_next_milli long, sae_milli long"
+            ),
+        )
+        .orderBy("pri")
+    )
+
+
+HOLT_LINEAR_FORECAST_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS pri,
+         date_trunc('week', CAST(o_orderdate AS DATE)) AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), seq AS (
+  SELECT pri, y,
+         row_number() OVER (PARTITION BY pri ORDER BY day) AS rn
+  FROM daily
+), walk AS (
+  SELECT pri, rn, 1000 * y AS l, CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS sae
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT nxt.pri, nxt.rn,
+         ({HOLT_AN} * 1000 * nxt.y
+          + {HOLT_AD - HOLT_AN} * (w.l + w.b)) // {HOLT_AD},
+         ({HOLT_BN} * ((({HOLT_AN} * 1000 * nxt.y
+             + {HOLT_AD - HOLT_AN} * (w.l + w.b)) // {HOLT_AD}) - w.l)
+          + {HOLT_BD - HOLT_BN} * w.b) // {HOLT_BD},
+         w.sae + abs(w.l + w.b - 1000 * nxt.y)
+  FROM walk w JOIN seq nxt ON nxt.pri = w.pri AND nxt.rn = w.rn + 1
+)
+SELECT pri,
+       CAST(max(rn) AS BIGINT) AS n_weeks,
+       CAST(max_by(l, rn) AS BIGINT) AS level_milli,
+       CAST(max_by(b, rn) AS BIGINT) AS trend_milli,
+       CAST(max_by(l, rn) + max_by(b, rn) AS BIGINT) AS forecast_next_milli,
+       CAST(max_by(sae, rn) AS BIGINT) AS sae_milli
+FROM walk
+GROUP BY pri
+ORDER BY pri
+"""
+
+QUERIES["holt_linear_forecast"] = holt_linear_forecast
+ORACLES["holt_linear_forecast"] = HOLT_LINEAR_FORECAST_SQL

@@ -617,3 +617,196 @@ def test_rbo_extremes():
     )
     depth2, overlap2, rbo2 = con2.execute(RBO_RANK_OVERLAP_SQL).fetchone()
     assert overlap2 == 0 and rbo2 == 0
+
+
+# --- holt_linear_forecast ----------------------------------------------------
+
+
+def test_holt_linear_series_learns_trend():
+    """On a perfectly linear daily series (starting on a Monday so every
+    week is complete) the weekly series is exactly linear with slope
+    49*7 = 343/week; the trend state must converge to 343*1000 milli and
+    the one-step forecast to the next weekly total."""
+    from pdf_craft_spark.queries.timeseries import HOLT_LINEAR_FORECAST_SQL
+
+    con = duckdb.connect()
+    # 2001-01-01 is a Monday; 301 days = 43 complete weeks
+    rows = ", ".join(
+        f"('1-URGENT', TIMESTAMP '2001-01-01' + INTERVAL ({i}) DAY, {1000 + 7 * i}.0)"
+        for i in range(301)
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(o_orderpriority, o_orderdate, o_totalprice)"
+    )
+    pri, n, l, b, f, sae = con.execute(HOLT_LINEAR_FORECAST_SQL).fetchone()
+    assert n == 43
+    assert abs(b - 343_000) <= 3500, b  # weekly slope in milli (1% tol)
+    weekly = [sum(1000 + 7 * (7 * w + d) for d in range(7)) for w in range(44)]
+    assert abs(f - 1000 * weekly[43]) <= 20_000, f
+
+
+def test_holt_kernel_equals_python_recurrence(spark):
+    """Run the kernel on the real corpus and replay the recurrence in
+    python with truncating division — states must match exactly."""
+    from pdf_craft_spark.queries.timeseries import (
+        HOLT_AD, HOLT_AN, HOLT_BD, HOLT_BN, holt_linear_forecast,
+    )
+
+    got = {r["pri"]: r for r in holt_linear_forecast(spark, SF).collect()}
+    con = _duck(SF, ("orders",))
+    series = con.execute(
+        """SELECT o_orderpriority,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) // 100 AS BIGINT) AS y
+           FROM orders
+           GROUP BY o_orderpriority,
+                    date_trunc('week', CAST(o_orderdate AS DATE))
+           ORDER BY o_orderpriority,
+                    date_trunc('week', CAST(o_orderdate AS DATE))"""
+    ).fetchall()
+
+    def tdiv(a, d):
+        return -((-a) // d) if a < 0 else a // d
+
+    state: dict = {}
+    for pri, y in series:
+        y = int(y)
+        if pri not in state:
+            state[pri] = [1000 * y, 0, 0, 1]
+            continue
+        l, b, sae, n = state[pri]
+        sae += abs(l + b - 1000 * y)
+        l_new = tdiv(HOLT_AN * 1000 * y + (HOLT_AD - HOLT_AN) * (l + b), HOLT_AD)
+        b = tdiv(HOLT_BN * (l_new - l) + (HOLT_BD - HOLT_BN) * b, HOLT_BD)
+        state[pri] = [l_new, b, sae, n + 1]
+    for pri, (l, b, sae, n) in state.items():
+        assert got[pri]["level_milli"] == l, pri
+        assert got[pri]["trend_milli"] == b
+        assert got[pri]["sae_milli"] == sae
+        assert got[pri]["n_weeks"] == n
+
+
+# --- training_label_join -----------------------------------------------------
+
+
+def test_training_label_join_leakage_and_balance(spark):
+    from pdf_craft_spark.queries.traindata import training_label_join
+
+    rows = training_label_join(spark, SF01).collect()
+    assert rows
+    assert all(r["leakage_free"] for r in rows)
+    labels = {r["label"] for r in rows}
+    assert labels == {0, 1}  # both classes populated
+    pos = sum(r["label"] for r in rows)
+    assert 0.1 * len(rows) < pos < 0.9 * len(rows)  # non-degenerate target
+
+
+def test_training_label_join_independent_recompute():
+    """Recompute one user's features and label with an independently
+    written DuckDB query."""
+    from pdf_craft_spark.queries.traindata import TRAINING_LABEL_JOIN_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    )
+    rows = {r[0]: r for r in con.execute(TRAINING_LABEL_JOIN_SQL).fetchall()}
+    chk = con.execute(
+        """
+        WITH c AS (SELECT min(CAST(ts AS DATE)) + INTERVAL 20 DAY AS cut
+                   FROM events)
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+               count(DISTINCT CAST(ts AS DATE))
+        FROM events, c WHERE CAST(ts AS DATE) < cut
+        GROUP BY user_id ORDER BY user_id LIMIT 5
+        """
+    ).fetchall()
+    for uid, n_clicks, days in chk:
+        assert rows[uid][1] == n_clicks
+        assert rows[uid][5] == days
+
+
+# --- sequential_ab_sprt ------------------------------------------------------
+
+
+def _sprt_on(counts):
+    """counts: list of (n_purchase, n_other) per day."""
+    from pdf_craft_spark.queries.statsq import SEQUENTIAL_AB_SPRT_SQL
+
+    con = duckdb.connect()
+    rows = []
+    eid = 0
+    for d, (np_, no_) in enumerate(counts):
+        for _ in range(np_):
+            eid += 1
+            rows.append(
+                f"(TIMESTAMP '2024-02-01' + INTERVAL ({d}) DAY, 'purchase')"
+            )
+        for _ in range(no_):
+            eid += 1
+            rows.append(f"(TIMESTAMP '2024-02-01' + INTERVAL ({d}) DAY, 'view')")
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(ts, event_type)"
+    )
+    return con.execute(SEQUENTIAL_AB_SPRT_SQL).fetchone()
+
+
+def test_sprt_three_outcomes():
+    # high purchase rate (30%) -> accept_h1 quickly
+    n, dec, day, at, fin = _sprt_on([(30, 70)] * 10)
+    assert dec == "accept_h1" and day != ""
+    # low rate (10%) -> accept_h0
+    n, dec, day, at, fin = _sprt_on([(10, 90)] * 10)
+    assert dec == "accept_h0"
+    # boundary rate (19%), tiny sample -> continue
+    n, dec, day, at, fin = _sprt_on([(19, 81)])
+    assert dec == "continue" and day == "" and at == 0
+
+
+# --- ipw_bias_correction -----------------------------------------------------
+
+
+def test_ipw_beats_naive(spark):
+    from pdf_craft_spark.queries.statsq import ipw_bias_correction
+
+    row = ipw_bias_correction(spark, SF01).collect()[0]
+    assert abs(row["naive_err_bp"]) > 1000  # the planted bias is material
+    assert abs(row["ipw_err_bp"]) < abs(row["naive_err_bp"]) // 5
+    assert 0 < row["n_sample"] < row["n_pop"]
+
+
+# --- bandit_replay_eval ------------------------------------------------------
+
+
+def test_bandit_replay_finds_planted_best_action():
+    """Plant a context where 'signup' pays 10x: the greedy policy must
+    choose it and the replay mean must beat the behavior mean."""
+    from pdf_craft_spark.queries.mlq import BANDIT_REPLAY_EVAL_SQL
+
+    con = duckdb.connect()
+    rows = []
+    for d in range(30):
+        for a, v in (("click", 10.0), ("view", 12.0), ("signup", 120.0)):
+            for h in (1, 7, 13, 19):  # all four contexts
+                rows.append(
+                    f"(TIMESTAMP '2024-03-01' + INTERVAL ({d}) DAY"
+                    f" + INTERVAL ({h}) HOUR, '{a}', {v})"
+                )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(ts, event_type, value)"
+    )
+    out = con.execute(BANDIT_REPLAY_EVAL_SQL).fetchall()
+    assert len(out) == 4
+    for ctx, chosen, train_mean, n_eval, n_matched, behav, replay in out:
+        assert chosen == "signup"
+        assert replay == 12000  # cents
+        assert replay > behav
+        assert n_matched * 3 == n_eval
