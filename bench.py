@@ -222,6 +222,54 @@ HEADLINE = [
     "q11_important_stock",
     "q16_supplier_counts",
     "q20_part_promotion",
+    # sessions 12-13: the inference/ML/forecasting/advisor classes
+    "als_factor_step",
+    "gbt_residual_boost",
+    "calibration_bins_eval",
+    "ewma_order_smoothing",
+    "isotonic_price_by_items",
+    "survival_km_curve",
+    "grouping_sets_revenue",
+    "a1_cube_revenue",
+    "unpivot_status_counts",
+    "ndcg_eval_topk",
+    "benford_first_digit",
+    "sssp_weighted_copurchase",
+    "l_diversity_audit",
+    "cusum_changepoint_revenue",
+    "mannwhitney_u_priority",
+    "jackknife_ratio_ci",
+    "anova_f_price_by_brand",
+    "kendall_tau_price_size",
+    "theil_sen_slope_customer",
+    "acf_daily_revenue",
+    "seasonal_decompose_ma7",
+    "collocation_lift_bigrams",
+    "durbin_watson_trend",
+    "forecast_backtest_smape",
+    "loo_target_encoding",
+    "cv_kfold_mse",
+    "ams_f2_sketch",
+    "t_closeness_audit",
+    "substring_dedup_spans",
+    "priority_sample_orders",
+    "graph_hits_scores",
+    "fifo_inventory_match",
+    "bh_fdr_scan",
+    "cleaning_funnel_report",
+    "skew_salting_advisor",
+    "ann_dim_truncation_eval",
+    "rbo_rank_overlap",
+    "holt_linear_forecast",
+    "training_label_join",
+    "sequential_ab_sprt",
+    "ipw_bias_correction",
+    "bandit_replay_eval",
+    "embedding_drift_monitor",
+    "rolling_p90_exact_7d",
+    "join_order_advisor",
+    "apriori_triples",
+    "postings_delta_merge",
 ]
 
 

@@ -3030,3 +3030,95 @@ SKEW_SALTING_ADVISOR_SQL = _skew_sql()
 
 QUERIES["skew_salting_advisor"] = skew_salting_advisor
 ORACLES["skew_salting_advisor"] = SKEW_SALTING_ADVISOR_SQL
+
+
+# --- join_order_advisor: pick the 3-way join order from count tables ----------
+# join_fanout_audit predicts ONE join's size; a 3-way join's cost is
+# decided by which intermediate you materialize, and the advisor ranks
+# the two left-deep orders for lineitem |><| orders |><| customer from
+# key-count aggregates alone — the cardinality-estimation half of a
+# cost-based optimizer, done EXACTLY instead of by sketch:
+#   plan A: (li |><| o) |><| c   — intermediate = sum_k li(k) * o(k)
+#   plan B: li |><| (o |><| c)   — intermediate = sum_k o(k) * c(k)
+# The shared final size is also predicted (per-customer lineitem counts
+# composed through the orders bridge — one count-table join, never the
+# fact join) and emitted twice as the cross-check identity final_a =
+# final_b; the recommendation is min(intermediate).  At 100 TB this is
+# the difference between shuffling 6 rows per order or 1 — for the cost
+# of three tiny aggregations.
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li_k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_li"))
+    # orders are unique per orderkey; per-customer order multiplicity
+    o_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_o"))
+    c_k = c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_c"))
+    inter_a = (
+        li_k.join(o, li_k.l_orderkey == o.o_orderkey)
+        .agg(F.sum("n_li").cast("long").alias("ia"))
+    )
+    inter_b = (
+        o_cust.join(c_k, o_cust.o_custkey == c_k.c_custkey)
+        .agg(F.sum(F.col("n_o") * F.col("n_c")).cast("long").alias("ib"))
+    )
+    # final size: per-customer lineitem count (through the orders bridge)
+    # times customer multiplicity — count tables only
+    li_cust = (
+        li_k.join(o, li_k.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("n_li").alias("n_lic"))
+    )
+    final_a = (
+        li_cust.join(c_k, li_cust.o_custkey == c_k.c_custkey)
+        .agg(F.sum(F.col("n_lic") * F.col("n_c")).cast("long").alias("fa"))
+    )
+    return (
+        inter_a.crossJoin(F.broadcast(inter_b))
+        .crossJoin(F.broadcast(final_a))
+        .selectExpr(
+            "ia AS intermediate_li_orders",
+            "ib AS intermediate_orders_cust",
+            "fa AS final_rows",
+            "fa AS final_rows_check",
+            "CASE WHEN ib < ia THEN 'li_join_(o_join_c)'"
+            " ELSE '(li_join_o)_join_c' END AS recommended_order",
+        )
+    )
+
+
+JOIN_ORDER_ADVISOR_SQL = """
+WITH li_k AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_li
+  FROM lineitem GROUP BY l_orderkey
+), o_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_o
+  FROM orders GROUP BY o_custkey
+), c_k AS (
+  SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_c
+  FROM customer GROUP BY c_custkey
+), ia AS (
+  SELECT CAST(sum(n_li) AS BIGINT) AS ia
+  FROM li_k JOIN orders ON l_orderkey = o_orderkey
+), ib AS (
+  SELECT CAST(sum(n_o * n_c) AS BIGINT) AS ib
+  FROM o_cust JOIN c_k ON o_custkey = c_custkey
+), li_cust AS (
+  SELECT o_custkey, CAST(sum(n_li) AS BIGINT) AS n_lic
+  FROM li_k JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+), fa AS (
+  SELECT CAST(sum(n_lic * n_c) AS BIGINT) AS fa
+  FROM li_cust JOIN c_k ON o_custkey = c_custkey
+)
+SELECT ia AS intermediate_li_orders,
+       ib AS intermediate_orders_cust,
+       fa AS final_rows,
+       fa AS final_rows_check,
+       CASE WHEN ib < ia THEN 'li_join_(o_join_c)'
+            ELSE '(li_join_o)_join_c' END AS recommended_order
+FROM ia, ib, fa
+"""
+
+QUERIES["join_order_advisor"] = join_order_advisor
+ORACLES["join_order_advisor"] = JOIN_ORDER_ADVISOR_SQL

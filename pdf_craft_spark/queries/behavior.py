@@ -799,3 +799,114 @@ FROM audit, mins
 
 QUERIES["fifo_inventory_match"] = fifo_inventory_match
 ORACLES["fifo_inventory_match"] = FIFO_INVENTORY_MATCH_SQL
+
+
+# --- apriori_triples: frequent 3-itemsets with candidate pruning --------------
+# market_basket_pairs stops at 2-itemsets; the step to size-3 is where
+# naive mining explodes (C(items,3) per basket) and where Apriori's
+# insight earns its name: a triple can only be frequent if ALL THREE of
+# its pairs are, so candidates are pruned with broadcast semi-joins
+# against the frequent-pair table BEFORE any counting.  Shape: distinct
+# (basket, item) rows; frequent items prune the item table (broadcast
+# anti of infrequent); the within-basket ordered self-joins are
+# equi-joins on the basket key (per-basket fan-out bounded by basket
+# size, <= 7 items here); three semi-joins enforce the downward-closure
+# property; one final combinable count.  All integer.
+APRIORI_MIN_SUP = 2
+
+
+def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    it = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .selectExpr("l_orderkey AS o", "l_partkey AS p")
+        .distinct()
+    )
+    freq_items = (
+        it.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= APRIORI_MIN_SUP)
+        .select("p")
+    )
+    itf = it.join(F.broadcast(freq_items), "p").select("o", "p")
+    a, b, c = itf.alias("a"), itf.alias("b"), itf.alias("c")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= APRIORI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    cand = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .join(c, (F.col("a.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
+        .select(
+            F.col("a.o").alias("o"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            F.col("c.p").alias("pc"),
+        )
+    )
+    pruned = (
+        cand.join(F.broadcast(pairs), ["pa", "pb"], "left_semi")
+        .join(
+            F.broadcast(pairs.selectExpr("pa AS pb", "pb AS pc")),
+            ["pb", "pc"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(pairs.selectExpr("pa", "pb AS pc")),
+            ["pa", "pc"],
+            "left_semi",
+        )
+    )
+    return (
+        pruned.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= APRIORI_MIN_SUP)
+        .selectExpr(
+            "CAST(pa AS BIGINT) AS pa",
+            "CAST(pb AS BIGINT) AS pb",
+            "CAST(pc AS BIGINT) AS pc",
+            "support",
+        )
+        .orderBy(F.desc("support"), "pa", "pb", "pc")
+    )
+
+
+APRIORI_TRIPLES_SQL = f"""
+WITH it AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), freq_items AS (
+  SELECT p FROM it GROUP BY p HAVING count(*) >= {APRIORI_MIN_SUP}
+), itf AS (
+  SELECT o, p FROM it SEMI JOIN freq_items USING (p)
+), pairs AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM itf a JOIN itf b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {APRIORI_MIN_SUP}
+), cand AS (
+  SELECT a.o, a.p AS pa, b.p AS pb, c.p AS pc
+  FROM itf a
+  JOIN itf b ON a.o = b.o AND a.p < b.p
+  JOIN itf c ON a.o = c.o AND b.p < c.p
+), pruned AS (
+  SELECT cand.* FROM cand
+  SEMI JOIN pairs ON cand.pa = pairs.pa AND cand.pb = pairs.pb
+), pruned2 AS (
+  SELECT pruned.* FROM pruned
+  SEMI JOIN pairs ON pruned.pb = pairs.pa AND pruned.pc = pairs.pb
+), pruned3 AS (
+  SELECT pruned2.* FROM pruned2
+  SEMI JOIN pairs ON pruned2.pa = pairs.pa AND pruned2.pc = pairs.pb
+)
+SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+       CAST(pc AS BIGINT) AS pc,
+       CAST(count(*) AS BIGINT) AS support
+FROM pruned3
+GROUP BY pa, pb, pc
+HAVING count(*) >= {APRIORI_MIN_SUP}
+ORDER BY support DESC, pa, pb, pc
+"""
+
+QUERIES["apriori_triples"] = apriori_triples
+ORACLES["apriori_triples"] = APRIORI_TRIPLES_SQL

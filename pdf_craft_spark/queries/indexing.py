@@ -622,3 +622,93 @@ BM25_TOPK_SQL = _bm25_sql()
 
 QUERIES["bm25_topk"] = bm25_topk
 ORACLES["bm25_topk"] = BM25_TOPK_SQL
+
+
+# --- postings_delta_merge: LSM-style index maintenance ------------------------
+# A search index over a mutable corpus is maintained, not rebuilt: new
+# documents arrive as a delta segment, deletions as tombstones, and a
+# compaction merges them into the committed base — the LSM discipline
+# every lakehouse secondary index inherits.  Merge unit is the
+# (term, doc_id, cnt) posting row: base (doc_id % 10 != 0) minus
+# tombstoned docs (doc_id % 20 == 7, a broadcast anti-join) union the
+# delta segment (doc_id % 10 == 0), then term stats re-aggregate.  The
+# op PROVES the maintenance lossless the incremental_agg_maintenance
+# way: the same stats are rebuilt from scratch on the logical corpus
+# (all live docs) and emitted beside the merged ones with an equality
+# flag per term — the driver hash pins that merge == rebuild on every
+# term, every round.
+def postings_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")).alias("t"),
+    ).select("doc_id", F.lower("t").alias("term"))
+    td = toks.groupBy("term", "doc_id").agg(F.count("*").alias("cnt"))
+    base = td.where("doc_id % 10 != 0")
+    delta = td.where("doc_id % 10 = 0")
+    tomb = docs.where("doc_id % 20 = 7").select("doc_id")
+    merged_td = base.join(F.broadcast(tomb), "doc_id", "left_anti").unionByName(
+        delta
+    )
+    merged = merged_td.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_merged"),
+        F.sum("cnt").cast("long").alias("cf_merged"),
+    )
+    rebuilt = (
+        td.where("doc_id % 20 != 7")
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df_rebuilt"),
+            F.sum("cnt").cast("long").alias("cf_rebuilt"),
+        )
+    )
+    return (
+        merged.join(rebuilt, "term", "full")
+        .selectExpr(
+            "term",
+            "coalesce(df_merged, 0) AS df_merged",
+            "coalesce(cf_merged, 0) AS cf_merged",
+            "coalesce(df_rebuilt, 0) AS df_rebuilt",
+            "coalesce(cf_rebuilt, 0) AS cf_rebuilt",
+            "coalesce(df_merged, 0) = coalesce(df_rebuilt, 0)"
+            " AND coalesce(cf_merged, 0) = coalesce(cf_rebuilt, 0) AS consistent",
+        )
+        .orderBy("term")
+    )
+
+
+POSTINGS_DELTA_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '{_TOKEN_RE}'))) AS term
+  FROM documents
+), td AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY term, doc_id
+), merged_td AS (
+  SELECT term, doc_id, cnt FROM td
+  WHERE doc_id % 10 != 0 AND doc_id % 20 != 7
+  UNION ALL
+  SELECT term, doc_id, cnt FROM td WHERE doc_id % 10 = 0
+), merged AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_merged,
+         CAST(sum(cnt) AS BIGINT) AS cf_merged
+  FROM merged_td GROUP BY term
+), rebuilt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_rebuilt,
+         CAST(sum(cnt) AS BIGINT) AS cf_rebuilt
+  FROM td WHERE doc_id % 20 != 7 GROUP BY term
+)
+SELECT term,
+       coalesce(df_merged, 0) AS df_merged,
+       coalesce(cf_merged, 0) AS cf_merged,
+       coalesce(df_rebuilt, 0) AS df_rebuilt,
+       coalesce(cf_rebuilt, 0) AS cf_rebuilt,
+       coalesce(df_merged, 0) = coalesce(df_rebuilt, 0)
+         AND coalesce(cf_merged, 0) = coalesce(cf_rebuilt, 0) AS consistent
+FROM merged FULL JOIN rebuilt USING (term)
+ORDER BY term
+"""
+
+QUERIES["postings_delta_merge"] = postings_delta_merge
+ORACLES["postings_delta_merge"] = POSTINGS_DELTA_MERGE_SQL

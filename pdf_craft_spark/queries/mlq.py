@@ -1231,3 +1231,117 @@ ORDER BY e.ctx
 
 QUERIES["bandit_replay_eval"] = bandit_replay_eval
 ORACLES["bandit_replay_eval"] = BANDIT_REPLAY_EVAL_SQL
+
+
+# --- embedding_drift_monitor: per-dimension two-sample drift ------------------
+# ML observability's first alarm: did the embedding distribution move
+# between two snapshots (old model vs re-embedded corpus, last week vs
+# this week)?  Snapshots here are the two halves of a content-hash split
+# (stable under rerun/append, the split_train_val_test discipline); per
+# DIMENSION the op computes exact integer moments (components floored to
+# micro — the embedding_centroid_by_label trick — summed in int64, with
+# squares bounded by 1e12 * n), then the two-sample z-score
+# |mean_a - mean_b| / sqrt(var_a/n_a + var_b/n_b) as the one final
+# double.  Shape: ONE posexplode scan, one (dim, half) agg (128 cells),
+# a 64-row output — at any corpus size the monitor is a single
+# combinable aggregation.  On this stationary corpus nothing drifts;
+# the property test plants a shifted snapshot and the flag fires.
+DRIFT_Z_MILLI = 3000  # flag |z| > 3
+
+
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(vec_id AS STRING)", 4, "spark")
+    e = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .selectExpr(
+            "vec_id",
+            f"CASE WHEN ({h}) % 2 = 0 THEN 'a' ELSE 'b' END AS half",
+            "posexplode(embedding) AS (dim, x)",
+        )
+        .selectExpr(
+            "half",
+            "dim",
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS e",
+        )
+    )
+    cells = e.groupBy("dim", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("s"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("ss"),
+    )
+    wide = cells.groupBy("dim").agg(
+        F.max(F.when(F.col("half") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("half") == "a", F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("half") == "a", F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("half") == "b", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("half") == "b", F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("half") == "b", F.col("ss"))).alias("ss_b"),
+    )
+    z = (
+        "1000 * abs(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        " / sqrt("
+        "  (CAST(ss_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a)"
+        "   * (CAST(s_a AS DOUBLE) / n_a)) / n_a"
+        "  + (CAST(ss_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b)"
+        "   * (CAST(s_b AS DOUBLE) / n_b)) / n_b)"
+    )
+    return wide.selectExpr(
+        "CAST(dim AS BIGINT) AS dim",
+        "n_a",
+        "n_b",
+        "CAST(s_a DIV n_a AS BIGINT) AS mean_a_micro",
+        "CAST(s_b DIV n_b AS BIGINT) AS mean_b_micro",
+        f"CAST(round({z}) AS BIGINT) AS z_milli",
+        f"CAST(round({z}) > {DRIFT_Z_MILLI} AS BOOLEAN) AS drifted",
+    ).orderBy("dim")
+
+
+def _drift_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(vec_id AS VARCHAR)", 4, "duck")
+    z = (
+        "1000 * abs(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        " / sqrt("
+        "  (CAST(ss_a AS DOUBLE) / n_a - (CAST(s_a AS DOUBLE) / n_a)"
+        "   * (CAST(s_a AS DOUBLE) / n_a)) / n_a"
+        "  + (CAST(ss_b AS DOUBLE) / n_b - (CAST(s_b AS DOUBLE) / n_b)"
+        "   * (CAST(s_b AS DOUBLE) / n_b)) / n_b)"
+    )
+    return f"""
+WITH e AS (
+  SELECT CASE WHEN ({h}) % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+         unnest(range(len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS ev
+  FROM embeddings
+), cells AS (
+  SELECT dim, half, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ev) AS BIGINT) AS s,
+         CAST(sum(ev * ev) AS BIGINT) AS ss
+  FROM e GROUP BY dim, half
+), wide AS (
+  SELECT dim,
+         max(CASE WHEN half = 'a' THEN n END) AS n_a,
+         max(CASE WHEN half = 'a' THEN s END) AS s_a,
+         max(CASE WHEN half = 'a' THEN ss END) AS ss_a,
+         max(CASE WHEN half = 'b' THEN n END) AS n_b,
+         max(CASE WHEN half = 'b' THEN s END) AS s_b,
+         max(CASE WHEN half = 'b' THEN ss END) AS ss_b
+  FROM cells GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
+       CAST(s_a // n_a AS BIGINT) AS mean_a_micro,
+       CAST(s_b // n_b AS BIGINT) AS mean_b_micro,
+       CAST(round({z}) AS BIGINT) AS z_milli,
+       CAST(round({z}) > {DRIFT_Z_MILLI} AS BOOLEAN) AS drifted
+FROM wide
+ORDER BY dim
+"""
+
+
+EMBEDDING_DRIFT_MONITOR_SQL = _drift_sql()
+
+QUERIES["embedding_drift_monitor"] = embedding_drift_monitor
+ORACLES["embedding_drift_monitor"] = EMBEDDING_DRIFT_MONITOR_SQL

@@ -1436,3 +1436,79 @@ ORDER BY pri
 
 QUERIES["holt_linear_forecast"] = holt_linear_forecast
 ORACLES["holt_linear_forecast"] = HOLT_LINEAR_FORECAST_SQL
+
+
+# --- rolling_p90_exact_7d: exact sliding-window percentile --------------------
+# rolling_revenue_7d slides a SUM (combinable, cheap); a sliding
+# PERCENTILE is the hard one — it needs each window's full value
+# multiset.  The sliding_distinct_users_7d trick generalizes: compress
+# the facts to per-(day, value) counts first, then explode each
+# compressed row into the <= 7 windows it serves (a CONSTANT 7x on the
+# compressed table, bounded by days x value-domain — never 7x the raw
+# facts), re-aggregate per (window, value), and locate the p90 by prefix
+# sum over each window's value histogram (the median_binned_two_pass
+# rank-location machinery, one value-ordered window per day).  Exact
+# order statistic, zero raw-row re-scans, all integer: the p90 rank is
+# ceil(0.9 * n) = (9n + 9) DIV 10.
+def rolling_p90_exact_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_orderdate AS DATE) AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+    )
+    comp = o.groupBy("day", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    days = comp.select("day").distinct().selectExpr("day AS w_day")
+    fan = comp.selectExpr(
+        "v", "cnt", "explode(sequence(0, 6)) AS k", "date_add(day, k) AS w_day"
+    ).join(days, "w_day")
+    hist = fan.groupBy("w_day", "v").agg(F.sum("cnt").alias("c"))
+    wv = W.partitionBy("w_day").orderBy("v")
+    wall = W.partitionBy("w_day")
+    located = hist.select(
+        "w_day",
+        "v",
+        F.sum("c").over(wv).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    ).selectExpr("w_day", "v", "cum", "n", "(9 * n + 9) DIV 10 AS thr")
+    return (
+        located.where(F.col("cum") >= F.col("thr"))
+        .groupBy("w_day")
+        .agg(
+            F.max("n").cast("long").alias("n_window"),
+            F.min("v").cast("long").alias("p90_cents"),
+        )
+        .selectExpr("CAST(w_day AS STRING) AS w_day", "n_window", "p90_cents")
+        .orderBy("w_day")
+    )
+
+
+ROLLING_P90_EXACT_7D_SQL = """
+WITH comp AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+), days AS (
+  SELECT DISTINCT day AS w_day FROM comp
+), fan AS (
+  SELECT c.v, c.cnt, c.day + CAST(k AS INT) AS w_day
+  FROM comp c, (SELECT unnest(range(7)) AS k) kk
+  JOIN days d ON c.day + CAST(k AS INT) = d.w_day
+), hist AS (
+  SELECT w_day, v, CAST(sum(cnt) AS BIGINT) AS c FROM fan GROUP BY w_day, v
+), located AS (
+  SELECT w_day, v,
+         sum(c) OVER (PARTITION BY w_day ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY w_day) AS n
+  FROM hist
+)
+SELECT CAST(w_day AS VARCHAR) AS w_day,
+       CAST(max(n) AS BIGINT) AS n_window,
+       CAST(min(v) AS BIGINT) AS p90_cents
+FROM located
+WHERE cum >= (9 * n + 9) // 10
+GROUP BY w_day
+ORDER BY w_day
+"""
+
+QUERIES["rolling_p90_exact_7d"] = rolling_p90_exact_7d
+ORACLES["rolling_p90_exact_7d"] = ROLLING_P90_EXACT_7D_SQL

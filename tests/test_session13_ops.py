@@ -810,3 +810,180 @@ def test_bandit_replay_finds_planted_best_action():
         assert replay == 12000  # cents
         assert replay > behav
         assert n_matched * 3 == n_eval
+
+
+# --- embedding_drift_monitor -------------------------------------------------
+
+
+def test_drift_monitor_null_and_planted():
+    """On identical halves nothing drifts; shifting one half's dim 0 by a
+    large constant fires the flag on exactly that dim."""
+    from pdf_craft_spark.queries.mlq import EMBEDDING_DRIFT_MONITOR_SQL
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(400):
+        vec = [round(rng.uniform(-1, 1), 4) for _ in range(4)]
+        rows.append((vid, vec))
+    def mk(shift0):
+        con = duckdb.connect()
+        vals = []
+        for vid, vec in rows:
+            v = list(vec)
+            # halves are md5-keyed inside the op; shift by parity of the
+            # same hash so the plant aligns with the op's split
+            import hashlib
+            h = int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16)
+            if shift0 and h % 2 == 0:
+                v[0] += 5.0
+            arr = "[" + ", ".join(f"{x}::FLOAT" for x in v) + "]"
+            vals.append(f"({vid}, {arr})")
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(vec_id, embedding)"
+        )
+        return con.execute(EMBEDDING_DRIFT_MONITOR_SQL).fetchall()
+
+    null_rows = mk(False)
+    assert not any(r[6] for r in null_rows), null_rows
+    planted = mk(True)
+    assert planted[0][6] is True  # dim 0 drifted
+    assert not any(r[6] for r in planted[1:])
+
+
+def test_drift_monitor_real_corpus_stationary(spark):
+    from pdf_craft_spark.queries.mlq import embedding_drift_monitor
+
+    rows = embedding_drift_monitor(spark, SF01).collect()
+    assert len(rows) == 64
+    assert sum(r["drifted"] for r in rows) <= 2  # stationary corpus
+
+
+# --- rolling_p90_exact_7d ----------------------------------------------------
+
+
+def test_rolling_p90_matches_python(spark):
+    """Recompute each 7-day window's exact p90 (ceil(0.9n)-th order stat)
+    in python at sf0.001."""
+    from pdf_craft_spark.queries.timeseries import rolling_p90_exact_7d
+
+    got = {r["w_day"]: r for r in rolling_p90_exact_7d(spark, SF).collect()}
+    con = _duck(SF, ("orders",))
+    raw = con.execute(
+        """SELECT CAST(o_orderdate AS DATE),
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    from collections import defaultdict
+    import datetime
+
+    by_day = defaultdict(list)
+    for d, v in raw:
+        by_day[d].append(v)
+    days = sorted(by_day)
+    for d in days:
+        vals = sorted(
+            v
+            for k in range(7)
+            for v in by_day.get(d - datetime.timedelta(days=k), [])
+        )
+        n = len(vals)
+        thr = (9 * n + 9) // 10
+        want = vals[thr - 1]
+        g = got[str(d)]
+        assert g["n_window"] == n and g["p90_cents"] == want, d
+
+
+# --- join_order_advisor ------------------------------------------------------
+
+
+def test_join_order_advisor_predictions_are_exact(spark):
+    """The predicted intermediate and final sizes must equal the actual
+    executed join sizes."""
+    from pdf_craft_spark.queries.analyticsq import join_order_advisor
+
+    row = join_order_advisor(spark, SF).collect()[0]
+    con = _duck(SF, ("lineitem", "orders", "customer"))
+    ia = con.execute(
+        "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).fetchone()[0]
+    ib = con.execute(
+        "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey"
+    ).fetchone()[0]
+    fa = con.execute(
+        """SELECT count(*) FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey"""
+    ).fetchone()[0]
+    assert row["intermediate_li_orders"] == ia
+    assert row["intermediate_orders_cust"] == ib
+    assert row["final_rows"] == fa == row["final_rows_check"]
+    want = "li_join_(o_join_c)" if ib < ia else "(li_join_o)_join_c"
+    assert row["recommended_order"] == want
+
+
+# --- apriori_triples ---------------------------------------------------------
+
+
+def test_apriori_matches_bruteforce_and_downward_closure(spark):
+    from pdf_craft_spark.queries.behavior import APRIORI_MIN_SUP, apriori_triples
+
+    rows = apriori_triples(spark, SF).collect()
+    assert rows  # non-empty at sf0.001 (94 triples measured)
+    con = _duck(SF, ("lineitem",))
+    brute = {
+        (pa, pb, pc): s
+        for pa, pb, pc, s in con.execute(
+            f"""WITH it AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem)
+            SELECT a.p, b.p, c.p, count(*) FROM it a
+            JOIN it b ON a.o=b.o AND a.p<b.p
+            JOIN it c ON a.o=c.o AND b.p<c.p
+            GROUP BY 1,2,3 HAVING count(*) >= {APRIORI_MIN_SUP}"""
+        ).fetchall()
+    }
+    got = {(r["pa"], r["pb"], r["pc"]): r["support"] for r in rows}
+    assert got == brute  # pruning loses nothing (downward closure)
+    # and every sub-pair of every frequent triple is itself frequent
+    pair_sup = {
+        (a, b): s
+        for a, b, s in con.execute(
+            """WITH it AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem)
+            SELECT a.p, b.p, count(*) FROM it a
+            JOIN it b ON a.o=b.o AND a.p<b.p GROUP BY 1,2"""
+        ).fetchall()
+    }
+    for (pa, pb, pc), s in got.items():
+        for pr in ((pa, pb), (pb, pc), (pa, pc)):
+            assert pair_sup[pr] >= s
+
+
+# --- postings_delta_merge ----------------------------------------------------
+
+
+def test_postings_merge_lossless(spark):
+    from pdf_craft_spark.queries.indexing import postings_delta_merge
+
+    rows = postings_delta_merge(spark, SF).collect()
+    assert rows
+    assert all(r["consistent"] for r in rows)
+
+
+def test_postings_merge_tamper_detected():
+    """Drop the tombstone filter from the merge path (simulating a buggy
+    compaction) — the consistency flag must catch it."""
+    from pdf_craft_spark.queries.indexing import POSTINGS_DELTA_MERGE_SQL
+
+    broken = POSTINGS_DELTA_MERGE_SQL.replace(
+        "WHERE doc_id % 10 != 0 AND doc_id % 20 != 7",
+        "WHERE doc_id % 10 != 0",
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    )
+    rows = con.execute(broken).fetchall()
+    assert any(not r[5] for r in rows)  # inconsistency surfaces
