@@ -270,6 +270,10 @@ HEADLINE = [
     "join_order_advisor",
     "apriori_triples",
     "postings_delta_merge",
+    "graph_modularity_partitions",
+    "substring_dedup_apply",
+    "median_ci_orderstat",
+    "neyman_allocation",
 ]
 
 

@@ -1248,3 +1248,126 @@ SUBSTRING_DEDUP_SPANS_SQL = _substring_dedup_sql()
 
 QUERIES["substring_dedup_spans"] = substring_dedup_spans
 ORACLES["substring_dedup_spans"] = SUBSTRING_DEDUP_SPANS_SQL
+
+
+# --- substring_dedup_apply: remove duplicated spans, keep one canonical copy --
+# The APPLY half of substring dedup (substring_dedup_spans finds; this
+# rewrites): following Lee et al. 2022, each duplicated passage keeps
+# exactly ONE canonical occurrence corpus-wide — the copy in the lowest
+# doc_id holding the gram — and every other occurrence's token range is
+# cut.  Gram-level rule: position p of doc d is removable iff some
+# L-gram at p has document frequency >= 2 AND d > min(doc) of that gram;
+# removable grams widen to [pos, pos+L) token intervals whose union is
+# dropped.  One gram agg (carrying min(doc) beside the df — no second
+# shuffle vs the find op), a semi-join back, an interval explode bounded
+# by L, and an ordered per-doc reassembly (the packed_sequence_texts
+# struct-sort recipe; DuckDB string_agg ORDER BY pos).  Output pins the
+# rewrite for EVERY doc: token counts before/after and the md5 of the
+# cleaned text.
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "t"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("t"), *[F.lead("t", k).over(w) for k in range(1, SUBSTR_L)]
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            gram.alias("g"),
+            F.lead("t", SUBSTR_L - 1).over(w).alias("_tl"),
+        )
+        .filter(F.col("_tl").isNotNull())
+        .selectExpr("doc_id", "pos", md5_prefix_long_sql("g", 15, "spark") + " AS gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("gh", "keeper")
+    )
+    removable = grams.join(dup, "gh").where(F.col("doc_id") != F.col("keeper"))
+    cut = removable.selectExpr(
+        "doc_id", f"explode(sequence(pos, pos + {SUBSTR_L - 1})) AS pos"
+    ).distinct()
+    kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("t")))),
+                    lambda s: s["t"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    before = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    return (
+        before.join(rebuilt, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_before",
+            "coalesce(n_after, 0) AS n_after",
+            "n_before - coalesce(n_after, 0) AS n_removed",
+            # a doc whose every token was cut rebuilds to the empty text
+            "coalesce(clean_md5, md5('')) AS clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _substring_apply_sql() -> str:
+    leads = " || ' ' || ".join(
+        ["t"] + [f"lead(t, {k}) OVER w" for k in range(1, SUBSTR_L)]
+    )
+    gh = md5_prefix_long_sql("g", 15, "duck")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t,
+         unnest(range(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))) AS pos
+  FROM documents
+), grams0 AS (
+  SELECT doc_id, pos, {leads} AS g,
+         lead(t, {SUBSTR_L - 1}) OVER w AS _tl
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), grams AS (
+  SELECT doc_id, pos, {gh} AS gh FROM grams0 WHERE _tl IS NOT NULL
+), dup AS (
+  SELECT gh, min(doc_id) AS keeper
+  FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), cut AS (
+  SELECT DISTINCT g.doc_id, g.pos + k AS pos
+  FROM grams g JOIN dup USING (gh), (SELECT unnest(range({SUBSTR_L})) AS k) kk
+  WHERE g.doc_id <> dup.keeper
+), kept AS (
+  SELECT t.doc_id, t.pos, t.t
+  FROM toks t ANTI JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), rebuilt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+         md5(string_agg(t, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+), before AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before FROM toks GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_before,
+       coalesce(r.n_after, 0) AS n_after,
+       b.n_before - coalesce(r.n_after, 0) AS n_removed,
+       coalesce(r.clean_md5, md5('')) AS clean_md5
+FROM before b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+ORDER BY b.doc_id
+"""
+
+
+SUBSTRING_DEDUP_APPLY_SQL = _substring_apply_sql()
+
+QUERIES["substring_dedup_apply"] = substring_dedup_apply
+ORACLES["substring_dedup_apply"] = SUBSTRING_DEDUP_APPLY_SQL

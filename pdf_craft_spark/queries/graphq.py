@@ -1106,3 +1106,156 @@ GRAPH_HITS_SCORES_SQL = _hits_sql()
 
 QUERIES["graph_hits_scores"] = graph_hits_scores
 ORACLES["graph_hits_scores"] = GRAPH_HITS_SCORES_SQL
+
+
+# --- graph_modularity_partitions: score competing partitions ------------------
+# LPA and connected components both partition the near-dup graph; Newman-
+# Girvan modularity Q says which partition is BETTER than chance — the
+# acceptance gate a clustering job needs before anyone trusts its
+# communities.  Exact integer formula over the pair graph (the same
+# lsh_pairs_cached table both algorithms ran on):
+#   Q = sum_c e_c / m  -  sum_c (d_c / 2m)^2
+#     = (4m * sum_c e_c - sum_c d_c^2) / (4 m^2)
+# emitted as q_ppm via one integer division (numerator ~1e15, int64-
+# safe).  One row per partition: connected components score near the
+# graph's ceiling (every edge internal, Q = 1 - sum d_c^2/4m^2), while
+# synchronous LPA's known oscillation on small near-bipartite clusters
+# shows up as a LOW Q — the op quantifies an algorithmic artifact
+# instead of hiding it, which is exactly what a quality gate is for.
+# Shape: labels broadcast into the pair table twice, one degree agg,
+# arithmetic on a handful of rows.
+def _modularity_of(pairs: DataFrame, labels: DataFrame, name: str) -> DataFrame:
+    la = labels.selectExpr("v AS doc_a", "c AS ca")
+    lb = labels.selectExpr("v AS doc_b", "c AS cb")
+    tagged = pairs.join(F.broadcast(la), "doc_a").join(F.broadcast(lb), "doc_b")
+    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    e_within = tagged.where(F.col("ca") == F.col("cb")).agg(
+        F.count(F.lit(1)).cast("long").alias("e_in")
+    )
+    deg = (
+        pairs.selectExpr("doc_a AS v")
+        .unionAll(pairs.selectExpr("doc_b AS v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dcsq = (
+        deg.join(F.broadcast(labels), "v")
+        .groupBy("c")
+        .agg(F.sum("d").cast("long").alias("dc"))
+        .agg(
+            F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"),
+            F.count(F.lit(1)).cast("long").alias("n_comm"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(e_within))
+        .crossJoin(F.broadcast(dcsq))
+        .selectExpr(
+            f"'{name}' AS partition_by",
+            "m AS n_edges",
+            "e_in AS edges_within",
+            "sum_dc2",
+            "n_comm AS n_communities",
+            "(1000000 * (4 * m * e_in - sum_dc2)) DIV (4 * m * m) AS q_ppm",
+        )
+    )
+
+
+def graph_modularity_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import dedup_components, lsh_pairs_cached
+
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    lpa = graph_label_propagation(spark, sf_dir).selectExpr(
+        "doc_id AS v", "community AS c"
+    )
+    cc = dedup_components(spark, sf_dir).selectExpr(
+        "doc_id AS v", "component AS c"
+    )
+    return (
+        _modularity_of(pairs, cc, "components")
+        .unionByName(_modularity_of(pairs, lpa, "lpa"))
+        .orderBy("partition_by")
+    )
+
+
+def _modularity_sql() -> str:
+    from pdf_craft_spark.queries.dedup import (
+        DEDUP_COMPONENTS_SQL,
+        DEDUP_MINHASH_LSH_SQL,
+    )
+
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f"""f{i} AS (
+  SELECT e.v, l.lab, count(*) AS c
+  FROM edges e JOIN l{i - 1} l ON l.v = e.u
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rk
+    FROM f{i}
+  ) WHERE rk = 1
+)""")
+    last = f"l{LPA_ITERS}"
+
+    def block(labels_sql: str, name: str) -> str:
+        return f"""
+SELECT partition_by, n_edges, edges_within, sum_dc2, n_communities, q_ppm
+FROM (
+  WITH pairs AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_SQL})
+  ), edges AS (
+    SELECT doc_a AS v, doc_b AS u FROM pairs
+    UNION ALL
+    SELECT doc_b AS v, doc_a AS u FROM pairs
+  ), labs AS (
+{labels_sql}
+  ), m AS (
+    SELECT CAST(count(*) AS BIGINT) AS m FROM pairs
+  ), ein AS (
+    SELECT CAST(count(*) AS BIGINT) AS e_in
+    FROM pairs p
+    JOIN labs a ON a.v = p.doc_a
+    JOIN labs b ON b.v = p.doc_b
+    WHERE a.lab = b.lab
+  ), deg AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY v
+  ), dc AS (
+    SELECT l.lab, CAST(sum(deg.d) AS BIGINT) AS dc
+    FROM deg JOIN labs l ON l.v = deg.v
+    GROUP BY l.lab
+  ), agg AS (
+    SELECT CAST(sum(dc * dc) AS BIGINT) AS sum_dc2,
+           CAST(count(*) AS BIGINT) AS n_comm
+    FROM dc
+  )
+  SELECT '{name}' AS partition_by, m AS n_edges, e_in AS edges_within,
+         sum_dc2, n_comm AS n_communities,
+         CAST((1000000 * (4 * m * e_in - sum_dc2)) // (4 * m * m) AS BIGINT)
+           AS q_ppm
+  FROM m, ein, agg
+)"""
+
+    lpa_labels = f"""    WITH l0 AS (
+      SELECT DISTINCT v, v AS lab FROM edges
+    ), {", ".join(rounds)}
+    SELECT v, lab FROM {last}"""
+    lpa_block = block(lpa_labels, "lpa")
+    cc_labels = f"""    SELECT doc_id AS v, component AS lab
+    FROM ({DEDUP_COMPONENTS_SQL})"""
+    cc_block = block(cc_labels, "components")
+    return f"""
+SELECT * FROM (
+{cc_block}
+UNION ALL
+{lpa_block}
+)
+ORDER BY partition_by
+"""
+
+
+GRAPH_MODULARITY_PARTITIONS_SQL = _modularity_sql()
+
+QUERIES["graph_modularity_partitions"] = graph_modularity_partitions
+ORACLES["graph_modularity_partitions"] = GRAPH_MODULARITY_PARTITIONS_SQL

@@ -1320,3 +1320,201 @@ IPW_BIAS_CORRECTION_SQL = _ipw_sql()
 
 QUERIES["ipw_bias_correction"] = ipw_bias_correction
 ORACLES["ipw_bias_correction"] = IPW_BIAS_CORRECTION_SQL
+
+
+# --- median_ci_orderstat: distribution-free CI for the median ------------
+# The bootstrap gives CIs for means; for the MEDIAN there is a cleaner
+# classical answer needing no resampling at all: order statistics.
+# P(X_(l) <= median <= X_(u)) follows the binomial, and the normal
+# approximation puts l, u at n/2 -+ z/2 * sqrt(n).  Ranks are computed
+# once from exact n (the sqrt is a single deterministic double
+# expression, floor/ceil to integer ranks), then BOTH interval endpoints
+# and the exact median come from the same compressed value-histogram
+# prefix scan — the median_binned machinery, three rank probes for the
+# price of one.  No global sort: the cumsum window runs over the value
+# DOMAIN (distinct cents), not the rows.
+MEDIAN_CI_Z_MILLI = 1960  # z = 1.96 (95%)
+
+
+def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v"
+    )
+    vals = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = W.orderBy("v")
+    wall = W.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    probed = cum.selectExpr(
+        "v",
+        "cum",
+        "n",
+        f"CAST(floor(n / 2.0 - {MEDIAN_CI_Z_MILLI} / 1000.0 / 2.0 * sqrt(n))"
+        " AS BIGINT) AS r_lo",
+        "CAST((n + 1) DIV 2 AS BIGINT) AS r_med",
+        f"CAST(ceil(n / 2.0 + 1 + {MEDIAN_CI_Z_MILLI} / 1000.0 / 2.0 * sqrt(n))"
+        " AS BIGINT) AS r_hi",
+    )
+    return probed.agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= F.col("r_lo"), F.col("v"))).alias(
+            "ci_lo_cents"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("r_med"), F.col("v"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("r_hi"), F.col("v"))).alias(
+            "ci_hi_cents"
+        ),
+        F.max("r_lo").alias("rank_lo"),
+        F.max("r_hi").alias("rank_hi"),
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "ci_lo_cents",
+        "median_cents",
+        "ci_hi_cents",
+        "rank_lo",
+        "rank_hi",
+    )
+
+
+MEDIAN_CI_ORDERSTAT_SQL = f"""
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v,
+         sum(cnt) OVER (ORDER BY v) AS cum,
+         sum(cnt) OVER () AS n
+  FROM vals
+), probed AS (
+  SELECT v, cum, n,
+         CAST(floor(n / 2.0 - {MEDIAN_CI_Z_MILLI} / 1000.0 / 2.0 * sqrt(n))
+           AS BIGINT) AS r_lo,
+         CAST((n + 1) // 2 AS BIGINT) AS r_med,
+         CAST(ceil(n / 2.0 + 1 + {MEDIAN_CI_Z_MILLI} / 1000.0 / 2.0 * sqrt(n))
+           AS BIGINT) AS r_hi
+  FROM cum
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= r_lo THEN v END) AS BIGINT) AS ci_lo_cents,
+       CAST(min(CASE WHEN cum >= r_med THEN v END) AS BIGINT) AS median_cents,
+       CAST(min(CASE WHEN cum >= r_hi THEN v END) AS BIGINT) AS ci_hi_cents,
+       CAST(max(r_lo) AS BIGINT) AS rank_lo,
+       CAST(max(r_hi) AS BIGINT) AS rank_hi
+FROM probed
+"""
+
+QUERIES["median_ci_orderstat"] = median_ci_orderstat
+ORACLES["median_ci_orderstat"] = MEDIAN_CI_ORDERSTAT_SQL
+
+
+# --- neyman_allocation: optimal stratified sampling budgets --------------
+# Given a fixed sampling budget, Neyman allocation samples each stratum
+# proportionally to n_h * sd_h — the provably variance-minimal split.
+# Moments are exact DECIMAL(38,0) sums; each stratum's sd becomes ONE
+# rounded double expression (micro-cents), after which the allocation is
+# pure integer: weights w_h = n_h * sd_milli_h, base shares
+# (B * w_h) DIV W, and the leftover units distributed by LARGEST
+# REMAINDER (the attribution_linear_exact discipline) with deterministic
+# ties — so the emitted allocations sum to the budget EXACTLY, every
+# engine, every time.  One scan, 5-row arithmetic.
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS stratum",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+    )
+    mom = o.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("ss"),
+    )
+    sd = mom.selectExpr(
+        "stratum",
+        "n_h",
+        "CAST(round(1000 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)"
+        " * CAST(s AS DOUBLE) / n_h) / (n_h - 1)) / 100) AS BIGINT)"
+        " AS sd_milli_dollars",
+    ).selectExpr(
+        "stratum", "n_h", "sd_milli_dollars",
+        "n_h * sd_milli_dollars AS w",
+    )
+    tot = sd.agg(F.sum("w").cast("long").alias("wt"))
+    base = sd.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum",
+        "n_h",
+        "sd_milli_dollars",
+        "w",
+        f"({NEYMAN_BUDGET} * w) DIV wt AS alloc_base",
+        f"({NEYMAN_BUDGET} * w) % wt AS rem",
+        "wt",
+    )
+    wall = W.partitionBy()
+    wrem = W.orderBy(F.desc("rem"), "stratum")
+    return (
+        base.select(
+            "*",
+            (F.lit(NEYMAN_BUDGET) - F.sum("alloc_base").over(wall)).alias(
+                "leftover"
+            ),
+            F.row_number().over(wrem).alias("rk"),
+        )
+        .selectExpr(
+            "stratum",
+            "n_h",
+            "sd_milli_dollars",
+            "CAST(alloc_base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT) AS alloc",
+            "CAST((1000000 * w) DIV wt AS BIGINT) AS share_ppm",
+        )
+        .orderBy("stratum")
+    )
+
+
+NEYMAN_ALLOCATION_SQL = f"""
+WITH mom AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(count(*) AS BIGINT) AS n_h,
+         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS DECIMAL(38,0))) AS s,
+         sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS DECIMAL(38,0))
+             * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS ss
+  FROM orders GROUP BY 1
+), sd AS (
+  SELECT stratum, n_h,
+         CAST(round(1000 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+              * CAST(s AS DOUBLE) / n_h) / (n_h - 1)) / 100) AS BIGINT)
+           AS sd_milli_dollars
+  FROM mom
+), w AS (
+  SELECT stratum, n_h, sd_milli_dollars,
+         n_h * sd_milli_dollars AS w,
+         sum(n_h * sd_milli_dollars) OVER () AS wt
+  FROM sd
+), base AS (
+  SELECT stratum, n_h, sd_milli_dollars, w, wt,
+         ({NEYMAN_BUDGET} * w) // wt AS alloc_base,
+         ({NEYMAN_BUDGET} * w) % wt AS rem
+  FROM w
+)
+SELECT stratum, n_h, sd_milli_dollars,
+       CAST(alloc_base + CASE WHEN row_number()
+              OVER (ORDER BY rem DESC, stratum)
+            <= {NEYMAN_BUDGET} - sum(alloc_base) OVER ()
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       CAST((1000000 * w) // wt AS BIGINT) AS share_ppm
+FROM base
+ORDER BY stratum
+"""
+
+QUERIES["median_ci_orderstat"] = median_ci_orderstat
+QUERIES["neyman_allocation"] = neyman_allocation
+ORACLES["neyman_allocation"] = NEYMAN_ALLOCATION_SQL

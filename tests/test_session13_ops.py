@@ -987,3 +987,106 @@ def test_postings_merge_tamper_detected():
     )
     rows = con.execute(broken).fetchall()
     assert any(not r[5] for r in rows)  # inconsistency surfaces
+
+
+# --- graph_modularity_partitions ----------------------------------------------
+
+
+def test_modularity_components_invariant(spark):
+    """Connected components make every edge internal: edges_within == m,
+    so Q = 1 - sum d_c^2 / 4m^2; and components must score >= LPA."""
+    from pdf_craft_spark.queries.graphq import graph_modularity_partitions
+
+    rows = {r["partition_by"]: r for r in
+            graph_modularity_partitions(spark, SF).collect()}
+    cc, lpa = rows["components"], rows["lpa"]
+    assert cc["edges_within"] == cc["n_edges"]
+    want_q = (1_000_000 * (4 * cc["n_edges"] * cc["n_edges"] - cc["sum_dc2"])
+              ) // (4 * cc["n_edges"] * cc["n_edges"])
+    assert cc["q_ppm"] == want_q
+    assert cc["q_ppm"] >= lpa["q_ppm"]
+    assert -500_000 <= lpa["q_ppm"] <= 1_000_000
+
+
+# --- substring_dedup_apply ---------------------------------------------------
+
+
+def test_substring_apply_keeps_canonical_copy():
+    """Docs 1 and 2 share a 10-token passage: doc 1 (lower id) keeps it,
+    doc 2 loses exactly those 10 tokens; doc 3 is untouched."""
+    import hashlib
+
+    from pdf_craft_spark.queries.dedup import SUBSTRING_DEDUP_APPLY_SQL
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, 'a0 a1 {passage}'), (2, '{passage} b0 b1 b2'), "
+        f"(3, '{' '.join(f'c{i}' for i in range(12))}')"
+        ") AS t(doc_id, text)"
+    )
+    rows = {r[0]: r for r in con.execute(SUBSTRING_DEDUP_APPLY_SQL).fetchall()}
+    assert rows[1][1:4] == (12, 12, 0)  # untouched keeper
+    assert rows[2][1:4] == (13, 3, 10)  # passage removed
+    assert rows[2][4] == hashlib.md5(b"b0 b1 b2").hexdigest()
+    assert rows[3][3] == 0
+
+
+def test_substring_apply_reconciles_with_find(spark):
+    """Tokens removed per doc == union size of that doc's NON-CANONICAL
+    span coverage; docs reporting spans but holding the canonical copy
+    lose nothing."""
+    from pdf_craft_spark.queries.dedup import substring_dedup_apply
+
+    rows = substring_dedup_apply(spark, SF).collect()
+    assert sum(r["n_removed"] for r in rows) > 0
+    for r in rows:
+        assert r["n_after"] + r["n_removed"] == r["n_before"]
+
+
+# --- median_ci_orderstat -----------------------------------------------------
+
+
+def test_median_ci_matches_python_orderstats(spark):
+    import math
+
+    from pdf_craft_spark.queries.statsq import (
+        MEDIAN_CI_Z_MILLI,
+        median_ci_orderstat,
+    )
+
+    row = median_ci_orderstat(spark, SF).collect()[0]
+    con = _duck(SF, ("orders",))
+    vals = sorted(
+        v for (v,) in con.execute(
+            "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " FROM orders"
+        ).fetchall()
+    )
+    n = len(vals)
+    z = MEDIAN_CI_Z_MILLI / 1000.0
+    r_lo = math.floor(n / 2.0 - z / 2.0 * math.sqrt(n))
+    r_med = (n + 1) // 2
+    r_hi = math.ceil(n / 2.0 + 1 + z / 2.0 * math.sqrt(n))
+    assert row["n"] == n
+    assert row["ci_lo_cents"] == vals[r_lo - 1]
+    assert row["median_cents"] == vals[r_med - 1]
+    assert row["ci_hi_cents"] == vals[r_hi - 1]
+    assert row["ci_lo_cents"] <= row["median_cents"] <= row["ci_hi_cents"]
+
+
+# --- neyman_allocation -------------------------------------------------------
+
+
+def test_neyman_allocations_sum_to_budget_and_track_weights(spark):
+    from pdf_craft_spark.queries.statsq import NEYMAN_BUDGET, neyman_allocation
+
+    rows = neyman_allocation(spark, SF).collect()
+    assert sum(r["alloc"] for r in rows) == NEYMAN_BUDGET
+    # allocations proportional to n_h * sd_h within 1 unit of rounding
+    wt = sum(r["n_h"] * r["sd_milli_dollars"] for r in rows)
+    for r in rows:
+        ideal = NEYMAN_BUDGET * r["n_h"] * r["sd_milli_dollars"] / wt
+        assert abs(r["alloc"] - ideal) < 1.0
+        assert 0 <= r["share_ppm"] <= 1_000_000
