@@ -274,6 +274,9 @@ HEADLINE = [
     "substring_dedup_apply",
     "median_ci_orderstat",
     "neyman_allocation",
+    "yoy_mom_growth",
+    "deletion_impact_scan",
+    "encoding_advisor",
 ]
 
 

@@ -1154,3 +1154,106 @@ STREAMING_HLL_MERGE_SQL = _streaming_hll_sql()
 
 QUERIES["streaming_hll_merge"] = streaming_hll_merge
 ORACLES["streaming_hll_merge"] = STREAMING_HLL_MERGE_SQL
+
+
+def streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS A RESTART — the streaming property everything
+    else rests on: a query consumes micro-batch 0, STOPS (planned
+    restart / executor loss), and a NEW query object resumes from the
+    same checkpointLocation to consume batches 1-2.  The sink is a
+    durable append table of per-(event_type, batch) partial aggregates —
+    deliberately NOT driver memory, which would survive this in-process
+    restart and prove nothing.  The invariant the oracle hashes: summed
+    partials equal the one-shot batch aggregate of the whole feed AND
+    each type saw exactly 3 batch appends — if the restarted query
+    re-delivered batch 0 (at-least-once without checkpoint dedup) the
+    sums double and n_batches hits 4+; if it skipped ahead, they
+    undercount.  Feed = the events table split into three deterministic
+    10-day windows, same recipe as streaming_hll_merge."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).selectExpr(
+        "event_type",
+        "CAST(ts AS DATE) AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    lo = ev.agg(F.min("day").alias("d0"))
+    evc = ev.crossJoin(F.broadcast(lo)).selectExpr(
+        "event_type",
+        "cents",
+        "CAST(datediff(day, d0) AS INT) DIV 10 AS win",
+    )
+    feed = [evc.where(F.col("win") == i).drop("win") for i in range(3)]
+
+    work = tempfile.mkdtemp(prefix="stream_restart_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    schema = "event_type string, cents long"
+
+    def sink(bdf, batch_id):
+        (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("c"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+        )
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        feed[0].coalesce(1).write.parquet(os.path.join(in_dir, "b0"))
+        q1 = start_query()
+        try:
+            q1.processAllAvailable()
+        finally:
+            q1.stop()  # planned restart: q1 is gone, checkpoint survives
+        feed[1].coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+        feed[2].coalesce(1).write.parquet(os.path.join(in_dir, "b2"))
+        q2 = start_query()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        final = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n_events"),
+                F.sum("c").cast("long").alias("sum_cents"),
+                F.countDistinct("batch_id").cast("long").alias("n_batches"),
+            )
+            .orderBy("event_type")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAMING_CHECKPOINT_RESTART_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(3 AS BIGINT) AS n_batches
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["streaming_checkpoint_restart"] = streaming_checkpoint_restart
+ORACLES["streaming_checkpoint_restart"] = STREAMING_CHECKPOINT_RESTART_SQL

@@ -1512,3 +1512,61 @@ ORDER BY w_day
 
 QUERIES["rolling_p90_exact_7d"] = rolling_p90_exact_7d
 ORACLES["rolling_p90_exact_7d"] = ROLLING_P90_EXACT_7D_SQL
+
+
+# --- yoy_mom_growth: calendar-aligned growth rates ----------------------------
+# The BI staple done right: month-over-month and year-over-year growth
+# must align by CALENDAR month, not by row lag — a missing month must
+# yield NULL growth, not silently compare against the wrong period.
+# Alignment is a self-equi-join on the (year*12 + month - k) month
+# index (k = 1, 12) against the compressed month table — no window
+# ordering assumption, no row-lag gap bug; growth is integer basis
+# points via exact cent sums and one truncated division per rate.
+def yoy_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    m = o.groupBy("mi").agg(F.sum("cents").cast("long").alias("rev"))
+    prev = m.selectExpr("mi + 1 AS mi", "rev AS rev_prev")
+    yago = m.selectExpr("mi + 12 AS mi", "rev AS rev_yago")
+    return (
+        m.join(F.broadcast(prev), "mi", "left")
+        .join(F.broadcast(yago), "mi", "left")
+        .selectExpr(
+            "CAST(mi DIV 12 AS BIGINT) AS year",
+            "CAST(mi % 12 + 1 AS BIGINT) AS month",
+            "rev",
+            "CASE WHEN rev_prev IS NULL THEN NULL"
+            " ELSE (10000 * (rev - rev_prev)) DIV rev_prev END AS mom_bp",
+            "CASE WHEN rev_yago IS NULL THEN NULL"
+            " ELSE (10000 * (rev - rev_yago)) DIV rev_yago END AS yoy_bp",
+        )
+        .orderBy("year", "month")
+    )
+
+
+YOY_MOM_GROWTH_SQL = """
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(m.mi // 12 AS BIGINT) AS year,
+       CAST(m.mi % 12 + 1 AS BIGINT) AS month,
+       m.rev,
+       CASE WHEN p.rev IS NULL THEN NULL
+            ELSE CAST((10000 * (m.rev - p.rev)) // p.rev AS BIGINT)
+       END AS mom_bp,
+       CASE WHEN y.rev IS NULL THEN NULL
+            ELSE CAST((10000 * (m.rev - y.rev)) // y.rev AS BIGINT)
+       END AS yoy_bp
+FROM m
+LEFT JOIN m p ON p.mi = m.mi - 1
+LEFT JOIN m y ON y.mi = m.mi - 12
+ORDER BY year, month
+"""
+
+QUERIES["yoy_mom_growth"] = yoy_mom_growth
+ORACLES["yoy_mom_growth"] = YOY_MOM_GROWTH_SQL

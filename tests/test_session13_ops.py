@@ -1090,3 +1090,107 @@ def test_neyman_allocations_sum_to_budget_and_track_weights(spark):
         ideal = NEYMAN_BUDGET * r["n_h"] * r["sd_milli_dollars"] / wt
         assert abs(r["alloc"] - ideal) < 1.0
         assert 0 <= r["share_ppm"] <= 1_000_000
+
+
+# --- streaming_checkpoint_restart --------------------------------------------
+
+
+def test_streaming_restart_exactly_once(spark):
+    """The op restarts the query mid-feed; its output must equal the
+    one-shot batch aggregate with exactly 3 batch appends per type."""
+    from pdf_craft_spark.queries.streamingq import streaming_checkpoint_restart
+
+    rows = {r["event_type"]: r for r in
+            streaming_checkpoint_restart(spark, SF).collect()}
+    con = _duck(SF, ("events",))
+    want = dict(
+        con.execute(
+            "SELECT event_type, count(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(rows) == set(want)
+    for t, n in want.items():
+        assert rows[t]["n_events"] == n
+        assert rows[t]["n_batches"] == 3  # 1 before restart + 2 after
+
+
+# --- yoy_mom_growth ----------------------------------------------------------
+
+
+def test_yoy_mom_calendar_alignment():
+    """A missing month must produce NULL MoM (not compare to the wrong
+    month); planted doubling gives exactly +10000 bp."""
+    from pdf_craft_spark.queries.timeseries import YOY_MOM_GROWTH_SQL
+
+    con = duckdb.connect()
+    months = [("2001-01", 100), ("2001-02", 200), ("2001-04", 400),
+              ("2002-01", 300)]
+    vals = []
+    for ym, amount in months:
+        vals.append(f"(TIMESTAMP '{ym}-15 00:00:00', {amount}.0)")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(o_orderdate, o_totalprice)"
+    )
+    rows = {(r[0], r[1]): r for r in con.execute(YOY_MOM_GROWTH_SQL).fetchall()}
+    assert rows[(2001, 2)][3] == 10000      # 100 -> 200 = +100.00%
+    assert rows[(2001, 4)][3] is None       # March missing -> NULL MoM
+    assert rows[(2002, 1)][4] == 20000      # YoY 100 -> 300 = +200.00%
+    assert rows[(2001, 1)][3] is None and rows[(2001, 1)][4] is None
+
+
+# --- deletion_impact_scan ----------------------------------------------------
+
+
+def test_deletion_impact_matches_direct_counts(spark):
+    from pdf_craft_spark.queries.dataquality import deletion_impact_scan
+
+    rows = {r["table_name"]: r for r in
+            deletion_impact_scan(spark, SF).collect()}
+    con = _duck(SF, ("customer", "orders", "lineitem"))
+    n_c = con.execute(
+        "SELECT count(*) FROM customer WHERE c_custkey % 50 = 3"
+    ).fetchone()[0]
+    n_o = con.execute(
+        "SELECT count(*) FROM orders WHERE o_custkey % 50 = 3"
+    ).fetchone()[0]
+    n_li = con.execute(
+        """SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey % 50 = 3"""
+    ).fetchone()[0]
+    assert rows["customer"]["rows_to_delete"] == n_c
+    assert rows["orders"]["rows_to_delete"] == n_o
+    assert rows["lineitem"]["rows_to_delete"] == n_li
+    assert rows["orders"]["max_per_subject"] >= (
+        n_o + rows["orders"]["subjects_affected"] - 1
+    ) // rows["orders"]["subjects_affected"]
+
+
+# --- encoding_advisor --------------------------------------------------------
+
+
+def test_encoding_advisor_planted_layouts():
+    """A column with long runs under the sort order gets RLE; a low-NDV
+    scattered column gets DICT; a unique column gets PLAIN."""
+    from pdf_craft_spark.queries.dataquality import ENCODING_ADVISOR_SQL
+
+    con = duckdb.connect()
+    vals = []
+    for i in range(1000):
+        status = "AAA" if i < 500 else "BBB"      # two huge runs -> RLE
+        pri = f"p{i % 4}"                          # 4 values scattered -> DICT
+        vals.append(
+            f"(TIMESTAMP '2001-01-01' + INTERVAL ({i}) HOUR, {i}, "
+            f"'{status}', '{pri}', {i}, {i * 7 % 997}.{i % 100:02d})"
+        )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(o_orderdate, o_orderkey, o_orderstatus, o_orderpriority,"
+        " o_custkey, o_totalprice)"
+    )
+    rows = {r[0]: r for r in con.execute(ENCODING_ADVISOR_SQL).fetchall()}
+    assert rows["status"][5] == "RLE" and rows["status"][3] == 2
+    assert rows["priority"][5] == "DICT"
+    assert rows["custkey"][5] == "PLAIN" and rows["custkey"][2] == 1000
