@@ -277,6 +277,9 @@ HEADLINE = [
     "yoy_mom_growth",
     "deletion_impact_scan",
     "encoding_advisor",
+    "bitmap_index_intersect",
+    "wilson_lower_bound_ranking",
+    "partition_granularity_advisor",
 ]
 
 

@@ -938,3 +938,103 @@ ORDER BY col_name
 
 QUERIES["encoding_advisor"] = encoding_advisor
 ORACLES["encoding_advisor"] = ENCODING_ADVISOR_SQL
+
+
+# --- partition_granularity_advisor: choose the partition key's grain ----------
+# The small-files problem starts at CREATE TABLE: partition orders by
+# day, week, or month?  The advisor computes, for each candidate grain,
+# the exact partition-count / rows-per-partition distribution (count,
+# avg, min, max, and skew as max/avg milli) from one scan per grain
+# over the compressed date spine, then applies the sizing rule: the
+# best grain is the finest one whose AVERAGE partition still clears the
+# target row floor (here 2000 rows — stand-in for the 128 MB file
+# target at real row widths).  Emits one row per grain plus the chosen
+# flag, so the hash pins the whole decision table, not just the
+# winner.
+PART_TARGET_ROWS = 2000
+
+
+def partition_granularity_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr("CAST(o_orderdate AS DATE) AS d")
+    grains = [
+        ("1:day", "CAST(d AS STRING)"),
+        ("2:week", "CAST(date_trunc('WEEK', d) AS STRING)"),
+        ("3:month", "CAST(date_trunc('MONTH', d) AS STRING)"),
+    ]
+    parts = []
+    for name, expr in grains:
+        per = o.selectExpr(f"{expr} AS pk").groupBy("pk").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        parts.append(
+            per.agg(
+                F.lit(name).alias("grain"),
+                F.count(F.lit(1)).cast("long").alias("n_partitions"),
+                F.expr("sum(n) DIV count(*)").cast("long").alias("avg_rows"),
+                F.min("n").cast("long").alias("min_rows"),
+                F.max("n").cast("long").alias("max_rows"),
+                F.expr("(1000 * max(n)) DIV (sum(n) DIV count(*))")
+                .cast("long")
+                .alias("skew_milli"),
+            )
+        )
+    table = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    wall = W.partitionBy()
+    wbest = W.orderBy("grain")
+    return (
+        table.select(
+            "*",
+            F.min(
+                F.when(
+                    F.col("avg_rows") >= PART_TARGET_ROWS, F.col("grain")
+                )
+            )
+            .over(wall)
+            .alias("best"),
+        )
+        .selectExpr(
+            "grain",
+            "n_partitions",
+            "avg_rows",
+            "min_rows",
+            "max_rows",
+            "skew_milli",
+            # coarsest fallback if nothing clears the floor
+            "coalesce(grain = best, grain = '3:month') AS chosen",
+        )
+        .orderBy("grain")
+    )
+
+
+PARTITION_GRANULARITY_ADVISOR_SQL = f"""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+), per AS (
+  SELECT '1:day' AS grain, CAST(d AS VARCHAR) AS pk, count(*) AS n
+  FROM o GROUP BY 2
+  UNION ALL
+  SELECT '2:week', CAST(date_trunc('week', d) AS VARCHAR), count(*)
+  FROM o GROUP BY 2
+  UNION ALL
+  SELECT '3:month', CAST(date_trunc('month', d) AS VARCHAR), count(*)
+  FROM o GROUP BY 2
+), table_g AS (
+  SELECT grain,
+         CAST(count(*) AS BIGINT) AS n_partitions,
+         CAST(sum(n) // count(*) AS BIGINT) AS avg_rows,
+         CAST(min(n) AS BIGINT) AS min_rows,
+         CAST(max(n) AS BIGINT) AS max_rows,
+         CAST((1000 * max(n)) // (sum(n) // count(*)) AS BIGINT) AS skew_milli
+  FROM per GROUP BY grain
+)
+SELECT grain, n_partitions, avg_rows, min_rows, max_rows, skew_milli,
+       coalesce(
+         grain = min(CASE WHEN avg_rows >= {PART_TARGET_ROWS} THEN grain END)
+                   OVER (),
+         grain = '3:month') AS chosen
+FROM table_g
+ORDER BY grain
+"""
+
+QUERIES["partition_granularity_advisor"] = partition_granularity_advisor
+ORACLES["partition_granularity_advisor"] = PARTITION_GRANULARITY_ADVISOR_SQL

@@ -712,3 +712,94 @@ ORDER BY term
 
 QUERIES["postings_delta_merge"] = postings_delta_merge
 ORACLES["postings_delta_merge"] = POSTINGS_DELTA_MERGE_SQL
+
+
+# --- bitmap_index_intersect: word-compressed bitmap index set algebra --------
+# The OLAP answer to multi-predicate point counts: one bitmap per
+# predicate value, AND/OR them word-by-word, never rescan the facts.
+# Bitmaps are 63-key blocks packed into int64 words (bit_or of
+# 1 << (key % 63) grouped by key DIV 63 — 63, not 64: DuckDB raises on
+# a shift into the sign bit while Spark wraps silently, so the portable
+# word uses bits 0..62 only — the roaring-bitmap container
+# idea in its dense form); the conjunction "status = 'F' AND priority =
+# '1-URGENT'" is a word-aligned equi-join + bitwise AND + bit_count —
+# pure integer, engine-identical.  The op builds both bitmaps, runs the
+# intersection, and emits the result beside the direct-scan count as
+# the self-check the driver hashes (bitmap_count = scan_count or the
+# index is corrupt).  Shape: two single-scan aggs into |keys|/64 words,
+# a broadcast-sized word join; the fact table is never joined.
+def bitmap_index_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k", "o_orderstatus AS st", "o_orderpriority AS pri"
+    )
+
+    def bitmap(pred: str):
+        return (
+            o.where(pred)
+            .selectExpr("k DIV 63 AS blk", "CAST(k % 63 AS INT) AS bit")
+            .groupBy("blk")
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("w"))
+        )
+
+    bm_f = bitmap("st = 'F'").selectExpr("blk", "w AS w_f")
+    bm_u = bitmap("pri = '1-URGENT'").selectExpr("blk", "w AS w_u")
+    inter = bm_f.join(bm_u, "blk").selectExpr(
+        "blk", "w_f & w_u AS w"
+    )
+    counts = inter.agg(
+        F.sum(F.expr("bit_count(w)")).cast("long").alias("bitmap_count"),
+        F.count(F.lit(1)).cast("long").alias("n_words_intersected"),
+    )
+    scan = o.where("st = 'F' AND pri = '1-URGENT'").agg(
+        F.count(F.lit(1)).cast("long").alias("scan_count")
+    )
+    sizes = bm_f.agg(F.count(F.lit(1)).cast("long").alias("n_words_f")).crossJoin(
+        F.broadcast(bm_u.agg(F.count(F.lit(1)).cast("long").alias("n_words_u")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(scan))
+        .crossJoin(F.broadcast(sizes))
+        .selectExpr(
+            "bitmap_count",
+            "scan_count",
+            "bitmap_count = scan_count AS index_consistent",
+            "n_words_f",
+            "n_words_u",
+            "n_words_intersected",
+        )
+    )
+
+
+BITMAP_INDEX_INTERSECT_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pri
+  FROM orders
+), bm_f AS (
+  SELECT k // 63 AS blk,
+         bit_or(CAST(1 AS BIGINT) << CAST(k % 63 AS INT)) AS w
+  FROM o WHERE st = 'F' GROUP BY 1
+), bm_u AS (
+  SELECT k // 63 AS blk,
+         bit_or(CAST(1 AS BIGINT) << CAST(k % 63 AS INT)) AS w
+  FROM o WHERE pri = '1-URGENT' GROUP BY 1
+), inter AS (
+  SELECT f.blk, f.w & u.w AS w FROM bm_f f JOIN bm_u u ON f.blk = u.blk
+), counts AS (
+  SELECT CAST(sum(bit_count(w)) AS BIGINT) AS bitmap_count,
+         CAST(count(*) AS BIGINT) AS n_words_intersected
+  FROM inter
+), scan AS (
+  SELECT CAST(count(*) AS BIGINT) AS scan_count
+  FROM o WHERE st = 'F' AND pri = '1-URGENT'
+), sizes AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM bm_f) AS n_words_f,
+         (SELECT CAST(count(*) AS BIGINT) FROM bm_u) AS n_words_u
+)
+SELECT bitmap_count, scan_count,
+       bitmap_count = scan_count AS index_consistent,
+       n_words_f, n_words_u, n_words_intersected
+FROM counts, scan, sizes
+"""
+
+QUERIES["bitmap_index_intersect"] = bitmap_index_intersect
+ORACLES["bitmap_index_intersect"] = BITMAP_INDEX_INTERSECT_SQL

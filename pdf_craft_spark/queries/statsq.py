@@ -1518,3 +1518,90 @@ ORDER BY stratum
 QUERIES["median_ci_orderstat"] = median_ci_orderstat
 QUERIES["neyman_allocation"] = neyman_allocation
 ORACLES["neyman_allocation"] = NEYMAN_ALLOCATION_SQL
+
+
+# --- wilson_lower_bound_ranking: rank proportions honestly ---------------
+# "Sort by average rating" promotes a 1-for-1 item over a 980-for-1000
+# one; the fix everyone ships (Evan Miller's classic) is ranking by the
+# WILSON score interval's lower bound, which penalizes small samples
+# exactly as much as the binomial says to.  Here: rank part brands by
+# return rate (l_returnflag = 'R') — counts (k, n) per brand are one
+# combinable agg, and the Wilson lower bound
+#   (p + z^2/2n - z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+# is a single deterministic double expression per 25-row output from
+# exact integers (z = 1.96 literal).  The op emits both the naive rate
+# and the Wilson bound with both rank orders, so the hash pins exactly
+# where the two rankings disagree.
+WILSON_Z = 1.96
+
+
+def wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    z = WILSON_Z
+    wilson = (
+        f"(CAST(k AS DOUBLE) / n + {z * z} / (2 * n)"
+        f" - {z} * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n"
+        f" + {z * z} / (4.0 * n * n))) / (1 + {z * z} / n)"
+    )
+    scored = agg.selectExpr(
+        "p_brand",
+        "n",
+        "k",
+        "CAST((1000000 * k) DIV n AS BIGINT) AS naive_ppm",
+        f"CAST(round(1000000 * ({wilson})) AS BIGINT) AS wilson_lb_ppm",
+    )
+    wn = W.orderBy(F.desc("naive_ppm"), "p_brand")
+    ww = W.orderBy(F.desc("wilson_lb_ppm"), "p_brand")
+    return scored.select(
+        "p_brand",
+        "n",
+        "k",
+        "naive_ppm",
+        "wilson_lb_ppm",
+        F.row_number().over(wn).cast("long").alias("rank_naive"),
+        F.row_number().over(ww).cast("long").alias("rank_wilson"),
+    ).orderBy("rank_wilson")
+
+
+def _wilson_sql() -> str:
+    z = WILSON_Z
+    wilson = (
+        f"(CAST(k AS DOUBLE) / n + {z * z} / (2 * n)"
+        f" - {z} * sqrt(CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) / n"
+        f" + {z * z} / (4.0 * n * n))) / (1 + {z * z} / n)"
+    )
+    return f"""
+WITH agg AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), scored AS (
+  SELECT p_brand, n, k,
+         CAST((1000000 * k) // n AS BIGINT) AS naive_ppm,
+         CAST(round(1000000 * ({wilson})) AS BIGINT) AS wilson_lb_ppm
+  FROM agg
+)
+SELECT p_brand, n, k, naive_ppm, wilson_lb_ppm,
+       CAST(row_number() OVER (ORDER BY naive_ppm DESC, p_brand) AS BIGINT)
+         AS rank_naive,
+       CAST(row_number() OVER (ORDER BY wilson_lb_ppm DESC, p_brand) AS BIGINT)
+         AS rank_wilson
+FROM scored
+ORDER BY rank_wilson
+"""
+
+
+WILSON_LOWER_BOUND_RANKING_SQL = _wilson_sql()
+
+QUERIES["wilson_lower_bound_ranking"] = wilson_lower_bound_ranking
+ORACLES["wilson_lower_bound_ranking"] = WILSON_LOWER_BOUND_RANKING_SQL

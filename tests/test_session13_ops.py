@@ -1194,3 +1194,93 @@ def test_encoding_advisor_planted_layouts():
     assert rows["status"][5] == "RLE" and rows["status"][3] == 2
     assert rows["priority"][5] == "DICT"
     assert rows["custkey"][5] == "PLAIN" and rows["custkey"][2] == 1000
+
+
+# --- bitmap_index_intersect --------------------------------------------------
+
+
+def test_bitmap_words_match_python(spark):
+    from pdf_craft_spark.queries.indexing import bitmap_index_intersect
+
+    row = bitmap_index_intersect(spark, SF).collect()[0]
+    assert row["index_consistent"] is True
+    con = _duck(SF, ("orders",))
+    keys_f = {k for (k,) in con.execute(
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'").fetchall()}
+    keys_u = {k for (k,) in con.execute(
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ).fetchall()}
+    def words(keys):
+        w = {}
+        for k in keys:
+            w[k // 63] = w.get(k // 63, 0) | (1 << (k % 63))
+        return w
+    wf, wu = words(keys_f), words(keys_u)
+    inter = {b: wf[b] & wu[b] for b in wf if b in wu}
+    assert row["n_words_f"] == len(wf)
+    assert row["n_words_u"] == len(wu)
+    assert row["n_words_intersected"] == len(inter)
+    assert row["bitmap_count"] == sum(bin(v).count("1") for v in inter.values())
+    assert row["scan_count"] == len(keys_f & keys_u)
+
+
+# --- wilson_lower_bound_ranking ----------------------------------------------
+
+
+def test_wilson_penalizes_small_samples():
+    """A 2-for-2 brand outranks a 900-for-1000 brand naively but NOT by
+    Wilson lower bound."""
+    from pdf_craft_spark.queries.statsq import WILSON_LOWER_BOUND_RANKING_SQL
+
+    con = duckdb.connect()
+    rows = []
+    rows += ["(1, 'R')"] * 2                       # tiny perfect brand
+    rows += ["(2, 'R')"] * 900 + ["(2, 'N')"] * 100  # big 90% brand
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(l_partkey, l_returnflag)"
+    )
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM (VALUES "
+        "(1, 'TINY'), (2, 'BIG')) AS t(p_partkey, p_brand)"
+    )
+    out = {r[0]: r for r in con.execute(WILSON_LOWER_BOUND_RANKING_SQL).fetchall()}
+    assert out["TINY"][3] == 1_000_000 and out["TINY"][5] == 1  # naive winner
+    assert out["BIG"][6] == 1 and out["TINY"][6] == 2           # wilson flips
+    assert out["TINY"][4] < out["BIG"][4]
+
+
+def test_wilson_real_corpus_bounds(spark):
+    from pdf_craft_spark.queries.statsq import wilson_lower_bound_ranking
+
+    rows = wilson_lower_bound_ranking(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["wilson_lb_ppm"] <= r["naive_ppm"] <= 1_000_000
+
+
+# --- partition_granularity_advisor -------------------------------------------
+
+
+def test_partition_advisor_picks_finest_clearing_grain():
+    """With ~100 rows/day, day avg misses the 2000 floor but month
+    (~3000) clears it -> month chosen; exactly one grain is chosen."""
+    from pdf_craft_spark.queries.dataquality import (
+        PARTITION_GRANULARITY_ADVISOR_SQL,
+    )
+
+    con = duckdb.connect()
+    vals = []
+    for d in range(90):
+        for i in range(100):
+            vals.append(f"(TIMESTAMP '2001-01-01' + INTERVAL ({d}) DAY)")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(o_orderdate)"
+    )
+    rows = {r[0]: r for r in con.execute(
+        PARTITION_GRANULARITY_ADVISOR_SQL).fetchall()}
+    assert rows["1:day"][2] == 100 and rows["1:day"][6] is False
+    assert rows["3:month"][6] is True
+    assert sum(1 for r in rows.values() if r[6]) == 1
