@@ -280,6 +280,9 @@ HEADLINE = [
     "bitmap_index_intersect",
     "wilson_lower_bound_ranking",
     "partition_granularity_advisor",
+    "dp_noisy_histogram",
+    "lpt_shard_scheduling",
+    "equidepth_histogram",
 ]
 
 

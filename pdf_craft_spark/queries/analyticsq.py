@@ -3122,3 +3122,132 @@ FROM ia, ib, fa
 
 QUERIES["join_order_advisor"] = join_order_advisor
 ORACLES["join_order_advisor"] = JOIN_ORDER_ADVISOR_SQL
+
+
+# --- lpt_shard_scheduling: longest-processing-time task placement -------------
+# The scheduler's half of the skew story (skew_salting_advisor diagnoses
+# it; this PLACES the work): assign per-shard costs to W workers with
+# the LPT greedy — sort shards by cost descending, give each to the
+# currently least-loaded worker — the classic 4/3-approximation to
+# minimum makespan.  The greedy is inherently sequential in the number
+# of SHARDS (48 — state, not data; the cost table itself is one
+# combinable agg over the facts), so it runs as the house stateful
+# kernel over the 48-row compressed table, and the DuckDB oracle walks
+# the identical recurrence as a WITH RECURSIVE carrying the eight
+# worker loads as eight integer columns — the driver hash proves the
+# kernel IS the recurrence.  Output pins every placement plus the
+# makespan-vs-lower-bound ratio (lower bound = max(ceil(total/W),
+# max shard)).
+LPT_SHARDS = 48
+LPT_WORKERS = 8
+
+
+def lpt_shard_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pdf_craft_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    costs = (
+        _t(spark, sf_dir, "lineitem")
+        .selectExpr(f"CAST(l_suppkey % {LPT_SHARDS} AS BIGINT) AS shard")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("cost"))
+        .withColumn("g", F.lit(1))
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cost", "shard"], ascending=[False, True])
+        loads = [0] * LPT_WORKERS
+        out = []
+        for shard, cost in zip(pdf["shard"], pdf["cost"]):
+            w = min(range(LPT_WORKERS), key=lambda i: (loads[i], i))
+            loads[w] += int(cost)
+            out.append((int(shard), int(cost), w, loads[w]))
+        return pd.DataFrame(
+            out, columns=["shard", "cost", "worker", "load_after"]
+        )
+
+    placed = costs.groupBy("g").applyInPandas(
+        run, schema="shard long, cost long, worker long, load_after long"
+    )
+    wall = W.partitionBy()
+    return (
+        placed.select(
+            "shard",
+            "cost",
+            "worker",
+            "load_after",
+            F.max("load_after").over(wall).alias("makespan"),
+            F.sum("cost").over(wall).alias("total"),
+            F.max("cost").over(wall).alias("mx"),
+        )
+        .selectExpr(
+            "shard",
+            "cost",
+            "worker",
+            "load_after",
+            "CAST(makespan AS BIGINT) AS makespan",
+            f"CAST(greatest((total + {LPT_WORKERS - 1}) DIV {LPT_WORKERS}, mx)"
+            " AS BIGINT) AS lower_bound",
+            f"CAST((1000 * makespan) DIV greatest((total + {LPT_WORKERS - 1})"
+            f" DIV {LPT_WORKERS}, mx) AS BIGINT) AS ratio_milli",
+        )
+        .orderBy("shard")
+    )
+
+
+def _lpt_sql() -> str:
+    m = "least(" + ", ".join(f"w.w{i}" for i in range(LPT_WORKERS)) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN w.w{i} = {m} THEN {i}" for i in range(LPT_WORKERS)
+    ) + " END"
+    upd = ", ".join(
+        f"CAST(CASE WHEN ({pick}) = {i} THEN w.w{i} + nxt.cost"
+        f" ELSE w.w{i} END AS BIGINT) AS w{i}"
+        for i in range(LPT_WORKERS)
+    )
+    seed_w = ", ".join(
+        ("CAST(cost AS BIGINT) AS w0" if i == 0 else f"CAST(0 AS BIGINT) AS w{i}")
+        for i in range(LPT_WORKERS)
+    )
+    return f"""
+WITH RECURSIVE costs AS (
+  SELECT CAST(l_suppkey % {LPT_SHARDS} AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS cost
+  FROM lineitem GROUP BY 1
+), seq AS (
+  SELECT shard, cost,
+         row_number() OVER (ORDER BY cost DESC, shard) AS rn
+  FROM costs
+), walk AS (
+  SELECT rn, shard, cost, CAST(0 AS BIGINT) AS worker,
+         cost AS load_after, {seed_w}
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT nxt.rn, nxt.shard, nxt.cost,
+         CAST(({pick}) AS BIGINT) AS worker,
+         {m} + nxt.cost AS load_after,
+         {upd}
+  FROM walk w JOIN seq nxt ON nxt.rn = w.rn + 1
+), placed AS (
+  SELECT shard, cost, worker, load_after FROM walk
+), agg AS (
+  SELECT max(load_after) AS makespan, sum(cost) AS total, max(cost) AS mx
+  FROM placed
+)
+SELECT shard, cost, worker, load_after,
+       CAST(makespan AS BIGINT) AS makespan,
+       CAST(greatest((total + {LPT_WORKERS - 1}) // {LPT_WORKERS}, mx)
+         AS BIGINT) AS lower_bound,
+       CAST((1000 * makespan) // greatest((total + {LPT_WORKERS - 1})
+         // {LPT_WORKERS}, mx) AS BIGINT) AS ratio_milli
+FROM placed, agg
+ORDER BY shard
+"""
+
+
+LPT_SHARD_SCHEDULING_SQL = _lpt_sql()
+
+QUERIES["lpt_shard_scheduling"] = lpt_shard_scheduling
+ORACLES["lpt_shard_scheduling"] = LPT_SHARD_SCHEDULING_SQL

@@ -1038,3 +1038,183 @@ ORDER BY grain
 
 QUERIES["partition_granularity_advisor"] = partition_granularity_advisor
 ORACLES["partition_granularity_advisor"] = PARTITION_GRANULARITY_ADVISOR_SQL
+
+
+# --- dp_noisy_histogram: discrete-Laplace counts (privacy release) ------------
+# The fourth privacy gate (after k-anonymity / l-diversity /
+# t-closeness): differential privacy's canonical mechanism, the
+# discrete Laplace (two-sided geometric) on a sensitivity-1 histogram.
+# Randomness with cross-engine determinism: the inverse CDF of
+# P(Z = k) = p0 * t^|k| (t = e^-eps, eps = 0.5) is PRECOMPUTED at
+# module load into integer 2^40-scaled thresholds (math.exp at build
+# time only — the RBO/SPRT literal discipline), support clamped to
+# +-40 where the tail mass is ~e^-20; each cell draws its noise by
+# probing its 40-bit md5 uniform into the broadcast 81-row threshold
+# table.  The mechanism is exactly discrete-Laplace; the deterministic
+# seed makes runs reproducible (and is the documented caveat vs
+# adversarial DP — a production release derives the seed from a secret
+# nonce, same dataflow).  True counts ride along as the calibration
+# columns a DP validation harness needs.
+DP_EPS = 0.5
+
+
+def _dp_thresholds() -> list[tuple[int, int, int]]:
+    import math as _m
+
+    t = _m.exp(-DP_EPS)
+    k_max = 40
+    p0 = (1 - t) / (1 + t)
+    probs = {k: p0 * t ** abs(k) for k in range(-k_max, k_max + 1)}
+    tot = sum(probs.values())
+    cum = 0.0
+    rows = []
+    for k in range(-k_max, k_max + 1):
+        lo = int(cum * (1 << 40))
+        cum += probs[k] / tot
+        rows.append((k, lo, int(cum * (1 << 40))))
+    k, lo, _ = rows[-1]
+    rows[-1] = (k, lo, 1 << 40)
+    return rows
+
+
+DP_THRESHOLDS = _dp_thresholds()
+
+
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("concat('dp|', pri)", 10, "spark")
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .selectExpr("o_orderpriority AS pri")
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .selectExpr("pri", "true_count", f"({h}) AS u")
+    )
+    thr = spark.createDataFrame(
+        DP_THRESHOLDS, "noise long, lo long, hi long"
+    )
+    return (
+        cells.join(
+            F.broadcast(thr),
+            (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")),
+        )
+        .selectExpr(
+            "pri",
+            "true_count",
+            "noise",
+            "true_count + noise AS noisy_count",
+        )
+        .orderBy("pri")
+    )
+
+
+def _dp_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("('dp|' || pri)", 10, "duck")
+    thr = ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in DP_THRESHOLDS)
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority AS pri,
+         CAST(count(*) AS BIGINT) AS true_count
+  FROM orders GROUP BY 1
+), probed AS (
+  SELECT pri, true_count, ({h}) AS u FROM cells
+), thr(noise, lo, hi) AS (
+  SELECT * FROM (VALUES {thr})
+)
+SELECT pri, true_count, CAST(noise AS BIGINT) AS noise,
+       CAST(true_count + noise AS BIGINT) AS noisy_count
+FROM probed JOIN thr ON u >= lo AND u < hi
+ORDER BY pri
+"""
+
+
+DP_NOISY_HISTOGRAM_SQL = _dp_sql()
+
+QUERIES["dp_noisy_histogram"] = dp_noisy_histogram
+ORACLES["dp_noisy_histogram"] = DP_NOISY_HISTOGRAM_SQL
+
+
+# --- equidepth_histogram: optimizer-stats bin edges ---------------------------
+# The other half of ANALYZE (analyze_table_stats covers NDV/min/max/
+# mode): equi-depth histogram edges, the structure cost-based
+# selectivity estimation actually reads.  Edges are EXACT order
+# statistics — the rank ceil(q*n/10) value for deciles q = 1..9 —
+# located by one prefix-sum probe over the compressed value table (the
+# median_binned machinery generalized to nine simultaneous rank
+# probes; never a global row sort).  Each edge row also reports its
+# attained cumulative rank, so heavy ties (an edge value spanning
+# multiple deciles) are visible in the output rather than silently
+# collapsed.
+EQUIDEPTH_BINS = 10
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v"
+    )
+    vals = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = W.orderBy("v")
+    wall = W.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = spark.range(1, EQUIDEPTH_BINS).selectExpr("id AS q")
+    probed = (
+        F.broadcast(qs)
+        .join(
+            cum,
+            F.col("cum") >= F.expr(f"(q * n + {EQUIDEPTH_BINS - 1}) DIV {EQUIDEPTH_BINS}"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("v").cast("long").alias("edge_cents"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    att = probed.join(
+        cum.select("v", "cum"), probed.edge_cents == F.col("v")
+    ).selectExpr(
+        "q",
+        f"(q * n + {EQUIDEPTH_BINS - 1}) DIV {EQUIDEPTH_BINS} AS target_rank",
+        "edge_cents",
+        "CAST(cum AS BIGINT) AS attained_rank",
+    )
+    return att.orderBy("q")
+
+
+EQUIDEPTH_HISTOGRAM_SQL = f"""
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v,
+         sum(cnt) OVER (ORDER BY v) AS cum,
+         sum(cnt) OVER () AS n
+  FROM vals
+), qs AS (
+  SELECT unnest(range(1, {EQUIDEPTH_BINS})) AS q
+), probed AS (
+  SELECT q,
+         CAST(min(v) AS BIGINT) AS edge_cents,
+         CAST(max(n) AS BIGINT) AS n
+  FROM qs JOIN cum
+    ON cum >= (q * n + {EQUIDEPTH_BINS - 1}) // {EQUIDEPTH_BINS}
+  GROUP BY q
+)
+SELECT p.q,
+       CAST((p.q * p.n + {EQUIDEPTH_BINS - 1}) // {EQUIDEPTH_BINS} AS BIGINT)
+         AS target_rank,
+       p.edge_cents,
+       CAST(c.cum AS BIGINT) AS attained_rank
+FROM probed p JOIN cum c ON p.edge_cents = c.v
+ORDER BY p.q
+"""
+
+QUERIES["equidepth_histogram"] = equidepth_histogram
+ORACLES["equidepth_histogram"] = EQUIDEPTH_HISTOGRAM_SQL

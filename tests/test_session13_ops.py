@@ -1284,3 +1284,106 @@ def test_partition_advisor_picks_finest_clearing_grain():
     assert rows["1:day"][2] == 100 and rows["1:day"][6] is False
     assert rows["3:month"][6] is True
     assert sum(1 for r in rows.values() if r[6]) == 1
+
+
+# --- dp_noisy_histogram ------------------------------------------------------
+
+
+def test_dp_noise_distribution_calibrated():
+    """Over 600 synthetic cells the hash-driven discrete-Laplace noise
+    must average ~0 with mean |noise| near the theoretical
+    2t/((1+t)(1-t)) = 1.919 for eps = 0.5."""
+    import math
+
+    from pdf_craft_spark.queries.dataquality import DP_EPS, DP_NOISY_HISTOGRAM_SQL
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('cell{i:04d}')" for i in range(600))
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(o_orderpriority)"
+    )
+    rows = con.execute(DP_NOISY_HISTOGRAM_SQL).fetchall()
+    noises = [r[2] for r in rows]
+    assert all(-40 <= z <= 40 for z in noises)
+    t = math.exp(-DP_EPS)
+    theo = 2 * t / ((1 + t) * (1 - t))
+    mean_abs = sum(abs(z) for z in noises) / len(noises)
+    assert abs(mean_abs - theo) < 0.35, mean_abs
+    assert abs(sum(noises) / len(noises)) < 0.3
+    # reproducible: same cell name -> same noise
+    again = con.execute(DP_NOISY_HISTOGRAM_SQL).fetchall()
+    assert again == rows
+
+
+def test_dp_counts_consistent(spark):
+    from pdf_craft_spark.queries.dataquality import dp_noisy_histogram
+
+    rows = dp_noisy_histogram(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["noisy_count"] == r["true_count"] + r["noise"]
+
+
+# --- lpt_shard_scheduling ----------------------------------------------------
+
+
+def test_lpt_placement_valid_and_bounded(spark):
+    from pdf_craft_spark.queries.analyticsq import (
+        LPT_WORKERS,
+        lpt_shard_scheduling,
+    )
+
+    rows = lpt_shard_scheduling(spark, SF).collect()
+    # per-worker loads reconstruct: each worker's final load = sum costs
+    per_worker: dict = {}
+    for r in sorted(rows, key=lambda r: r["load_after"]):
+        per_worker.setdefault(r["worker"], 0)
+    for r in rows:
+        per_worker[r["worker"]] += r["cost"]
+    makespan = rows[0]["makespan"]
+    assert makespan == max(per_worker.values())
+    assert set(per_worker) <= set(range(LPT_WORKERS))
+    assert makespan >= rows[0]["lower_bound"]
+    total = sum(r["cost"] for r in rows)
+    assert sum(per_worker.values()) == total
+    # the placement IS the LPT greedy: replay it exactly in python
+    loads = [0] * LPT_WORKERS
+    want = {}
+    for r in sorted(rows, key=lambda r: (-r["cost"], r["shard"])):
+        w = min(range(LPT_WORKERS), key=lambda i: (loads[i], i))
+        loads[w] += r["cost"]
+        want[r["shard"]] = (w, loads[w])
+    for r in rows:
+        assert (r["worker"], r["load_after"]) == want[r["shard"]], r["shard"]
+
+
+# --- equidepth_histogram -----------------------------------------------------
+
+
+def test_equidepth_edges_match_orderstats(spark):
+    from pdf_craft_spark.queries.dataquality import (
+        EQUIDEPTH_BINS,
+        equidepth_histogram,
+    )
+
+    rows = equidepth_histogram(spark, SF).collect()
+    con = _duck(SF, ("orders",))
+    vals = sorted(
+        v for (v,) in con.execute(
+            "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " FROM orders"
+        ).fetchall()
+    )
+    n = len(vals)
+    assert [r["q"] for r in rows] == list(range(1, EQUIDEPTH_BINS))
+    prev = None
+    for r in rows:
+        target = (r["q"] * n + EQUIDEPTH_BINS - 1) // EQUIDEPTH_BINS
+        assert r["target_rank"] == target
+        assert r["edge_cents"] == vals[target - 1]
+        assert r["attained_rank"] >= target
+        if prev is not None:
+            assert r["edge_cents"] >= prev
+        prev = r["edge_cents"]
