@@ -283,6 +283,8 @@ HEADLINE = [
     "dp_noisy_histogram",
     "lpt_shard_scheduling",
     "equidepth_histogram",
+    "learning_curve_eval",
+    "date_semantics_matrix",
 ]
 
 

@@ -1218,3 +1218,71 @@ ORDER BY p.q
 
 QUERIES["equidepth_histogram"] = equidepth_histogram
 ORACLES["equidepth_histogram"] = EQUIDEPTH_HISTOGRAM_SQL
+
+
+# --- date_semantics_matrix: calendar-arithmetic conformance -------------------
+# null_semantics_matrix's calendar sibling: one hash-gated row per
+# date-arithmetic edge case, each computed with the ENGINE-NATIVE
+# spelling that realizes the same ANSI semantic — end-of-month clamping
+# under add_months, leap-day + 1 year, ISO week numbering at year
+# boundaries (2005-01-01 is ISO week 53 of 2004), Monday-based weekday
+# (Spark weekday() vs DuckDB isodow - 1 — raw dayofweek() is EXCLUDED:
+# Spark numbers Sunday=1, DuckDB Sunday=0, a real divergence the matrix
+# documents by omission), last_day, quarter, and cross-year datediff
+# including the leap day.  Any engine upgrade that shifts one of these
+# semantics breaks the driver hash — that is the point.  Anchor dates
+# come from min(o_orderdate) so the matrix exercises the engines'
+# readers too, not only literals.
+def date_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(min(o_orderdate) AS DATE) AS d0"
+    )
+    return o.selectExpr(
+        "stack(9,"
+        " '1:eom_clamp', CAST(add_months(DATE'2001-01-31', 1) AS STRING),"
+        " '2:leap_plus_year', CAST(add_months(DATE'2000-02-29', 12) AS STRING),"
+        " '3:iso_week_boundary', CAST(weekofyear(DATE'2005-01-01') AS STRING),"
+        " '4:monday_weekday', CAST(weekday(DATE'2001-01-01') AS STRING),"
+        " '5:last_day', CAST(last_day(DATE'2000-02-01') AS STRING),"
+        " '6:quarter', CAST(quarter(DATE'2001-11-15') AS STRING),"
+        " '7:leap_span_diff', CAST(datediff(DATE'2001-03-01', DATE'2000-03-01') AS STRING),"
+        " '8:corpus_min_date', CAST(d0 AS STRING),"
+        " '9:corpus_min_plus_q', CAST(add_months(d0, 3) AS STRING)"
+        ") AS (case_name, result)"
+    ).orderBy("case_name")
+
+
+DATE_SEMANTICS_MATRIX_SQL = """
+WITH o AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS d0 FROM orders
+), m AS (
+  SELECT '1:eom_clamp' AS case_name,
+         CAST(CAST(DATE '2001-01-31' + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS result FROM o
+  UNION ALL
+  SELECT '2:leap_plus_year',
+         CAST(CAST(DATE '2000-02-29' + INTERVAL 12 MONTH AS DATE) AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '3:iso_week_boundary',
+         CAST(weekofyear(DATE '2005-01-01') AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '4:monday_weekday',
+         CAST(isodow(DATE '2001-01-01') - 1 AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '5:last_day', CAST(last_day(DATE '2000-02-01') AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '6:quarter', CAST(quarter(DATE '2001-11-15') AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '7:leap_span_diff',
+         CAST(date_diff('day', DATE '2000-03-01', DATE '2001-03-01')
+           AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '8:corpus_min_date', CAST(d0 AS VARCHAR) FROM o
+  UNION ALL
+  SELECT '9:corpus_min_plus_q',
+         CAST(CAST(d0 + INTERVAL 3 MONTH AS DATE) AS VARCHAR) FROM o
+)
+SELECT case_name, result FROM m ORDER BY case_name
+"""
+
+QUERIES["date_semantics_matrix"] = date_semantics_matrix
+ORACLES["date_semantics_matrix"] = DATE_SEMANTICS_MATRIX_SQL

@@ -1345,3 +1345,124 @@ EMBEDDING_DRIFT_MONITOR_SQL = _drift_sql()
 
 QUERIES["embedding_drift_monitor"] = embedding_drift_monitor
 ORACLES["embedding_drift_monitor"] = EMBEDDING_DRIFT_MONITOR_SQL
+
+
+# --- learning_curve_eval: error vs training-set size --------------------------
+# The first diagnostic plotted for any model: does more data still help?
+# Training subsets are NESTED content-hash prefixes (1%, 4%, 16%, 64% of
+# the train fold via 40-bit thresholds — each subset contains the
+# smaller ones, the property that makes curves comparable), the model is
+# the group-mean predictor, the test fold is fixed (hash % 5 == 4, the
+# cv_kfold convention), and each point reports exact-integer RMSE.  One
+# scan builds all four training aggregates simultaneously (conditional
+# sums per threshold — no per-subset re-scan) plus the test rows; the
+# curve should fall monotonically-ish toward the full-data floor.
+LC_FRACS_PPM = (10_000, 40_000, 160_000, 640_000)  # of the train fold
+
+
+def learning_curve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 10, "spark")
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS pri",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x",
+        f"({h}) AS u",
+        f"({h}) % 5 = 4 AS is_test",
+    )
+    train = o.where(~F.col("is_test"))
+    sums = train.groupBy("pri").agg(
+        *[
+            c
+            for f in LC_FRACS_PPM
+            for c in (
+                F.sum(
+                    F.when(F.col("u") < (f * (1 << 40)) // 1_000_000, F.col("x"))
+                )
+                .cast("long")
+                .alias(f"s_{f}"),
+                F.sum(
+                    F.when(F.col("u") < (f * (1 << 40)) // 1_000_000, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"n_{f}"),
+            )
+        ]
+    )
+    test = o.where("is_test").select("pri", "x")
+    joined = test.join(F.broadcast(sums), "pri")
+    parts = []
+    for f in LC_FRACS_PPM:
+        parts.append(
+            joined.where(F.col(f"n_{f}") > 0)
+            .selectExpr(
+                "x",
+                f"s_{f} DIV n_{f} AS pred",
+                f"n_{f} AS n_train_pri",
+            )
+            .agg(
+                F.lit(f).cast("long").alias("frac_ppm"),
+                F.count(F.lit(1)).cast("long").alias("n_test"),
+                F.sum(
+                    (F.col("x") - F.col("pred")).cast("decimal(38,0)")
+                    * (F.col("x") - F.col("pred"))
+                ).alias("sse"),
+            )
+            .selectExpr(
+                "frac_ppm",
+                "n_test",
+                "CAST(round(sqrt(CAST(sse AS DOUBLE) / n_test)) AS BIGINT)"
+                " AS rmse_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("frac_ppm")
+
+
+def _lc_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS VARCHAR)", 10, "duck")
+    sums_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN u < {(f * (1 << 40)) // 1_000_000} THEN x END)"
+        f" AS BIGINT) AS s_{f},\n         "
+        f"CAST(sum(CASE WHEN u < {(f * (1 << 40)) // 1_000_000} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{f}"
+        for f in LC_FRACS_PPM
+    )
+    blocks = "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({f} AS BIGINT) AS frac_ppm,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(round(sqrt(CAST(sum(CAST(t.x - s.s_{f} // s.n_{f} AS DECIMAL(38,0))
+              * (t.x - s.s_{f} // s.n_{f})) AS DOUBLE) / count(*))) AS BIGINT)
+           AS rmse_cents
+  FROM test t JOIN sums s USING (pri) WHERE s.n_{f} > 0"""
+        for f in LC_FRACS_PPM
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         ({h}) AS u,
+         ({h}) % 5 = 4 AS is_test
+  FROM orders
+), sums AS (
+  SELECT pri,
+         {sums_cols}
+  FROM o WHERE NOT is_test GROUP BY pri
+), test AS (
+  SELECT pri, x FROM o WHERE is_test
+)
+SELECT * FROM (
+{blocks}
+)
+ORDER BY frac_ppm
+"""
+
+
+LEARNING_CURVE_EVAL_SQL = _lc_sql()
+
+QUERIES["learning_curve_eval"] = learning_curve_eval
+ORACLES["learning_curve_eval"] = LEARNING_CURVE_EVAL_SQL

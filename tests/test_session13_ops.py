@@ -1387,3 +1387,37 @@ def test_equidepth_edges_match_orderstats(spark):
         if prev is not None:
             assert r["edge_cents"] >= prev
         prev = r["edge_cents"]
+
+
+# --- learning_curve_eval -----------------------------------------------------
+
+
+def test_learning_curve_nested_and_falling(spark):
+    """Subsets are nested so the curve must be weakly falling toward the
+    full-data floor (allowing small-sample noise at the 1% point only
+    in the downward direction overall)."""
+    from pdf_craft_spark.queries.mlq import LC_FRACS_PPM, learning_curve_eval
+
+    rows = learning_curve_eval(spark, SF01).collect()
+    assert [r["frac_ppm"] for r in rows] == list(LC_FRACS_PPM)
+    rmses = [r["rmse_cents"] for r in rows]
+    assert rmses[-1] <= rmses[0]  # more data never ends worse
+    assert rmses[-1] <= min(rmses) * 1.01  # full data is (near) the floor
+    assert len({r["n_test"] for r in rows}) == 1  # fixed test fold
+
+
+# --- date_semantics_matrix ---------------------------------------------------
+
+
+def test_date_matrix_known_answers(spark):
+    from pdf_craft_spark.queries.dataquality import date_semantics_matrix
+
+    rows = {r["case_name"]: r["result"] for r in
+            date_semantics_matrix(spark, SF).collect()}
+    assert rows["1:eom_clamp"] == "2001-02-28"
+    assert rows["2:leap_plus_year"] == "2001-02-28"
+    assert rows["3:iso_week_boundary"] == "53"  # ISO week of 2004
+    assert rows["4:monday_weekday"] == "0"      # 2001-01-01 is a Monday
+    assert rows["5:last_day"] == "2000-02-29"   # leap February
+    assert rows["6:quarter"] == "4"
+    assert rows["7:leap_span_diff"] == "365"    # 2000-03-01..2001-03-01
