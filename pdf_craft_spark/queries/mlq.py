@@ -38,7 +38,8 @@ def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     base = li.selectExpr(
         "CAST(l_quantity AS BIGINT) AS qty",
-        "CAST(l_extendedprice AS BIGINT) DIV 1000 AS price_kilo",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100000 AS price_kilo",
         "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
     )
     comp = (
@@ -96,7 +97,8 @@ def _stump_g(p: str, n: str) -> str:
 DECISION_STUMP_TRAIN_SQL = f"""
 WITH base AS (
   SELECT CAST(l_quantity AS BIGINT) AS qty,
-         CAST(l_extendedprice AS BIGINT) // 1000 AS price_kilo,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 100000 AS price_kilo,
          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
   FROM lineitem
 ), comp AS (
@@ -502,7 +504,8 @@ def gbt_residual_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     base = li.selectExpr(
         "CAST(l_quantity AS BIGINT) AS qty",
-        "CAST(l_extendedprice AS BIGINT) DIV 1000 AS price_kilo",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100000 AS price_kilo",
         "CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END AS t",
     ).localCheckpoint(eager=True)  # scanned by both rounds; = written split
 
@@ -586,7 +589,8 @@ def _gbt_stump_sql(src: str, rnd: int, out: str) -> str:
 GBT_RESIDUAL_BOOST_SQL = f"""
 WITH base AS (
   SELECT CAST(l_quantity AS BIGINT) AS qty,
-         CAST(l_extendedprice AS BIGINT) // 1000 AS price_kilo,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // 100000 AS price_kilo,
          CASE WHEN l_returnflag = 'R' THEN 1000 ELSE 0 END AS t
   FROM lineitem
 ), {_gbt_stump_sql('base', 1, 'b1')},
