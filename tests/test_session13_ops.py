@@ -453,8 +453,12 @@ def test_bh_planted_shift_is_discovered():
         FROM '/root/testdata/sf0.001/orders.parquet'"""
     )
     rows = con.execute(BH_FDR_SCAN_SQL).fetchall()
-    assert rows[0][0] == "1-URGENT" and rows[0][1] == "O"
-    assert rows[0][7] is True  # discovered
+    # tripling one segment shifts the global mean, so OTHER segments may
+    # also reach the add-one p floor and tie; the planted one must be at
+    # the floor and discovered, and discoveries must form a rank prefix
+    planted = [r for r in rows if r[0] == "1-URGENT" and r[1] == "O"][0]
+    assert planted[4] == min(r[4] for r in rows)  # minimal n_ge
+    assert planted[7] is True  # discovered
     flags = [r[7] for r in rows]
     assert flags == sorted(flags, reverse=True)  # discoveries are a prefix
 
