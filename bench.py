@@ -285,6 +285,9 @@ HEADLINE = [
     "equidepth_histogram",
     "learning_curve_eval",
     "date_semantics_matrix",
+    "pvm_decomposition",
+    "maximal_matching_rounds",
+    "consistent_hash_balance",
 ]
 
 

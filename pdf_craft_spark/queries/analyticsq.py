@@ -3251,3 +3251,216 @@ LPT_SHARD_SCHEDULING_SQL = _lpt_sql()
 
 QUERIES["lpt_shard_scheduling"] = lpt_shard_scheduling
 ORACLES["lpt_shard_scheduling"] = LPT_SHARD_SCHEDULING_SQL
+
+
+# --- pvm_decomposition: why did the metric move? -----------------------------
+# The root-cause question every revenue dashboard gets asked: the total
+# moved — how much of the move is VOLUME (more orders), how much PRICE
+# (higher average order), per segment?  The exact two-factor
+# decomposition per segment g between periods 1 and 2:
+#   dR_g = n2*p2 - n1*p1 = dn*p1 + n1*dp + dn*dp
+# (volume effect at old price, price effect at old volume, joint term).
+# Exactness discipline: average prices are RATIONALS, so effects are
+# computed in cents from the sufficient statistics without ever forming
+# the averages: dn*p1 = (n2-n1)*s1/n1 evaluated as ((n2-n1)*s1) DIV n1
+# with the residue folded into the joint term so the per-segment
+# identity volume+price+joint = dR_g holds EXACTLY (the emitted recon
+# column proves it, and the segments sum to the grand delta by
+# construction).  Periods are the corpus date-range halves (data-
+# derived midpoint broadcast).  One scan, one (period, segment) agg.
+# Overflow: n1 * s2 ~ 1.3e18 at SF1 stays in int64; past that the
+# per-segment sums widen to DECIMAL(38,0) with the divisions restaged
+# (the spearman/tfidf precedent).
+def pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS seg",
+        "CAST(o_orderdate AS DATE) AS d",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    mid = o.agg(
+        F.expr("date_add(min(d), CAST(datediff(max(d), min(d)) / 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per = (
+        o.crossJoin(F.broadcast(mid))
+        .selectExpr("seg", "CASE WHEN d < mid THEN 1 ELSE 2 END AS period", "cents")
+        .groupBy("seg", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+    )
+    wide = per.groupBy("seg").agg(
+        F.max(F.when(F.col("period") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("period") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("period") == 2, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("period") == 2, F.col("s"))).alias("s2"),
+    )
+    return wide.selectExpr(
+        "seg",
+        "n1",
+        "n2",
+        "s2 - s1 AS delta_cents",
+        # volume effect at old average price (truncated); price effect at
+        # old volume; the joint term absorbs BOTH truncation residues so
+        # the three effects sum to delta exactly
+        "((n2 - n1) * s1) DIV n1 AS volume_effect_cents",
+        "(n1 * s2) DIV n2 - s1 AS price_effect_cents",
+        "(s2 - s1) - (((n2 - n1) * s1) DIV n1)"
+        " - ((n1 * s2) DIV n2 - s1) AS joint_effect_cents",
+        "(s2 - s1) = (((n2 - n1) * s1) DIV n1)"
+        " + ((n1 * s2) DIV n2 - s1)"
+        " + ((s2 - s1) - (((n2 - n1) * s1) DIV n1)"
+        "    - ((n1 * s2) DIV n2 - s1)) AS recon_ok",
+    ).orderBy("seg")
+
+
+PVM_DECOMPOSITION_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS seg, CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), mid AS (
+  SELECT min(d) + CAST(CAST(date_diff('day', min(d), max(d)) / 2 AS INT)
+         AS INTEGER) AS mid
+  FROM o
+), per AS (
+  SELECT seg, CASE WHEN d < mid THEN 1 ELSE 2 END AS period,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM o, mid GROUP BY 1, 2
+), wide AS (
+  SELECT seg,
+         max(CASE WHEN period = 1 THEN n END) AS n1,
+         max(CASE WHEN period = 1 THEN s END) AS s1,
+         max(CASE WHEN period = 2 THEN n END) AS n2,
+         max(CASE WHEN period = 2 THEN s END) AS s2
+  FROM per GROUP BY seg
+)
+SELECT seg, n1, n2,
+       s2 - s1 AS delta_cents,
+       ((n2 - n1) * s1) // n1 AS volume_effect_cents,
+       (n1 * s2) // n2 - s1 AS price_effect_cents,
+       (s2 - s1) - (((n2 - n1) * s1) // n1)
+         - ((n1 * s2) // n2 - s1) AS joint_effect_cents,
+       (s2 - s1) = (((n2 - n1) * s1) // n1)
+         + ((n1 * s2) // n2 - s1)
+         + ((s2 - s1) - (((n2 - n1) * s1) // n1)
+            - ((n1 * s2) // n2 - s1)) AS recon_ok
+FROM wide
+ORDER BY seg
+"""
+
+QUERIES["pvm_decomposition"] = pvm_decomposition
+ORACLES["pvm_decomposition"] = PVM_DECOMPOSITION_SQL
+
+
+# --- consistent_hash_balance: virtual nodes on the ring ------------------------
+# The partitioning scheme behind every distributed KV/cache tier:
+# workers own arcs of a hash ring, keys route to the next node
+# clockwise, and the textbook result is that ONE token per worker
+# balances terribly (arc lengths are exponential spacings, max/mean
+# ~ln W) while V virtual tokens per worker tighten the spread by
+# ~1/sqrt(V).  The op computes EXACT ownership, twice (V = 1 and
+# V = 16), by sorting each ring's tokens and measuring arc lengths in
+# 40-bit hash space (the wrap-around arc closed by the window's global
+# first token), then aggregates per worker — all integer, one ~W*V-row
+# window each.  Balance is reported as max/mean ownership in milli; the
+# property test pins the V = 16 spread strictly inside the V = 1
+# spread.
+CH_WORKERS = 12
+CH_VNODES = 16
+
+
+def consistent_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    # workers derive from supplier ids so the ring is corpus-anchored
+    h = md5_prefix_long_sql("concat(w, ':', v)", 10, "spark")
+    workers = (
+        _t(spark, sf_dir, "supplier")
+        .selectExpr(f"CAST(s_suppkey % {CH_WORKERS} AS BIGINT) AS w")
+        .distinct()
+    )
+    parts = []
+    for vn, tag in ((1, "v01"), (CH_VNODES, "v16")):
+        ring = workers.selectExpr(
+            "w", f"explode(sequence(0, {vn - 1})) AS v"
+        ).selectExpr("w", f"({h}) AS pos")
+        wname = W.orderBy("pos")
+        wall = W.partitionBy()
+        arcs = ring.select(
+            "w",
+            "pos",
+            (F.lead("pos", 1).over(wname)).alias("nxt"),
+            F.min("pos").over(wall).alias("first_pos"),
+        ).selectExpr(
+            "w",
+            # wrap-around: the last token owns up to 2^40 plus the arc
+            # before the first token
+            f"CASE WHEN nxt IS NULL THEN ({1 << 40} - pos) + first_pos"
+            " ELSE nxt - pos END AS arc",
+        )
+        own = arcs.groupBy("w").agg(F.sum("arc").cast("long").alias("owned"))
+        parts.append(
+            own.agg(
+                F.lit(tag).alias("ring"),
+                F.count(F.lit(1)).cast("long").alias("n_workers"),
+                F.max("owned").cast("long").alias("max_owned"),
+                F.min("owned").cast("long").alias("min_owned"),
+                F.sum("owned").cast("long").alias("total_owned"),
+            ).selectExpr(
+                "ring",
+                "n_workers",
+                "max_owned",
+                "min_owned",
+                "total_owned",
+                f"CAST(total_owned = {1 << 40} AS BOOLEAN) AS ring_closed",
+                "(1000 * max_owned) DIV (total_owned DIV n_workers)"
+                " AS balance_milli",
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("ring")
+
+
+def _ch_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("(w || ':' || v)", 10, "duck")
+
+    def ring(vn: int, tag: str) -> str:
+        return f"""
+  SELECT '{tag}' AS ring,
+         CAST(count(*) AS BIGINT) AS n_workers,
+         CAST(max(owned) AS BIGINT) AS max_owned,
+         CAST(min(owned) AS BIGINT) AS min_owned,
+         CAST(sum(owned) AS BIGINT) AS total_owned,
+         CAST(sum(owned) = {1 << 40} AS BOOLEAN) AS ring_closed,
+         CAST((1000 * max(owned)) // (sum(owned) // count(*)) AS BIGINT)
+           AS balance_milli
+  FROM (
+    SELECT w, CAST(sum(arc) AS BIGINT) AS owned
+    FROM (
+      SELECT w,
+             CASE WHEN lead(pos) OVER (ORDER BY pos) IS NULL
+                  THEN ({1 << 40} - pos) + min(pos) OVER ()
+                  ELSE lead(pos) OVER (ORDER BY pos) - pos END AS arc
+      FROM (
+        SELECT w, ({h}) AS pos
+        FROM (SELECT DISTINCT CAST(s_suppkey % {CH_WORKERS} AS BIGINT) AS w
+              FROM supplier) ws,
+             (SELECT unnest(range({vn})) AS v) vs
+      )
+    ) GROUP BY w
+  )"""
+
+    return (
+        "SELECT * FROM (" + ring(1, "v01") + "\n  UNION ALL\n" + ring(CH_VNODES, "v16")
+        + ") ORDER BY ring"
+    )
+
+
+CONSISTENT_HASH_BALANCE_SQL = _ch_sql()
+
+QUERIES["consistent_hash_balance"] = consistent_hash_balance
+ORACLES["consistent_hash_balance"] = CONSISTENT_HASH_BALANCE_SQL

@@ -1425,3 +1425,127 @@ def test_date_matrix_known_answers(spark):
     assert rows["5:last_day"] == "2000-02-29"   # leap February
     assert rows["6:quarter"] == "4"
     assert rows["7:leap_span_diff"] == "365"    # 2000-03-01..2001-03-01
+
+
+# --- pvm_decomposition -------------------------------------------------------
+
+
+def test_pvm_planted_pure_effects():
+    """Period 2 doubles volume at identical prices -> the whole delta is
+    the volume effect; a price-only change loads the price effect."""
+    from pdf_craft_spark.queries.analyticsq import PVM_DECOMPOSITION_SQL
+
+    con = duckdb.connect()
+    rows = []
+    # volume case: seg VOL, 10 orders @ $100 in p1, 20 orders @ $100 in p2
+    for i in range(10):
+        rows.append("('VOL', TIMESTAMP '2001-01-05', 100.0)")
+    for i in range(20):
+        rows.append("('VOL', TIMESTAMP '2001-03-25', 100.0)")
+    # price case: seg PRC, 10 @ $100 in p1, 10 @ $150 in p2
+    for i in range(10):
+        rows.append("('PRC', TIMESTAMP '2001-01-05', 100.0)")
+    for i in range(10):
+        rows.append("('PRC', TIMESTAMP '2001-03-25', 150.0)")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(o_orderpriority, o_orderdate, o_totalprice)"
+    )
+    out = {r[0]: r for r in con.execute(PVM_DECOMPOSITION_SQL).fetchall()}
+    vol = out["VOL"]
+    assert vol[3] == 100_000 and vol[4] == 100_000 and vol[5] == 0 and vol[6] == 0
+    prc = out["PRC"]
+    assert prc[3] == 50_000 and prc[4] == 0 and prc[5] == 50_000 and prc[6] == 0
+    assert all(r[7] for r in out.values())
+
+
+def test_pvm_real_corpus_reconciles(spark):
+    from pdf_craft_spark.queries.analyticsq import pvm_decomposition
+
+    rows = pvm_decomposition(spark, SF01).collect()
+    assert len(rows) == 5
+    assert all(r["recon_ok"] for r in rows)
+    for r in rows:
+        assert (
+            r["volume_effect_cents"] + r["price_effect_cents"]
+            + r["joint_effect_cents"] == r["delta_cents"]
+        )
+
+
+# --- maximal_matching_rounds -------------------------------------------------
+
+
+def test_matching_on_sparse_path_graph():
+    """A bipartite path c1-s1-c2-s2-c3 forces conflicts: the final
+    matching must be valid (each node at most once), maximal (residual
+    0), and recomputable by replaying the same greedy in python."""
+    import hashlib
+
+    from pdf_craft_spark.queries.graphq import (
+        MAXIMAL_MATCHING_ROUNDS_SQL,
+        MM_ROUNDS,
+    )
+
+    # path: c_i connects to s_i and s_{i-1}
+    edges = []
+    for c in range(1, 9):
+        edges.append((c, c))
+        if c > 1:
+            edges.append((c, c - 1))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {c})" for i, (c, s) in enumerate(edges))
+        + ") AS t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {s})" for i, (c, s) in enumerate(edges))
+        + ") AS t(l_orderkey, l_suppkey)"
+    )
+    rows = con.execute(MAXIMAL_MATCHING_ROUNDS_SQL).fetchall()
+    assert rows[-1][3] == 0  # maximality certificate
+    # python replay of the same rounds
+    def h(c, s):
+        return int(hashlib.md5(f"{c}_{s}".encode()).hexdigest()[:15], 16)
+
+    live = set(edges)
+    matched = 0
+    for _ in range(MM_ROUNDS):
+        prop = {}
+        for c in {c for c, s in live}:
+            prop[c] = min(((h(c, s), s) for cc, s in live if cc == c))[1]
+        acc = {}
+        for c, s in prop.items():
+            if s not in acc or (h(c, s), c) < (h(acc[s], s), acc[s]):
+                acc[s] = c
+        pairs = {(c, s) for s, c in acc.items()}
+        matched += len(pairs)
+        mc = {c for c, s in pairs}
+        ms = {s for c, s in pairs}
+        live = {(c, s) for c, s in live if c not in mc and s not in ms}
+    assert rows[-1][2] == matched
+    assert rows[-1][3] == len(live) == 0
+
+
+def test_matching_real_corpus_valid(spark):
+    from pdf_craft_spark.queries.graphq import maximal_matching_rounds
+
+    rows = maximal_matching_rounds(spark, SF).collect()
+    assert rows[-1]["residual_edges"] == 0  # maximal on the corpus graph
+    totals = [r["matched_total"] for r in rows]
+    assert totals == sorted(totals)
+
+
+# --- consistent_hash_balance -------------------------------------------------
+
+
+def test_vnodes_tighten_the_ring(spark):
+    from pdf_craft_spark.queries.analyticsq import consistent_hash_balance
+
+    rows = {r["ring"]: r for r in consistent_hash_balance(spark, SF).collect()}
+    v1, v16 = rows["v01"], rows["v16"]
+    assert v1["ring_closed"] and v16["ring_closed"]
+    assert v16["balance_milli"] < v1["balance_milli"]
+    assert v16["max_owned"] - v16["min_owned"] < v1["max_owned"] - v1["min_owned"]
