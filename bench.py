@@ -288,6 +288,10 @@ HEADLINE = [
     "pvm_decomposition",
     "maximal_matching_rounds",
     "consistent_hash_balance",
+    "snapshot_asof_version",
+    "grid_hotspot_zscore",
+    "rle_roundtrip_fidelity",
+    "join_estimate_error",
 ]
 
 

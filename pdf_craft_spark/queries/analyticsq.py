@@ -3464,3 +3464,123 @@ CONSISTENT_HASH_BALANCE_SQL = _ch_sql()
 
 QUERIES["consistent_hash_balance"] = consistent_hash_balance
 ORACLES["consistent_hash_balance"] = CONSISTENT_HASH_BALANCE_SQL
+
+
+# --- snapshot_asof_version: time travel through the CDC log -------------------
+# cdc_compact_latest materializes HEAD; time travel is the same
+# latest-wins compaction with the log truncated at an earlier version —
+# `SELECT ... VERSION AS OF v` in Delta/Iceberg terms.  The op
+# reconstructs the snapshot AS OF version 1 (after the first update
+# wave, before wave 2 and the deletes) from the shared 4-version log
+# recipe and emits the snapshot's audit (row count, status histogram
+# pivot, exact cents total) PLUS the head audit beside it, so the hash
+# pins both states and their drift.  Same single-max_by shape as the
+# head compaction — time travel costs one version predicate, which is
+# the point.
+SNAPSHOT_ASOF_V = 1
+
+
+def snapshot_asof_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bp = _md5pl("CAST(o_orderkey AS STRING)", 4, "spark") + " % 10000"
+    base = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+        f"({bp}) AS bp",
+    )
+    log = (
+        base.selectExpr(
+            "o_orderkey", "0L AS version", "'I' AS op", "o_orderstatus", "cents"
+        )
+        .unionByName(
+            base.filter(F.col("bp") < CDC_U1_BP).selectExpr(
+                "o_orderkey", "1L AS version", "'U' AS op",
+                "'P' AS o_orderstatus", "cents + 500 AS cents",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("bp") < CDC_U2_BP).selectExpr(
+                "o_orderkey", "2L AS version", "'U' AS op",
+                "'F' AS o_orderstatus", "cents + 1000 AS cents",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("bp") >= CDC_DEL_BP).selectExpr(
+                "o_orderkey", "3L AS version", "'D' AS op",
+                "o_orderstatus", "0L AS cents",
+            )
+        )
+    )
+
+    def audit(upto: int, tag: str) -> DataFrame:
+        snap = (
+            log.where(F.col("version") <= upto)
+            .groupBy("o_orderkey")
+            .agg(F.max(F.struct("version", "op", "o_orderstatus", "cents")).alias("m"))
+            .selectExpr(
+                "o_orderkey", "m.op AS op", "m.o_orderstatus AS st",
+                "m.cents AS cents",
+            )
+            .where("op != 'D'")
+        )
+        return snap.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("st") == "P", 1).otherwise(0)).cast("long").alias("n_p"),
+            F.sum(F.when(F.col("st") == "F", 1).otherwise(0)).cast("long").alias("n_f"),
+            F.sum(F.when(F.col("st") == "O", 1).otherwise(0)).cast("long").alias("n_o"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    return (
+        audit(SNAPSHOT_ASOF_V, f"1:asof_v{SNAPSHOT_ASOF_V}")
+        .unionByName(audit(3, "2:head"))
+        .orderBy("snapshot")
+    )
+
+
+def _asof_snapshot_sql() -> str:
+    bp = _md5pl("CAST(o_orderkey AS VARCHAR)", 4, "duck") + " % 10000"
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         ({bp}) AS bp
+  FROM orders
+), log AS MATERIALIZED (
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS version, 'I' AS op,
+         o_orderstatus, cents FROM base
+  UNION ALL
+  SELECT o_orderkey, 1, 'U', 'P', cents + 500 FROM base WHERE bp < {CDC_U1_BP}
+  UNION ALL
+  SELECT o_orderkey, 2, 'U', 'F', cents + 1000 FROM base WHERE bp < {CDC_U2_BP}
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', o_orderstatus, CAST(0 AS BIGINT)
+  FROM base WHERE bp >= {CDC_DEL_BP}
+), snaps AS (
+  SELECT '1:asof_v{SNAPSHOT_ASOF_V}' AS snapshot, o_orderkey,
+         max_by(op, version) AS op,
+         max_by(o_orderstatus, version) AS st,
+         max_by(cents, version) AS cents
+  FROM log WHERE version <= {SNAPSHOT_ASOF_V} GROUP BY o_orderkey
+  UNION ALL
+  SELECT '2:head', o_orderkey, max_by(op, version), max_by(o_orderstatus, version),
+         max_by(cents, version)
+  FROM log GROUP BY o_orderkey
+)
+SELECT snapshot,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN st = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       CAST(sum(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM snaps WHERE op <> 'D'
+GROUP BY snapshot
+ORDER BY snapshot
+"""
+
+
+SNAPSHOT_ASOF_VERSION_SQL = _asof_snapshot_sql()
+
+QUERIES["snapshot_asof_version"] = snapshot_asof_version
+ORACLES["snapshot_asof_version"] = SNAPSHOT_ASOF_VERSION_SQL

@@ -1286,3 +1286,188 @@ SELECT case_name, result FROM m ORDER BY case_name
 
 QUERIES["date_semantics_matrix"] = date_semantics_matrix
 ORACLES["date_semantics_matrix"] = DATE_SEMANTICS_MATRIX_SQL
+
+
+# --- rle_roundtrip_fidelity: the encoding is real, prove it decodes -----------
+# encoding_advisor RECOMMENDS run-length encoding; this op actually
+# performs it and proves losslessness — encode the date-sorted status
+# column into (run, value, length) triples via the same lag-break
+# window, DECODE it back by exploding each run into its positions, and
+# md5-fingerprint both orderings; the equality is a hashed output
+# column, so every driver round re-proves the codec.  Positions
+# reconstruct from the run-length prefix sum (cum - len + offset), so
+# the decode needs no reference to the original row order beyond the
+# runs table itself.
+def rle_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderdate", "o_orderkey", "o_orderstatus AS v"
+    )
+    w = W.orderBy("o_orderdate", "o_orderkey")
+    runs = (
+        o.select(
+            "o_orderdate",
+            "o_orderkey",
+            "v",
+            F.when(
+                F.lag("v").over(w).isNull() | (F.col("v") != F.lag("v").over(w)),
+                1,
+            )
+            .otherwise(0)
+            .alias("brk"),
+        )
+        .select("v", F.sum("brk").over(w).alias("run_id"))
+        .groupBy("run_id", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    wr = W.orderBy("run_id")
+    decoded = runs.select(
+        "v",
+        (F.sum("len").over(wr) - F.col("len")).alias("base"),
+        F.expr("explode(sequence(1, len))").alias("off"),
+    ).selectExpr("v", "base + off AS pos")
+    orig_fp = o.select(F.row_number().over(w).alias("pos"), "v").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ),
+                "",
+            )
+        ).alias("orig_md5")
+    )
+    dec_fp = decoded.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ),
+                "",
+            )
+        ).alias("dec_md5"),
+        F.count(F.lit(1)).cast("long").alias("n_decoded"),
+    )
+    stats = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("len").cast("long").alias("n_rows"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(orig_fp))
+        .crossJoin(F.broadcast(dec_fp))
+        .selectExpr(
+            "n_rows",
+            "n_runs",
+            "(1000 * n_rows) DIV n_runs AS avg_run_milli",
+            "orig_md5",
+            "dec_md5",
+            "orig_md5 = dec_md5 AND n_decoded = n_rows AS lossless",
+        )
+    )
+
+
+RLE_ROUNDTRIP_FIDELITY_SQL = """
+WITH o AS (
+  SELECT o_orderdate, o_orderkey, o_orderstatus AS v FROM orders
+), marked AS (
+  SELECT v,
+         CASE WHEN lag(v) OVER w IS NULL OR v <> lag(v) OVER w
+              THEN 1 ELSE 0 END AS brk,
+         row_number() OVER w AS pos
+  FROM o WINDOW w AS (ORDER BY o_orderdate, o_orderkey)
+), runs AS MATERIALIZED (
+  SELECT run_id, v, CAST(count(*) AS BIGINT) AS len
+  FROM (SELECT v, sum(brk) OVER (ORDER BY pos) AS run_id FROM marked)
+  GROUP BY run_id, v
+), decoded AS (
+  SELECT v, base + off AS pos
+  FROM (SELECT v, sum(len) OVER (ORDER BY run_id) - len AS base, len
+        FROM runs),
+       LATERAL (SELECT unnest(range(1, len + 1)) AS off)
+), fps AS (
+  SELECT (SELECT md5(string_agg(v, '' ORDER BY pos)) FROM marked) AS orig_md5,
+         (SELECT md5(string_agg(v, '' ORDER BY pos)) FROM decoded) AS dec_md5,
+         (SELECT CAST(count(*) AS BIGINT) FROM decoded) AS n_decoded
+)
+SELECT (SELECT CAST(sum(len) AS BIGINT) FROM runs) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM runs) AS n_runs,
+       (1000 * (SELECT sum(len) FROM runs))
+         // (SELECT count(*) FROM runs) AS avg_run_milli,
+       orig_md5, dec_md5,
+       orig_md5 = dec_md5
+         AND n_decoded = (SELECT sum(len) FROM runs) AS lossless
+FROM fps
+"""
+
+QUERIES["rle_roundtrip_fidelity"] = rle_roundtrip_fidelity
+ORACLES["rle_roundtrip_fidelity"] = RLE_ROUNDTRIP_FIDELITY_SQL
+
+
+# --- join_estimate_error: what the optimizer's histogram would predict --------
+# join_fanout_audit predicts join sizes EXACTLY from key-count tables;
+# a real optimizer can't afford that — it keeps a B-bucket histogram
+# (rows, NDV per bucket) and predicts with the uniform-within-bucket
+# assumption est_b = n_b^2 / ndv_b.  This op builds the 10-bucket
+# partkey histogram of lineitem, predicts the self-join size, and emits
+# the prediction NEXT TO the exact answer (sum cnt^2 — the same F2 the
+# AMS sketch estimates), so the output quantifies the textbook
+# assumption's error on real data instead of trusting it.  All integer
+# until the final error ratio.
+JE_BUCKETS = 10
+
+
+def join_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    rng = li.agg(F.max("l_partkey").alias("mx"))
+    bucketed = li.crossJoin(F.broadcast(rng)).selectExpr(
+        f"l_partkey DIV (mx DIV {JE_BUCKETS} + 1) AS b", "l_partkey"
+    )
+    hist = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.countDistinct("l_partkey").cast("long").alias("ndv_b"),
+    )
+    est = hist.agg(
+        F.sum(F.expr("(n_b * n_b) DIV ndv_b")).cast("long").alias("est_selfjoin"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_selfjoin"))
+    )
+    return est.crossJoin(F.broadcast(exact)).selectExpr(
+        "n_buckets",
+        "est_selfjoin",
+        "exact_selfjoin",
+        "CAST(round(10000 * (CAST(est_selfjoin AS DOUBLE)"
+        " - CAST(exact_selfjoin AS DOUBLE))"
+        " / CAST(exact_selfjoin AS DOUBLE)) AS BIGINT) AS err_bp",
+    )
+
+
+JOIN_ESTIMATE_ERROR_SQL = f"""
+WITH rng AS (
+  SELECT max(l_partkey) AS mx FROM lineitem
+), hist AS (
+  SELECT l_partkey // (mx // {JE_BUCKETS} + 1) AS b,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_b
+  FROM lineitem, rng GROUP BY 1
+), est AS (
+  SELECT CAST(sum((n_b * n_b) // ndv_b) AS BIGINT) AS est_selfjoin,
+         CAST(count(*) AS BIGINT) AS n_buckets
+  FROM hist
+), exact AS (
+  SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_selfjoin
+  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+)
+SELECT n_buckets, est_selfjoin, exact_selfjoin,
+       CAST(round(10000 * (CAST(est_selfjoin AS DOUBLE)
+            - CAST(exact_selfjoin AS DOUBLE))
+            / CAST(exact_selfjoin AS DOUBLE)) AS BIGINT) AS err_bp
+FROM est, exact
+"""
+
+QUERIES["rle_roundtrip_fidelity"] = rle_roundtrip_fidelity
+QUERIES["join_estimate_error"] = join_estimate_error
+ORACLES["join_estimate_error"] = JOIN_ESTIMATE_ERROR_SQL

@@ -803,3 +803,118 @@ FROM counts, scan, sizes
 
 QUERIES["bitmap_index_intersect"] = bitmap_index_intersect
 ORACLES["bitmap_index_intersect"] = BITMAP_INDEX_INTERSECT_SQL
+
+
+# --- grid_hotspot_zscore: spatial hotspot detection (Getis-Ord-lite) ----------
+# spatial_grid_join finds point pairs; hotspot analysis asks the field
+# question — WHERE is the density anomalously high?  Getis-Ord G_i*
+# compares each cell's 3x3-neighborhood point count against what a
+# random scatter predicts.  Exactness discipline: cell counts come from
+# the same md5-planted coordinates as spatial_grid_join; the 16x16 cell
+# scaffold is DENSE (empty cells count — a hotspot test over only
+# occupied cells biases the variance); mu and sigma^2 of the cell
+# counts are exact integer/DECIMAL sums, edge cells compare against
+# k_i * mu with their true neighbor count k_i in {4, 6, 9}, and the
+# z-score is the single final double expression per cell.  On the
+# hash-uniform corpus nothing flags (|z| < 3 everywhere — the honest
+# null); the property test plants a dense cluster and the flag fires on
+# exactly its cells.
+HOT_CELLS = 16  # 16 x 16 grid over the SPATIAL_EXTENT square
+HOT_Z_MILLI = 3000
+
+
+def grid_hotspot_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    E = SPATIAL_EXTENT
+    C = E // HOT_CELLS
+    pts = _t(spark, sf_dir, "customer").selectExpr(
+        f"CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 6), 16, 10) AS BIGINT) % {E} DIV {C} AS cx",
+        f"CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 7, 6), 16, 10) AS BIGINT) % {E} DIV {C} AS cy",
+    )
+    counts = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    gx = spark.range(HOT_CELLS).selectExpr("id AS cx")
+    gy = spark.range(HOT_CELLS).selectExpr("id AS cy")
+    scaffold = gx.crossJoin(F.broadcast(gy))
+    dense = scaffold.join(counts, ["cx", "cy"], "left").selectExpr(
+        "cx", "cy", "coalesce(c, 0) AS c"
+    )
+    mom = dense.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    nb = dense.selectExpr(
+        "cx", "cy", "c", "explode(sequence(-1, 1)) AS dx"
+    ).selectExpr("cx", "cy", "c", "dx", "explode(sequence(-1, 1)) AS dy")
+    hood = (
+        nb.selectExpr("cx + dx AS hx", "cy + dy AS hy", "cx", "cy")
+        .join(
+            dense.selectExpr("cx AS hx", "cy AS hy", "c AS hc"),
+            ["hx", "hy"],
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("hc").cast("long").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    z = (
+        "(CAST(w AS DOUBLE) - k * CAST(s AS DOUBLE) / m)"
+        " / sqrt(CAST(k AS DOUBLE)"
+        " * (CAST(ss AS DOUBLE) / m - (CAST(s AS DOUBLE) / m)"
+        " * (CAST(s AS DOUBLE) / m)))"
+    )
+    return (
+        hood.crossJoin(F.broadcast(mom))
+        .selectExpr(
+            "cx",
+            "cy",
+            "w AS hood_count",
+            "k AS n_neighbors",
+            f"CAST(round(1000 * ({z})) AS BIGINT) AS z_milli",
+            f"CAST(round(1000 * ({z})) > {HOT_Z_MILLI} AS BOOLEAN) AS hotspot",
+        )
+        .orderBy("cx", "cy")
+    )
+
+
+GRID_HOTSPOT_ZSCORE_SQL = f"""
+WITH pts AS (
+  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {SPATIAL_EXTENT} // {SPATIAL_EXTENT // HOT_CELLS} AS cx,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % {SPATIAL_EXTENT} // {SPATIAL_EXTENT // HOT_CELLS} AS cy
+  FROM customer
+), counts AS (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY cx, cy
+), dense AS MATERIALIZED (
+  SELECT gx.cx, gy.cy, coalesce(c.c, 0) AS c
+  FROM (SELECT unnest(range({HOT_CELLS})) AS cx) gx
+  CROSS JOIN (SELECT unnest(range({HOT_CELLS})) AS cy) gy
+  LEFT JOIN counts c ON c.cx = gx.cx AND c.cy = gy.cy
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM dense
+), hood AS (
+  SELECT d.cx, d.cy, CAST(sum(n.c) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS k
+  FROM dense d, (SELECT unnest(range(-1, 2)) AS dx) dxs,
+       (SELECT unnest(range(-1, 2)) AS dy) dys
+  JOIN dense n ON n.cx = d.cx + dx AND n.cy = d.cy + dy
+  GROUP BY d.cx, d.cy
+)
+SELECT cx, cy, w AS hood_count, k AS n_neighbors,
+       CAST(round(1000 * ((CAST(w AS DOUBLE) - k * CAST(s AS DOUBLE) / m)
+            / sqrt(CAST(k AS DOUBLE) * (CAST(ss AS DOUBLE) / m
+              - (CAST(s AS DOUBLE) / m) * (CAST(s AS DOUBLE) / m)))))
+         AS BIGINT) AS z_milli,
+       CAST(round(1000 * ((CAST(w AS DOUBLE) - k * CAST(s AS DOUBLE) / m)
+            / sqrt(CAST(k AS DOUBLE) * (CAST(ss AS DOUBLE) / m
+              - (CAST(s AS DOUBLE) / m) * (CAST(s AS DOUBLE) / m)))))
+         > {HOT_Z_MILLI} AS BOOLEAN) AS hotspot
+FROM hood, mom
+ORDER BY cx, cy
+"""
+
+QUERIES["grid_hotspot_zscore"] = grid_hotspot_zscore
+ORACLES["grid_hotspot_zscore"] = GRID_HOTSPOT_ZSCORE_SQL
