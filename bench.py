@@ -292,6 +292,9 @@ HEADLINE = [
     "grid_hotspot_zscore",
     "rle_roundtrip_fidelity",
     "join_estimate_error",
+    "percentile_cont_exact",
+    "seasonality_strength_index",
+    "imputation_error_eval",
 ]
 
 

@@ -1471,3 +1471,96 @@ FROM est, exact
 QUERIES["rle_roundtrip_fidelity"] = rle_roundtrip_fidelity
 QUERIES["join_estimate_error"] = join_estimate_error
 ORACLES["join_estimate_error"] = JOIN_ESTIMATE_ERROR_SQL
+
+
+# --- imputation_error_eval: score the imputer on planted holes ----------------
+# Every pipeline imputes missing values; almost none MEASURES its
+# imputer.  The honest protocol: mask a deterministic 10% of
+# o_totalprice (40-bit hash threshold), impute each masked row with its
+# priority-group MEDIAN computed over the SURVIVING rows only (the
+# compressed-histogram rank probe — no sort), and score the imputations
+# against the held-out truth the mask hid: MAE, bias, and the
+# fraction of rows imputed within 10% of truth.  All integer cents;
+# the protocol's leakage discipline (imputer never sees masked values)
+# is structural — the median scan filters on the same hash predicate.
+IMPUTE_MASK_PCT = 10
+
+
+def imputation_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS STRING)", 10, "spark")
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS pri",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+        f"({h}) % 100 < {IMPUTE_MASK_PCT} AS masked",
+    )
+    vals = (
+        o.where(~F.col("masked"))
+        .groupBy("pri", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wv = W.partitionBy("pri").orderBy("v")
+    wp = W.partitionBy("pri")
+    med = (
+        vals.select(
+            "pri",
+            "v",
+            F.sum("cnt").over(wv).alias("cum"),
+            F.sum("cnt").over(wp).alias("n"),
+        )
+        .where(F.col("cum") >= (F.col("n") + 1) / 2)
+        .groupBy("pri")
+        .agg(F.min("v").cast("long").alias("imputed"))
+    )
+    scored = o.where("masked").join(F.broadcast(med), "pri")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_masked"),
+        F.expr("sum(abs(v - imputed)) DIV count(*)").cast("long").alias(
+            "mae_cents"
+        ),
+        F.expr("sum(imputed - v) DIV count(*)").cast("long").alias("bias_cents"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN 10 * abs(v - imputed) <= v"
+            " THEN 1 ELSE 0 END)) DIV count(*) AS BIGINT)"
+        ).alias("within_10pct_ppm"),
+    )
+
+
+def _impute_sql() -> str:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(o_orderkey AS VARCHAR)", 10, "duck")
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS pri,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         ({h}) % 100 < {IMPUTE_MASK_PCT} AS masked
+  FROM orders
+), vals AS (
+  SELECT pri, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM o WHERE NOT masked GROUP BY pri, v
+), med AS (
+  SELECT pri, CAST(min(v) AS BIGINT) AS imputed
+  FROM (
+    SELECT pri, v,
+           sum(cnt) OVER (PARTITION BY pri ORDER BY v) AS cum,
+           sum(cnt) OVER (PARTITION BY pri) AS n
+    FROM vals
+  ) WHERE cum >= (n + 1) / 2
+  GROUP BY pri
+)
+SELECT CAST(count(*) AS BIGINT) AS n_masked,
+       CAST(sum(abs(v - imputed)) // count(*) AS BIGINT) AS mae_cents,
+       CAST(sum(imputed - v) // count(*) AS BIGINT) AS bias_cents,
+       CAST((1000000 * sum(CASE WHEN 10 * abs(v - imputed) <= v
+            THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS within_10pct_ppm
+FROM o JOIN med USING (pri)
+WHERE masked
+"""
+
+
+IMPUTATION_ERROR_EVAL_SQL = _impute_sql()
+
+QUERIES["imputation_error_eval"] = imputation_error_eval
+ORACLES["imputation_error_eval"] = IMPUTATION_ERROR_EVAL_SQL

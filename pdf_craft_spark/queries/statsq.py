@@ -1679,3 +1679,87 @@ WILSON_LOWER_BOUND_RANKING_SQL = _wilson_sql()
 
 QUERIES["wilson_lower_bound_ranking"] = wilson_lower_bound_ranking
 ORACLES["wilson_lower_bound_ranking"] = WILSON_LOWER_BOUND_RANKING_SQL
+
+
+# --- percentile_cont_exact: interpolated quartiles without a sort --------
+# price_percentile_exact handles PERCENTILE_DISC; the CONTINUOUS variant
+# interpolates between order statistics — rank r = 1 + p*(n-1) lands
+# between floor(r) and ceil(r) with fraction f, value = v_lo + f*(v_hi -
+# v_lo).  Exact integer recipe: r is carried as r100 = 100 + p100*(n-1)
+# (integer, p in percent), the two order statistics come from the same
+# compressed-histogram prefix probes as median_ci_orderstat, and the
+# interpolated value is emitted in CENTI-CENTS
+#   v100 = 100*v_lo + (r100 % 100) * (v_hi - v_lo)
+# — no floats anywhere, matching DuckDB's quantile_cont * 100 exactly
+# on integer inputs (quartiles of cents never need finer fractions than
+# hundredths at p in {25, 50, 75}).
+PCT_POINTS = (25, 50, 75)
+
+
+def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v"
+    )
+    vals = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = W.orderBy("v")
+    wall = W.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(p,) for p in PCT_POINTS], "p long")
+    probed = (
+        F.broadcast(qs)
+        .join(cum, F.lit(True))
+        .selectExpr("p", "v", "cum", "n", "100 + p * (n - 1) AS r100")
+        .selectExpr(
+            "p",
+            "v",
+            "cum",
+            "r100",
+            "r100 DIV 100 AS r_lo",
+            "(r100 + 99) DIV 100 AS r_hi",
+        )
+    )
+    lohi = probed.groupBy("p", "r100").agg(
+        F.min(F.when(F.col("cum") >= F.col("r_lo"), F.col("v"))).alias("v_lo"),
+        F.min(F.when(F.col("cum") >= F.col("r_hi"), F.col("v"))).alias("v_hi"),
+    )
+    return lohi.selectExpr(
+        "p",
+        "CAST(v_lo AS BIGINT) AS v_lo_cents",
+        "CAST(v_hi AS BIGINT) AS v_hi_cents",
+        "CAST(100 * v_lo + (r100 % 100) * (v_hi - v_lo) AS BIGINT)"
+        " AS pct_centicents",
+    ).orderBy("p")
+
+
+PERCENTILE_CONT_EXACT_SQL = f"""
+WITH vals AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS n
+  FROM vals
+), probed AS (
+  SELECT p, v, cum, 100 + p * (n - 1) AS r100
+  FROM cum, (SELECT unnest([{", ".join(str(p) for p in PCT_POINTS)}]) AS p) ps
+), lohi AS (
+  SELECT p, r100,
+         min(CASE WHEN cum >= r100 // 100 THEN v END) AS v_lo,
+         min(CASE WHEN cum >= (r100 + 99) // 100 THEN v END) AS v_hi
+  FROM probed GROUP BY p, r100
+)
+SELECT p,
+       CAST(v_lo AS BIGINT) AS v_lo_cents,
+       CAST(v_hi AS BIGINT) AS v_hi_cents,
+       CAST(100 * v_lo + (r100 % 100) * (v_hi - v_lo) AS BIGINT)
+         AS pct_centicents
+FROM lohi
+ORDER BY p
+"""
+
+QUERIES["percentile_cont_exact"] = percentile_cont_exact
+ORACLES["percentile_cont_exact"] = PERCENTILE_CONT_EXACT_SQL

@@ -1570,3 +1570,106 @@ ORDER BY year, month
 
 QUERIES["yoy_mom_growth"] = yoy_mom_growth
 ORACLES["yoy_mom_growth"] = YOY_MOM_GROWTH_SQL
+
+
+# --- seasonality_strength_index: is the weekly pattern real? ------------------
+# seasonal_decompose_ma7 extracts the period-7 component; this op scores
+# HOW MUCH of the detrended variance that component explains — Hyndman's
+# seasonality strength F_s = max(0, 1 - Var(remainder)/Var(detrended)),
+# the number a forecasting pipeline uses to pick between the naive and
+# seasonal-naive baselines (forecast_backtest_smape measures the same
+# choice empirically; this is the analytic twin).  Exact recipe: the
+# detrended series and slot means reuse the decompose arithmetic
+# (centered MA7 trend in milli, truncated slot means); variances are
+# DECIMAL(38,0) moment sums around truncated means; the ratio is the
+# single final double.  One shuffle (day agg) + tiny windows.
+def seasonality_strength_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    daily = o.groupBy("day").agg(F.expr("sum(c) DIV 100").cast("long").alias("x"))
+    w = W.orderBy("day")
+    trended = daily.select(
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w.rowsBetween(-3, 3)).alias("span"),
+        (F.sum("x").over(w.rowsBetween(-3, 3)) * 1000).alias("sum7_milli"),
+    )
+    det = (
+        trended.where(F.col("span") == 7)
+        .selectExpr(
+            "day",
+            # truncated MA7 trend — the seasonal_decompose_ma7 recipe
+            "1000 * x - sum7_milli DIV 7 AS d_milli",
+            "CAST(dayofweek(day) AS BIGINT) AS slot",
+        )
+    )
+    slot_means = det.groupBy("slot").agg(
+        F.expr("sum(d_milli) DIV count(*)").cast("long").alias("sm")
+    )
+    scored = det.join(F.broadcast(slot_means), "slot").selectExpr(
+        "d_milli", "d_milli - sm AS r_milli"
+    )
+    mom = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d_milli").cast("decimal(38,0)") * F.col("d_milli")).alias(
+            "ss_d"
+        ),
+        F.expr("sum(d_milli)").cast("long").alias("s_d"),
+        F.sum(F.col("r_milli").cast("decimal(38,0)") * F.col("r_milli")).alias(
+            "ss_r"
+        ),
+        F.expr("sum(r_milli)").cast("long").alias("s_r"),
+    )
+    fs = (
+        "greatest(CAST(0 AS DOUBLE), 1.0 -"
+        " (CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE) * s_r / n)"
+        " / (CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * s_d / n))"
+    )
+    return mom.selectExpr(
+        "n",
+        f"CAST(round(1000000 * ({fs})) AS BIGINT) AS strength_ppm",
+    )
+
+
+SEASONALITY_STRENGTH_INDEX_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // 100
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day, x,
+         count(*) OVER w AS span,
+         sum(x) OVER w * 1000 AS sum7_milli
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, 1000 * x - sum7_milli // 7 AS d_milli,
+         CAST(dayofweek(day) AS BIGINT) AS slot
+  FROM trended WHERE span = 7
+), slot_means AS (
+  SELECT slot, CAST(sum(d_milli) // count(*) AS BIGINT) AS sm
+  FROM det GROUP BY slot
+), scored AS (
+  SELECT d.d_milli, d.d_milli - s.sm AS r_milli
+  FROM det d JOIN slot_means s USING (slot)
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(d_milli AS DECIMAL(38,0)) * d_milli) AS ss_d,
+         CAST(sum(d_milli) AS BIGINT) AS s_d,
+         sum(CAST(r_milli AS DECIMAL(38,0)) * r_milli) AS ss_r,
+         CAST(sum(r_milli) AS BIGINT) AS s_r
+  FROM scored
+)
+SELECT n,
+       CAST(round(1000000 * greatest(CAST(0 AS DOUBLE), 1.0 -
+            (CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE) * s_r / n)
+            / (CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * s_d / n)))
+         AS BIGINT) AS strength_ppm
+FROM mom
+"""
+
+QUERIES["seasonality_strength_index"] = seasonality_strength_index
+ORACLES["seasonality_strength_index"] = SEASONALITY_STRENGTH_INDEX_SQL

@@ -1638,3 +1638,62 @@ def test_join_estimate_reasonable_and_exact_matches_f2(spark):
     assert row["exact_selfjoin"] == f2
     # uniform-ish keys: the histogram estimate lands within 30%
     assert abs(row["err_bp"]) < 3000
+
+
+# --- percentile_cont_exact ---------------------------------------------------
+
+
+def test_percentile_cont_matches_duckdb_native(spark):
+    from pdf_craft_spark.queries.statsq import percentile_cont_exact
+
+    rows = {r["p"]: r for r in percentile_cont_exact(spark, SF).collect()}
+    con = _duck(SF, ("orders",))
+    ref = con.execute(
+        """SELECT quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           AS BIGINT), [0.25, 0.5, 0.75]) FROM orders"""
+    ).fetchone()[0]
+    for p, want in zip((25, 50, 75), ref):
+        assert rows[p]["pct_centicents"] == round(100 * want), p
+        assert rows[p]["v_lo_cents"] <= rows[p]["v_hi_cents"]
+
+
+# --- seasonality_strength_index ----------------------------------------------
+
+
+def test_seasonality_strength_extremes(spark):
+    """Real corpus: no weekly pattern (strength ~0).  Planted strong
+    period-7 series: strength near 1."""
+    from pdf_craft_spark.queries.timeseries import (
+        SEASONALITY_STRENGTH_INDEX_SQL,
+        seasonality_strength_index,
+    )
+
+    row = seasonality_strength_index(spark, SF01).collect()[0]
+    assert row["strength_ppm"] < 100_000  # ~flat corpus
+    con = duckdb.connect()
+    vals = []
+    for d in range(140):
+        amount = 1000 + (5000 if d % 7 == 0 else 0)  # hard weekly spike
+        vals.append(f"(TIMESTAMP '2001-01-01' + INTERVAL ({d}) DAY, {amount}.0)")
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(o_orderdate, o_totalprice)"
+    )
+    n, strength = con.execute(SEASONALITY_STRENGTH_INDEX_SQL).fetchone()
+    assert strength > 900_000, strength
+
+
+# --- imputation_error_eval ---------------------------------------------------
+
+
+def test_imputation_protocol_holds(spark):
+    """~10% masked; the group-median imputer on this ~uniform price
+    distribution should be nearly unbiased but with large MAE (the
+    honest story for median-imputing a wide distribution)."""
+    from pdf_craft_spark.queries.dataquality import imputation_error_eval
+
+    row = imputation_error_eval(spark, SF01).collect()[0]
+    assert 1000 <= row["n_masked"] <= 2000  # ~10% of 15k
+    assert abs(row["bias_cents"]) < row["mae_cents"] // 5  # near-unbiased
+    assert 0 < row["within_10pct_ppm"] < 500_000  # wide distro: most miss
