@@ -295,6 +295,8 @@ HEADLINE = [
     "percentile_cont_exact",
     "seasonality_strength_index",
     "imputation_error_eval",
+    "event_order_inversions",
+    "rank_churn_report",
 ]
 
 

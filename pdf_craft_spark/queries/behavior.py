@@ -910,3 +910,189 @@ ORDER BY support DESC, pa, pb, pc
 
 QUERIES["apriori_triples"] = apriori_triples
 ORACLES["apriori_triples"] = APRIORI_TRIPLES_SQL
+
+
+# --- event_order_inversions: is the stream actually in order? -----------------
+# Watermark tuning starts with measuring DISORDER: how often does the
+# arrival order disagree with event time, per user, and by how much?
+# The corpus's event_id sequence is PERFECTLY time-aligned (zero
+# inversions — measured, and a zero-row audit teaches nothing), so the
+# op simulates the network the way a watermark-sizing exercise does:
+# arrival order = event time + a deterministic per-event ingest delay
+# in [0, 4h) — mobile-client offline buffering scale, sized so delays
+# are commensurate with this corpus's ~5h median intra-user event gap
+# and disorder actually occurs (a 60s cap produced 4 inversions in 10k
+# events — measured) — (40-bit md5 of the event id — reproducible, engine-
+# identical).  One user-keyed window pass over that arrival order: an
+# inversion is an adjacent pair whose EVENT time steps backward; the
+# report compresses to an inversions-per-user band histogram plus the
+# global inversion ppm and the worst backward jump — the numbers that
+# pick a withWatermark() delay (worst backward jump is bounded by the
+# 4h delay cap by construction, and the measured value shows how
+# close the corpus gets).  All integer microseconds.
+def event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("CAST(event_id AS STRING)", 10, "spark")
+    ev = _events(spark, sf_dir).selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        f"unix_micros(CAST(ts AS TIMESTAMP)) + ({h}) % 14400000000 AS arrival_us",
+    )
+    w = W.partitionBy("user_id").orderBy("arrival_us", "event_id")
+    per = (
+        ev.select(
+            "user_id",
+            (F.col("us") - F.lag("us").over(w)).alias("step"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum(F.when(F.col("step") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_inv"),
+            F.min(F.when(F.col("step") < 0, F.col("step"))).alias("worst"),
+        )
+    )
+    hist = per.groupBy(
+        F.expr(
+            "CASE WHEN n_inv = 0 THEN '0'"
+            " WHEN n_inv <= 5 THEN '1-5'"
+            " WHEN n_inv <= 20 THEN '6-20'"
+            " ELSE '21+' END"
+        ).alias("inv_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_inv").cast("long").alias("inversions"),
+        F.sum("n_steps").cast("long").alias("steps"),
+        F.min("worst").alias("worst_us"),
+    )
+    return hist.selectExpr(
+        "inv_band",
+        "n_users",
+        "inversions",
+        "CAST((1000000 * inversions) DIV steps AS BIGINT) AS inversion_ppm",
+        "CAST(coalesce(worst_us, 0) AS BIGINT) AS worst_backward_us",
+    ).orderBy("inv_band")
+
+
+EVENT_ORDER_INVERSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+           1, 10)) AS BIGINT) % 14400000000 AS arrival_us
+  FROM events
+), stepped AS (
+  SELECT user_id,
+         us - lag(us) OVER (PARTITION BY user_id
+                            ORDER BY arrival_us, event_id) AS step
+  FROM ev
+), per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(sum(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inv,
+         min(CASE WHEN step < 0 THEN step END) AS worst
+  FROM stepped GROUP BY user_id
+)
+SELECT CASE WHEN n_inv = 0 THEN '0'
+            WHEN n_inv <= 5 THEN '1-5'
+            WHEN n_inv <= 20 THEN '6-20'
+            ELSE '21+' END AS inv_band,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_inv) AS BIGINT) AS inversions,
+       CAST((1000000 * sum(n_inv)) // sum(n_steps) AS BIGINT) AS inversion_ppm,
+       CAST(coalesce(min(worst), 0) AS BIGINT) AS worst_backward_us
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["event_order_inversions"] = event_order_inversions
+ORACLES["event_order_inversions"] = EVENT_ORDER_INVERSIONS_SQL
+
+
+# --- rank_churn_report: who moved in the league table? ------------------------
+# Dashboards show ranks; operators ask what CHANGED.  The report ranks
+# suppliers by revenue in the corpus's two date-halves (same midpoint
+# recipe as pvm_decomposition), joins the rank tables FULL OUTER (a
+# supplier can exist in only one half), and emits the top movers by
+# absolute rank delta with deterministic tie-breaks — plus entry/exit
+# markers coded as rank 0.  Two combinable aggs + two small sorts over
+# the ~100-supplier rank tables; the fact table is scanned once.
+RANK_CHURN_TOP = 15
+
+
+def rank_churn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "l_suppkey",
+        "CAST(l_shipdate AS DATE) AS d",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    mid = li.agg(
+        F.expr("date_add(min(d), CAST(datediff(max(d), min(d)) / 2 AS INT))").alias(
+            "mid"
+        )
+    )
+    per = (
+        li.crossJoin(F.broadcast(mid))
+        .selectExpr(
+            "l_suppkey", "CASE WHEN d < mid THEN 1 ELSE 2 END AS period", "cents"
+        )
+        .groupBy("l_suppkey", "period")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w1 = W.partitionBy("period").orderBy(F.desc("rev"), "l_suppkey")
+    ranked = per.select(
+        "l_suppkey", "period", F.row_number().over(w1).cast("long").alias("rk")
+    )
+    r1 = ranked.where("period = 1").selectExpr("l_suppkey", "rk AS rk1")
+    r2 = ranked.where("period = 2").selectExpr("l_suppkey", "rk AS rk2")
+    moved = r1.join(r2, "l_suppkey", "full").selectExpr(
+        "l_suppkey",
+        "coalesce(rk1, 0) AS rank_before",
+        "coalesce(rk2, 0) AS rank_after",
+        "abs(coalesce(rk1, coalesce(rk2, 0)) - coalesce(rk2, coalesce(rk1, 0)))"
+        " AS rank_delta",
+    )
+    return (
+        moved.orderBy(F.desc("rank_delta"), "l_suppkey")
+        .limit(RANK_CHURN_TOP)
+        .orderBy(F.desc("rank_delta"), "l_suppkey")
+    )
+
+
+RANK_CHURN_REPORT_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem
+), mid AS (
+  SELECT min(d) + CAST(CAST(date_diff('day', min(d), max(d)) / 2 AS INT)
+         AS INTEGER) AS mid
+  FROM li
+), per AS (
+  SELECT l_suppkey, CASE WHEN d < mid THEN 1 ELSE 2 END AS period,
+         CAST(sum(cents) AS BIGINT) AS rev
+  FROM li, mid GROUP BY 1, 2
+), ranked AS (
+  SELECT l_suppkey, period,
+         CAST(row_number() OVER (PARTITION BY period
+              ORDER BY rev DESC, l_suppkey) AS BIGINT) AS rk
+  FROM per
+), moved AS (
+  SELECT coalesce(a.l_suppkey, b.l_suppkey) AS l_suppkey,
+         coalesce(a.rk, 0) AS rank_before,
+         coalesce(b.rk, 0) AS rank_after,
+         abs(coalesce(a.rk, coalesce(b.rk, 0))
+             - coalesce(b.rk, coalesce(a.rk, 0))) AS rank_delta
+  FROM (SELECT * FROM ranked WHERE period = 1) a
+  FULL JOIN (SELECT * FROM ranked WHERE period = 2) b USING (l_suppkey)
+)
+SELECT l_suppkey, rank_before, rank_after, rank_delta
+FROM moved
+ORDER BY rank_delta DESC, l_suppkey
+LIMIT {RANK_CHURN_TOP}
+"""
+
+QUERIES["rank_churn_report"] = rank_churn_report
+ORACLES["rank_churn_report"] = RANK_CHURN_REPORT_SQL

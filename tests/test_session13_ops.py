@@ -1697,3 +1697,87 @@ def test_imputation_protocol_holds(spark):
     assert 1000 <= row["n_masked"] <= 2000  # ~10% of 15k
     assert abs(row["bias_cents"]) < row["mae_cents"] // 5  # near-unbiased
     assert 0 < row["within_10pct_ppm"] < 500_000  # wide distro: most miss
+
+
+# --- event_order_inversions --------------------------------------------------
+
+
+def test_inversions_match_python(spark):
+    from pdf_craft_spark.queries.behavior import event_order_inversions
+
+    rows = event_order_inversions(spark, SF).collect()
+    con = _duck(SF, ("events",))
+    recs = con.execute(
+        "SELECT user_id, event_id, epoch_us(ts) FROM events"
+    ).fetchall()
+    import hashlib
+    from collections import defaultdict
+
+    def arrival(e, us):
+        h = int(hashlib.md5(str(e).encode()).hexdigest()[:10], 16)
+        return us + h % 14_400_000_000
+
+    by_user = defaultdict(list)
+    for u, e, us in recs:
+        by_user[u].append((arrival(e, us), e, us))
+    inv = defaultdict(int)
+    steps = defaultdict(int)
+    for u, lst in by_user.items():
+        lst.sort()
+        prev_us = None
+        for _, e, us in lst:
+            steps[u] += 1
+            if prev_us is not None and us < prev_us:
+                inv[u] += 1
+            prev_us = us
+    def band(k):
+        n = inv[k]
+        return "0" if n == 0 else "1-5" if n <= 5 else "6-20" if n <= 20 else "21+"
+    want_users = defaultdict(int)
+    want_inv = defaultdict(int)
+    for u in steps:
+        want_users[band(u)] += 1
+        want_inv[band(u)] += inv[u]
+    got = {r["inv_band"]: r for r in rows}
+    assert set(got) == set(want_users)
+    for b in want_users:
+        assert got[b]["n_users"] == want_users[b], b
+        assert got[b]["inversions"] == want_inv[b], b
+
+
+# --- rank_churn_report -------------------------------------------------------
+
+
+def test_rank_churn_recompute(spark):
+    from pdf_craft_spark.queries.behavior import (
+        RANK_CHURN_TOP,
+        rank_churn_report,
+    )
+
+    rows = rank_churn_report(spark, SF).collect()
+    assert 0 < len(rows) <= RANK_CHURN_TOP
+    con = _duck(SF, ("lineitem",))
+    recs = con.execute(
+        """SELECT l_suppkey, CAST(l_shipdate AS DATE),
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM lineitem"""
+    ).fetchall()
+    import datetime
+    from collections import defaultdict
+
+    days = [d for _, d, _ in recs]
+    mid = min(days) + datetime.timedelta(days=(max(days) - min(days)).days // 2)
+    rev = {1: defaultdict(int), 2: defaultdict(int)}
+    for s, d, c in recs:
+        rev[1 if d < mid else 2][s] += c
+    rank = {}
+    for p in (1, 2):
+        order = sorted(rev[p].items(), key=lambda kv: (-kv[1], kv[0]))
+        rank[p] = {s: i + 1 for i, (s, _) in enumerate(order)}
+    deltas = {}
+    for s in set(rank[1]) | set(rank[2]):
+        a, b = rank[1].get(s, 0), rank[2].get(s, 0)
+        deltas[s] = abs((a or b) - (b or a))
+    want = sorted(deltas.items(), key=lambda kv: (-kv[1], kv[0]))[:RANK_CHURN_TOP]
+    got = [(r["l_suppkey"], r["rank_delta"]) for r in rows]
+    assert got == want
