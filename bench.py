@@ -297,6 +297,8 @@ HEADLINE = [
     "imputation_error_eval",
     "event_order_inversions",
     "rank_churn_report",
+    "forecast_reconciliation",
+    "forecast_interval_empirical",
 ]
 
 

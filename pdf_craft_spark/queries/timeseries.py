@@ -1673,3 +1673,258 @@ FROM mom
 
 QUERIES["seasonality_strength_index"] = seasonality_strength_index
 ORACLES["seasonality_strength_index"] = SEASONALITY_STRENGTH_INDEX_SQL
+
+
+# --- forecast_reconciliation: coherent hierarchical forecasts -----------------
+# Forecasting a hierarchy (total = sum of priorities) independently
+# yields INCOHERENT numbers whenever the forecaster is non-linear —
+# medians don't sum — and dashboards then show two different "next
+# week"s.  The op uses the robust median-of-last-5-weeks forecaster at
+# BOTH levels (per segment, and directly on the weekly totals), so the
+# incoherence is real and measured: bottom-up sum vs the direct
+# top-level forecast in exact cents and ppm.  The repair is top-down:
+# the direct total forecast is allocated over segments by largest
+# remainder on the bottom-up shares, emitted per segment so the hash
+# pins the whole reconciled vector, whose sum equals the top forecast
+# EXACTLY by construction.  Medians of 5 are exact 3rd order stats via
+# a row_number window over each series' last five weeks.
+def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS seg",
+        "date_trunc('WEEK', CAST(o_orderdate AS DATE)) AS wk",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    )
+    weekly = o.groupBy("seg", "wk").agg(F.sum("cents").cast("long").alias("rev"))
+    wseg = W.partitionBy("seg").orderBy(F.desc("wk"))
+    last5 = weekly.withColumn("rn", F.row_number().over(wseg)).where("rn <= 5")
+    wmed = W.partitionBy("seg").orderBy("rev")
+    seg_fc = (
+        last5.withColumn("mr", F.row_number().over(wmed))
+        .where("mr = 3")
+        .selectExpr("seg", "rev AS fc_seg")
+    )
+    totals = weekly.groupBy("wk").agg(F.sum("rev").cast("long").alias("trev"))
+    wt = W.orderBy(F.desc("wk"))
+    wtm = W.orderBy("trev")
+    top_fc = (
+        totals.withColumn("rn", F.row_number().over(wt))
+        .where("rn <= 5")
+        .withColumn("mr", F.row_number().over(wtm))
+        .where("mr = 3")
+        .selectExpr("CAST(trev AS BIGINT) AS fc_top")
+    )
+    tot_seg = seg_fc.agg(F.sum("fc_seg").cast("long").alias("bu_sum"))
+    wrem = W.orderBy(F.desc("rem"), "seg")
+    wall = W.partitionBy()
+    alloc = (
+        seg_fc.crossJoin(F.broadcast(top_fc))
+        .crossJoin(F.broadcast(tot_seg))
+        .selectExpr(
+            "seg",
+            "fc_seg",
+            "fc_top",
+            "bu_sum",
+            "(fc_top * fc_seg) DIV bu_sum AS base",
+            "(fc_top * fc_seg) % bu_sum AS rem",
+        )
+        .select(
+            "*",
+            (F.col("fc_top") - F.sum("base").over(wall)).alias("leftover"),
+            F.row_number().over(wrem).alias("rk"),
+        )
+        .selectExpr(
+            "seg",
+            "fc_seg AS bottom_up_cents",
+            "base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " AS reconciled_cents",
+            "fc_top",
+            "bu_sum",
+            "fc_top - bu_sum AS discrepancy_cents",
+            "CAST((1000000 * abs(fc_top - bu_sum)) DIV fc_top AS BIGINT)"
+            " AS discrepancy_ppm",
+        )
+    )
+    return alloc.orderBy("seg")
+
+
+FORECAST_RECONCILIATION_SQL = """
+WITH weekly AS (
+  SELECT o_orderpriority AS seg,
+         date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+), last5 AS (
+  SELECT seg, rev FROM (
+    SELECT seg, rev,
+           row_number() OVER (PARTITION BY seg ORDER BY wk DESC) AS rn
+    FROM weekly
+  ) WHERE rn <= 5
+), seg_fc AS (
+  SELECT seg, rev AS fc_seg FROM (
+    SELECT seg, rev, row_number() OVER (PARTITION BY seg ORDER BY rev) AS mr
+    FROM last5
+  ) WHERE mr = 3
+), top5 AS (
+  SELECT trev FROM (
+    SELECT trev, row_number() OVER (ORDER BY wk DESC) AS rn
+    FROM (SELECT wk, CAST(sum(rev) AS BIGINT) AS trev FROM weekly GROUP BY wk)
+  ) WHERE rn <= 5
+), top_fc AS (
+  SELECT CAST(trev AS BIGINT) AS fc_top FROM (
+    SELECT trev, row_number() OVER (ORDER BY trev) AS mr FROM top5
+  ) WHERE mr = 3
+), tot_seg AS (
+  SELECT CAST(sum(fc_seg) AS BIGINT) AS bu_sum FROM seg_fc
+), alloc AS (
+  SELECT seg, fc_seg, fc_top, bu_sum,
+         (fc_top * fc_seg) // bu_sum AS base,
+         (fc_top * fc_seg) % bu_sum AS rem
+  FROM seg_fc, top_fc, tot_seg
+)
+SELECT seg,
+       fc_seg AS bottom_up_cents,
+       base + CASE WHEN row_number() OVER (ORDER BY rem DESC, seg)
+              <= fc_top - sum(base) OVER () THEN 1 ELSE 0 END
+         AS reconciled_cents,
+       fc_top, bu_sum,
+       fc_top - bu_sum AS discrepancy_cents,
+       CAST((1000000 * abs(fc_top - bu_sum)) // fc_top AS BIGINT)
+         AS discrepancy_ppm
+FROM alloc
+ORDER BY seg
+"""
+
+QUERIES["forecast_reconciliation"] = forecast_reconciliation
+ORACLES["forecast_reconciliation"] = FORECAST_RECONCILIATION_SQL
+
+
+# --- forecast_interval_empirical: honest prediction intervals -----------------
+# conformal_interval_orders gives distribution-free intervals for a
+# REGRESSION; a forecaster needs the time-series version — empirical
+# residual quantiles with a TEMPORAL split (shuffled folds would leak
+# the future).  Per event_type: seasonal-naive (lag 7) residuals over
+# the training days (all but the last 7), exact p10/p90 of those
+# residuals by rank probe (rank = ceil(q*(n+1)), clamped), then the
+# interval [fc + r10, fc + r90] is EVALUATED on the 7 held-out days —
+# empirical coverage lands near the nominal 80% if residuals are
+# stationary, and the op emits the per-type coverage so drift shows up
+# as a coverage collapse.  All integer counts; one day-grain shuffle.
+FI_HOLDOUT_DAYS = 7
+
+
+def forecast_interval_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).selectExpr(
+        "event_type AS et", "CAST(ts AS DATE) AS day"
+    )
+    daily = e.groupBy("et", "day").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = W.partitionBy("et").orderBy("day")
+    wd = W.partitionBy("et").orderBy(F.desc("day"))
+    base = daily.select(
+        "et",
+        "day",
+        "y",
+        F.lag("y", 7).over(w).alias("fc"),
+        F.row_number().over(wd).alias("recency"),
+    ).where(F.col("fc").isNotNull())
+    train = base.where(F.col("recency") > FI_HOLDOUT_DAYS).selectExpr(
+        "et", "y - fc AS r"
+    )
+    wr = W.partitionBy("et").orderBy("r")
+    wn = W.partitionBy("et")
+    ranked = train.select(
+        "et",
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qs = ranked.groupBy("et").agg(
+        F.max("n").cast("long").alias("n_train"),
+        F.min(
+            F.when(
+                F.col("rk") >= F.expr("greatest(1, (n + 1) DIV 10)"), F.col("r")
+            )
+        )
+        .cast("long")
+        .alias("r_lo"),
+        F.min(
+            F.when(
+                F.col("rk") >= F.expr("least(n, (9 * (n + 1) + 9) DIV 10)"),
+                F.col("r"),
+            )
+        )
+        .cast("long")
+        .alias("r_hi"),
+    )
+    ev = base.where(F.col("recency") <= FI_HOLDOUT_DAYS).join(
+        F.broadcast(qs), "et"
+    )
+    return (
+        ev.groupBy("et", "n_train", "r_lo", "r_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(
+                    (F.col("y") >= F.col("fc") + F.col("r_lo"))
+                    & (F.col("y") <= F.col("fc") + F.col("r_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .selectExpr(
+            "et AS event_type",
+            "n_train",
+            "r_lo",
+            "r_hi",
+            "n_eval",
+            "n_covered",
+            "CAST((1000000 * n_covered) DIV n_eval AS BIGINT) AS coverage_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+FORECAST_INTERVAL_EMPIRICAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT et, day, y,
+         lag(y, 7) OVER (PARTITION BY et ORDER BY day) AS fc,
+         row_number() OVER (PARTITION BY et ORDER BY day DESC) AS recency
+  FROM daily
+), base_f AS (
+  SELECT * FROM base WHERE fc IS NOT NULL
+), train AS (
+  SELECT et, y - fc AS r FROM base_f WHERE recency > {FI_HOLDOUT_DAYS}
+), ranked AS (
+  SELECT et, r,
+         row_number() OVER (PARTITION BY et ORDER BY r) AS rk,
+         count(*) OVER (PARTITION BY et) AS n
+  FROM train
+), qs AS (
+  SELECT et, CAST(max(n) AS BIGINT) AS n_train,
+         CAST(min(CASE WHEN rk >= greatest(1, (n + 1) // 10) THEN r END)
+           AS BIGINT) AS r_lo,
+         CAST(min(CASE WHEN rk >= least(n, (9 * (n + 1) + 9) // 10) THEN r END)
+           AS BIGINT) AS r_hi
+  FROM ranked GROUP BY et
+)
+SELECT b.et AS event_type, q.n_train, q.r_lo, q.r_hi,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN b.y >= b.fc + q.r_lo AND b.y <= b.fc + q.r_hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST((1000000 * sum(CASE WHEN b.y >= b.fc + q.r_lo
+            AND b.y <= b.fc + q.r_hi THEN 1 ELSE 0 END)) // count(*)
+         AS BIGINT) AS coverage_ppm
+FROM base_f b JOIN qs q USING (et)
+WHERE b.recency <= {FI_HOLDOUT_DAYS}
+GROUP BY b.et, q.n_train, q.r_lo, q.r_hi
+ORDER BY event_type
+"""
+
+QUERIES["forecast_interval_empirical"] = forecast_interval_empirical
+ORACLES["forecast_interval_empirical"] = FORECAST_INTERVAL_EMPIRICAL_SQL

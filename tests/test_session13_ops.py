@@ -1781,3 +1781,79 @@ def test_rank_churn_recompute(spark):
     want = sorted(deltas.items(), key=lambda kv: (-kv[1], kv[0]))[:RANK_CHURN_TOP]
     got = [(r["l_suppkey"], r["rank_delta"]) for r in rows]
     assert got == want
+
+
+# --- forecast_reconciliation -------------------------------------------------
+
+
+def test_reconciliation_sums_exactly(spark):
+    from pdf_craft_spark.queries.timeseries import forecast_reconciliation
+
+    rows = forecast_reconciliation(spark, SF01).collect()
+    fc_top = rows[0]["fc_top"]
+    assert sum(r["reconciled_cents"] for r in rows) == fc_top
+    assert all(r["discrepancy_cents"] == fc_top - r["bu_sum"] for r in rows)
+    # reconciled allocation stays proportional within one cent of ideal
+    bu = sum(r["bottom_up_cents"] for r in rows)
+    for r in rows:
+        ideal = fc_top * r["bottom_up_cents"] / bu
+        assert abs(r["reconciled_cents"] - ideal) < 1.0
+
+
+def test_reconciliation_constant_series_coherent():
+    """On a constant series medians ARE linear -> discrepancy 0."""
+    from pdf_craft_spark.queries.timeseries import FORECAST_RECONCILIATION_SQL
+
+    con = duckdb.connect()
+    vals = []
+    for wk in range(8):
+        for seg in ("A", "B"):
+            vals.append(
+                f"('{seg}', TIMESTAMP '2001-01-01' + INTERVAL ({wk * 7}) DAY, 100.0)"
+            )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(o_orderpriority, o_orderdate, o_totalprice)"
+    )
+    rows = con.execute(FORECAST_RECONCILIATION_SQL).fetchall()
+    assert all(r[5] == 0 for r in rows)  # discrepancy_cents
+    assert all(r[1] == r[2] == 10000 for r in rows)
+
+
+# --- forecast_interval_empirical ---------------------------------------------
+
+
+def test_interval_quantiles_from_train_only(spark):
+    """Recompute each type's residual p10/p90 in python using ONLY the
+    training days; held-out coverage must match the op."""
+    from pdf_craft_spark.queries.timeseries import (
+        FI_HOLDOUT_DAYS,
+        forecast_interval_empirical,
+    )
+
+    rows = {r["event_type"]: r for r in
+            forecast_interval_empirical(spark, SF).collect()}
+    con = _duck(SF, ("events",))
+    recs = con.execute(
+        """SELECT event_type, CAST(ts AS DATE), count(*)
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for et, d, y in recs:
+        series[et].append(y)
+    for et, ys in series.items():
+        pairs = [(ys[i - 7], ys[i]) for i in range(7, len(ys))]
+        train = pairs[: len(pairs) - FI_HOLDOUT_DAYS]
+        hold = pairs[len(pairs) - FI_HOLDOUT_DAYS:]
+        rs = sorted(y - fc for fc, y in train)
+        n = len(rs)
+        r_lo = rs[max(1, (n + 1) // 10) - 1]
+        r_hi = rs[min(n, (9 * (n + 1) + 9) // 10) - 1]
+        got = rows[et]
+        assert got["n_train"] == n
+        assert got["r_lo"] == r_lo and got["r_hi"] == r_hi, et
+        cov = sum(1 for fc, y in hold if fc + r_lo <= y <= fc + r_hi)
+        assert got["n_covered"] == cov
