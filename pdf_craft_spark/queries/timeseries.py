@@ -1687,7 +1687,12 @@ ORACLES["seasonality_strength_index"] = SEASONALITY_STRENGTH_INDEX_SQL
 # remainder on the bottom-up shares, emitted per segment so the hash
 # pins the whole reconciled vector, whose sum equals the top forecast
 # EXACTLY by construction.  Medians of 5 are exact 3rd order stats via
-# a row_number window over each series' last five weeks.
+# a row_number window over each series' last five weeks.  Allocation
+# weights are staged in hundred-dollar units (fc_seg DIV 10000) so the
+# largest-remainder product fc_top * w stays within int64 through SF10
+# (the raw-cents product overflowed at sf0.1 — caught by the 10x parity
+# gate); the exact-sum property is unaffected, proportionality is exact
+# to one weight quantum (~0.001% here).
 def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").selectExpr(
         "o_orderpriority AS seg",
@@ -1724,8 +1729,23 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fc_seg",
             "fc_top",
             "bu_sum",
-            "(fc_top * fc_seg) DIV bu_sum AS base",
-            "(fc_top * fc_seg) % bu_sum AS rem",
+            "greatest(CAST(1 AS BIGINT), fc_seg DIV 10000) AS w",
+        )
+        .selectExpr(
+            "seg",
+            "fc_seg",
+            "fc_top",
+            "bu_sum",
+            "w",
+            "sum(w) OVER () AS wt",
+        )
+        .selectExpr(
+            "seg",
+            "fc_seg",
+            "fc_top",
+            "bu_sum",
+            "(fc_top * w) DIV wt AS base",
+            "(fc_top * w) % wt AS rem",
         )
         .select(
             "*",
@@ -1778,9 +1798,14 @@ WITH weekly AS (
   SELECT CAST(sum(fc_seg) AS BIGINT) AS bu_sum FROM seg_fc
 ), alloc AS (
   SELECT seg, fc_seg, fc_top, bu_sum,
-         (fc_top * fc_seg) // bu_sum AS base,
-         (fc_top * fc_seg) % bu_sum AS rem
-  FROM seg_fc, top_fc, tot_seg
+         (fc_top * w) // wt AS base,
+         (fc_top * w) % wt AS rem
+  FROM (
+    SELECT seg, fc_seg, fc_top, bu_sum,
+           greatest(CAST(1 AS BIGINT), fc_seg // 10000) AS w,
+           sum(greatest(CAST(1 AS BIGINT), fc_seg // 10000)) OVER () AS wt
+    FROM seg_fc, top_fc, tot_seg
+  )
 )
 SELECT seg,
        fc_seg AS bottom_up_cents,
