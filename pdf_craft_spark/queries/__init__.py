@@ -24,6 +24,7 @@ from pdf_craft_spark.queries import (
     bookmetaq,
     graphq,
     checkpointq,
+    corpusops,
     dedup,
     multimodalq,
     pipelineq,
@@ -71,6 +72,7 @@ for mod in (
     stats2,
     analyticsq,
     tpchx,
+    corpusops,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
