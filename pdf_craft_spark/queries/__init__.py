@@ -25,6 +25,7 @@ from pdf_craft_spark.queries import (
     graphq,
     checkpointq,
     corpusops,
+    corpusops2,
     dedup,
     multimodalq,
     pipelineq,
@@ -73,6 +74,7 @@ for mod in (
     analyticsq,
     tpchx,
     corpusops,
+    corpusops2,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
