@@ -26,6 +26,7 @@ from pdf_craft_spark.queries import (
     checkpointq,
     corpusops,
     corpusops2,
+    corpusops3,
     dedup,
     multimodalq,
     pipelineq,
@@ -75,6 +76,7 @@ for mod in (
     tpchx,
     corpusops,
     corpusops2,
+    corpusops3,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
