@@ -299,6 +299,23 @@ HEADLINE = [
     "rank_churn_report",
     "forecast_reconciliation",
     "forecast_interval_empirical",
+    # round-5 session-14 additions (corpusops batches)
+    "phrase_query_positional",
+    "ols_normal_equations",
+    "corpus_tv_distance_by_source",
+    "dedup_saturation_curve",
+    "epoch_shuffle_plan",
+    "chi2_terms_by_source",
+    "blocking_quality_eval",
+    "curve_locality_eval",
+    "edit1_blocking_pairs",
+    "zipf_rank_frequency",
+    "group_kfold_assignment",
+    "mad_price_by_brand",
+    "graph_edge_support",
+    "temperature_mixture_weights",
+    "dedup_containment_topk",
+    "kwic_contexts",
 ]
 
 

@@ -27,6 +27,7 @@ from pdf_craft_spark.queries import (
     corpusops,
     corpusops2,
     corpusops3,
+    corpusops4,
     dedup,
     multimodalq,
     pipelineq,
@@ -77,6 +78,7 @@ for mod in (
     corpusops,
     corpusops2,
     corpusops3,
+    corpusops4,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
