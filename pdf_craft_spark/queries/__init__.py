@@ -28,6 +28,7 @@ from pdf_craft_spark.queries import (
     corpusops2,
     corpusops3,
     corpusops4,
+    corpusops5,
     dedup,
     multimodalq,
     pipelineq,
@@ -79,6 +80,7 @@ for mod in (
     corpusops2,
     corpusops3,
     corpusops4,
+    corpusops5,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
