@@ -29,6 +29,7 @@ from pdf_craft_spark.queries import (
     corpusops3,
     corpusops4,
     corpusops5,
+    corpusops6,
     dedup,
     multimodalq,
     pipelineq,
@@ -81,6 +82,7 @@ for mod in (
     corpusops3,
     corpusops4,
     corpusops5,
+    corpusops6,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,210 @@
+"""Property tests for the session-14 ops (exact tied-rank AUC, CUPED,
+window-rank semantics matrix, term burstiness, market HHI).  Oracle
+parity is covered by test_oracle_parity; these pin the claims the parity
+hash can't see: AUC is exactly the Mann-Whitney identity on a
+hand-checkable series (including ties), the nearest-centroid scorer
+beats chance on the real corpus, CUPED's adjusted effect equals the
+hand-derived theta-correction, the float window functions equal their
+integer num/den identities row-for-row, burstiness VMR has its
+Bernoulli floor, and HHI is bounded by [1/k, 1] with the degenerate
+single-brand case at exactly 1."""
+
+from __future__ import annotations
+
+import duckdb
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+# --- auc_exact_eval ----------------------------------------------------------
+
+
+def test_auc_matches_sklearn_style_reference(spark):
+    """Exact tied-rank AUC on the real corpus == the O(n^2) pair-count
+    definition (ties count half), computed in pure Python."""
+    from pdf_craft_spark.queries.corpusops6 import auc_exact_eval
+
+    rows = auc_exact_eval(spark, SF01).collect()
+    assert len(rows) == 3
+
+    # recompute scores exactly as the op defines them
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF01}/embeddings.parquet'"
+    )
+    scored = con.execute(
+        """
+        WITH q AS (
+          SELECT vec_id, label, i AS pos,
+                 CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT) AS qv
+          FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                       unnest(range(len(embedding))) AS i FROM embeddings)
+        ), cent AS (
+          SELECT label AS cl, pos, SUM(qv) AS csum
+          FROM q WHERE label IN (0,1,2) GROUP BY 1,2
+        )
+        SELECT cl, MIN(label) AS lbl, SUM(qv*csum) AS score
+        FROM q JOIN cent USING (pos) GROUP BY cl, vec_id
+        """
+    ).fetchall()
+    by_label = {r["label"]: r for r in (row.asDict() for row in rows)}
+    for cl in (0, 1, 2):
+        pos = [s for c, l, s in scored if c == cl and l == cl]
+        neg = [s for c, l, s in scored if c == cl and l != cl]
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+        )
+        auc = wins / (len(pos) * len(neg))
+        got = by_label[cl]
+        assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+        assert got["auc_micro"] == round(auc * 1_000_000)
+        # nearest-centroid must beat chance on its own label
+        assert got["auc_micro"] > 500_000
+
+
+# --- cuped_adjustment --------------------------------------------------------
+
+
+def test_cuped_identity_and_bounds(spark):
+    """diff_cuped == diff_raw - theta * (xbar1 - xbar0), re-derived from
+    the per-user table in DuckDB; rho2 in [0, 1e6]."""
+    from pdf_craft_spark.queries.corpusops6 import cuped_adjustment
+
+    row = cuped_adjustment(spark, SF01).collect()[0].asDict()
+    assert row["n"] == row["n0"] + row["n1"] and row["n0"] > 0 and row["n1"] > 0
+    assert 0 <= row["rho2_ppm"] <= 1_000_000
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF01}/events.parquet'")
+    us = con.execute(
+        """
+        SELECT user_id,
+               SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+                        THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) AS x,
+               SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                        THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+        """
+    ).fetchall()
+    n = len(us)
+    sx = sum(x for _, x, _ in us)
+    sy = sum(y for _, _, y in us)
+    sxy = sum(x * y for _, x, y in us)
+    sxx = sum(x * x for _, x, _ in us)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    t = [(x, y) for u, x, y in us if u % 2 == 1]
+    c = [(x, y) for u, x, y in us if u % 2 == 0]
+    dy = sum(y for _, y in t) / len(t) - sum(y for _, y in c) / len(c)
+    dx = sum(x for x, _ in t) / len(t) - sum(x for x, _ in c) / len(c)
+    assert row["theta_micro"] == round(theta * 1_000_000)
+    assert row["diff_raw_micro"] == round(dy * 1_000_000)
+    assert row["diff_cuped_micro"] == round((dy - theta * dx) * 1_000_000)
+
+
+# --- window_rank_semantics_matrix --------------------------------------------
+
+
+def test_rank_matrix_float_integer_identities(spark):
+    """percent_rank == pr_num/pr_den and cume_dist == cd_num/cd_den in
+    EXACT IEEE terms on every sampled row; rank/dense_rank/row_number
+    obey their order constraints."""
+    from pdf_craft_spark.queries.corpusops6 import (
+        window_rank_semantics_matrix,
+    )
+
+    rows = [r.asDict() for r in window_rank_semantics_matrix(spark, SF01).collect()]
+    assert len(rows) > 50
+    saw_tie = False
+    for r in rows:
+        assert r["percent_rank_d"] == r["pr_num"] / r["pr_den"]
+        assert r["cume_dist_d"] == r["cd_num"] / r["cd_den"]
+        assert r["drnk"] <= r["rnk"] <= r["rn"] or r["rnk"] >= r["rn"] - (
+            r["cd_num"] - r["rnk"]
+        )  # rn lies within the tie block starting at rnk
+        assert 1 <= r["nt4"] <= 4
+        if r["cd_num"] > r["rnk"]:
+            saw_tie = True
+    assert saw_tie, "banding must produce real ties or the matrix is vacuous"
+
+
+# --- term_burstiness ---------------------------------------------------------
+
+
+def test_burstiness_bernoulli_floor_and_bounds(spark):
+    """For a token with all per-doc counts == 1, VMR = 1 - df/N (the
+    Bernoulli floor, < 1); any VMR above 1 requires a repeated token in
+    some doc.  df and tf_sum are consistent."""
+    from pdf_craft_spark.queries.corpusops6 import term_burstiness
+
+    rows = [r.asDict() for r in term_burstiness(spark, SF01).collect()]
+    assert len(rows) >= 25  # the 30-token closed vocabulary, minus rares
+    n_docs = duckdb.execute(
+        f"SELECT COUNT(*) FROM '{SF01}/documents.parquet'"
+    ).fetchone()[0]
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        assert r["tf_sum"] >= r["df"]
+        assert r["df_ppm"] == 1_000_000 * r["df"] // n_docs
+        if r["tf_sum"] == r["df"]:  # all counts are exactly 1
+            expect = round(1_000_000 * (n_docs - r["df"]) / n_docs)
+            assert r["vmr_micro"] == expect
+        assert r["vmr_micro"] >= 0
+
+
+def test_burstiness_planted_burst():
+    """A planted corpus: 'aaa' once in each of 8 docs (VMR floor), 'bbb'
+    8 times in one doc of 8 (bursty, VMR > 1)."""
+    from pdf_craft_spark.queries.corpusops6 import TERM_BURSTINESS_SQL
+
+    con = duckdb.connect()
+    docs = ["aaa bbb" + " bbb" * 7] + ["aaa"] * 7
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) AS t(doc_id, text)"
+    )
+    got = {r[0]: r for r in con.execute(TERM_BURSTINESS_SQL).fetchall()}
+    # aaa: df=8, sc=8, sq=8 -> VMR = (64-64)/64 = 0
+    assert got["aaa"][1] == 8 and got["aaa"][4] == 0
+    # bbb: df=1, sc=8, sq=64 -> VMR = (8*64-64)/(8*8) = 7.0
+    assert got["bbb"][1] == 1 and got["bbb"][4] == 7_000_000
+
+
+# --- market_concentration_hhi ------------------------------------------------
+
+
+def test_hhi_bounds_and_monopoly_case(spark):
+    """HHI in [1e6/k, 1e6] per nation on the real corpus; a planted
+    single-brand market scores exactly 1e6 through the oracle."""
+    from pdf_craft_spark.queries.corpusops6 import (
+        MARKET_CONCENTRATION_HHI_SQL,
+        market_concentration_hhi,
+    )
+
+    rows = [r.asDict() for r in market_concentration_hhi(spark, SF01).collect()]
+    assert len(rows) == 25
+    for r in rows:
+        assert r["t_dollars"] > 0
+        lo = round(1_000_000 / r["n_brands"]) - 1
+        assert lo <= r["hhi_micro"] <= 1_000_000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES (1, 1, 500.0), (1, 2, 250.0)) "
+        "AS t(l_orderkey, l_partkey, l_extendedprice)"
+    )
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES (1, 1)) AS t(o_orderkey, o_custkey)"
+    )
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM (VALUES (1, 1)) AS t(c_custkey, c_nationkey)"
+    )
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM (VALUES (1, 'X')) AS t(n_nationkey, n_name)"
+    )
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM (VALUES (1, 'B1'), (2, 'B1')) "
+        "AS t(p_partkey, p_brand)"
+    )
+    row = con.execute(MARKET_CONCENTRATION_HHI_SQL).fetchone()
+    assert row == ("X", 1, 750, 1_000_000)
