@@ -30,6 +30,7 @@ from pdf_craft_spark.queries import (
     corpusops4,
     corpusops5,
     corpusops6,
+    corpusops7,
     dedup,
     multimodalq,
     pipelineq,
@@ -83,6 +84,7 @@ for mod in (
     corpusops4,
     corpusops5,
     corpusops6,
+    corpusops7,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -208,3 +208,127 @@ def test_hhi_bounds_and_monopoly_case(spark):
     )
     row = con.execute(MARKET_CONCENTRATION_HHI_SQL).fetchone()
     assert row == ("X", 1, 750, 1_000_000)
+
+
+# --- er_jaro_winkler_pairs ----------------------------------------------------
+
+
+def test_jaro_winkler_kernel_matches_duckdb_builtin_exactly():
+    """Two independent implementations (our kernel, DuckDB's builtin) on
+    textbook + fuzz cases: EXACT double equality (the parity claim)."""
+    import random
+    import string
+
+    import duckdb
+
+    from pdf_craft_spark.queries.corpusops7 import _jaro_winkler
+
+    con = duckdb.connect()
+    cases = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("abc", "abc"),
+        ("a", "b"),
+        ("cold widget", "old widget"),
+    ]
+    rng = random.Random(14)
+    for _ in range(500):
+        a = "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(1, 10)))
+        b = "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(1, 10)))
+        cases.append((a, b))
+    for a, b in cases:
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler(a, b) == d, (a, b)
+
+
+def test_jaro_winkler_pairs_blocked_and_bounded(spark):
+    from pdf_craft_spark.queries.corpusops7 import er_jaro_winkler_pairs
+
+    rows = [r.asDict() for r in er_jaro_winkler_pairs(spark, SF01).collect()]
+    assert len(rows) > 50
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].endswith(r["block"]) and r["name_b"].endswith(r["block"])
+        assert 0.0 <= r["jw_d"] <= 1.0
+    # same-noun near-identical modifiers must rank near the top
+    top = max(rows, key=lambda r: r["jw_d"])
+    assert top["jw_d"] > 0.9
+
+
+# --- mutual_nn_pairs ----------------------------------------------------------
+
+
+def test_mutual_nn_symmetric_and_label_coherent(spark):
+    """Every reported pair is mutually-best within its bucket's candidate
+    set (re-derived via the oracle CTE), and pairs agree on label more
+    often than the 10-label chance rate."""
+    from pdf_craft_spark.queries.corpusops7 import mutual_nn_pairs
+
+    rows = [r.asDict() for r in mutual_nn_pairs(spark, SF01).collect()]
+    assert len(rows) > 20
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        key = (r["vec_a"], r["vec_b"])
+        assert key not in seen
+        seen.add(key)
+    # structural claim: every pair is mutually-best — re-derive each side's
+    # best candidate from the oracle's own CTE chain and check agreement.
+    # (No label-coherence claim: the sf0.01 embeddings are deliberately
+    # ISOTROPIC — labels are independent of geometry, so mutual-NN label
+    # agreement sits at the 1/10 chance rate by design; see ann_frontier.)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF01}/embeddings.parquet'"
+    )
+    from pdf_craft_spark.queries.corpusops7 import MUTUAL_NN_PAIRS_SQL
+
+    best = con.execute(
+        MUTUAL_NN_PAIRS_SQL.split("), mutual AS")[0].replace("WITH q AS", "WITH q AS")
+        + ") SELECT src, prt FROM best WHERE rk = 1"
+    ).fetchall()
+    best_map = dict(best)
+    for r in rows:
+        assert best_map[r["vec_a"]] == r["vec_b"]
+        assert best_map[r["vec_b"]] == r["vec_a"]
+
+
+# --- lift_gains_table ---------------------------------------------------------
+
+
+def test_lift_gains_monotone_and_consistent(spark):
+    from pdf_craft_spark.queries.corpusops7 import lift_gains_table
+
+    rows = sorted(
+        (r.asDict() for r in lift_gains_table(spark, SF01).collect()),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # gains are cumulative-monotone and end at exactly 100%
+    gains = [r["gains_ppm"] for r in rows]
+    assert gains == sorted(gains)
+    assert rows[-1]["gains_ppm"] == 1_000_000
+    assert rows[-1]["cum_pos"] == sum(r["n_pos"] for r in rows)
+    # the top decile of a better-than-chance scorer must over-capture
+    assert rows[0]["lift_micro"] > 1_000_000
+    # the final lift is exactly 1.0 by construction
+    assert rows[-1]["lift_micro"] == 1_000_000
+
+
+# --- filter_disparate_impact --------------------------------------------------
+
+
+def test_disparate_impact_reference_group_and_flag(spark):
+    from pdf_craft_spark.queries.corpusops7 import filter_disparate_impact
+
+    rows = [r.asDict() for r in filter_disparate_impact(spark, SF01).collect()]
+    assert len(rows) == 5  # the 5 corpus languages
+    best = max(r["pass_ppm"] for r in rows)
+    for r in rows:
+        assert r["pass_ppm"] == 1_000_000 * r["n_pass"] // r["n"]
+        assert r["impact_ppm"] == 1_000_000 * r["pass_ppm"] // best
+        assert r["below_80pct_rule"] == (1 if r["impact_ppm"] < 800_000 else 0)
+    assert any(r["impact_ppm"] == 1_000_000 for r in rows)  # the reference group
