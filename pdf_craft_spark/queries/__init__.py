@@ -31,6 +31,7 @@ from pdf_craft_spark.queries import (
     corpusops5,
     corpusops6,
     corpusops7,
+    corpusops8,
     dedup,
     multimodalq,
     pipelineq,
@@ -85,6 +86,7 @@ for mod in (
     corpusops5,
     corpusops6,
     corpusops7,
+    corpusops8,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

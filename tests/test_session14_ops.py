@@ -332,3 +332,114 @@ def test_disparate_impact_reference_group_and_flag(spark):
         assert r["impact_ppm"] == 1_000_000 * r["pass_ppm"] // best
         assert r["below_80pct_rule"] == (1 if r["impact_ppm"] < 800_000 else 0)
     assert any(r["impact_ppm"] == 1_000_000 for r in rows)  # the reference group
+
+
+# --- token_budget_waterfill ---------------------------------------------------
+
+
+def test_waterfill_planted_skew():
+    """Skewed counts through the oracle: sources (10, 20, 1000, 2000)
+    tokens, B = 60% of 3030 = 1818 -> the two small sources are fully
+    funded, the two big ones capped at level (1818-30)//2 = 894."""
+    from pdf_craft_spark.queries.corpusops8 import TOKEN_BUDGET_WATERFILL_SQL
+
+    con = duckdb.connect()
+    docs = []
+    for i, (src, n) in enumerate([("a", 10), ("b", 20), ("c", 1000), ("d", 2000)]):
+        docs.append((i, " ".join(["tok"] * n), src))
+    vals = ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in docs)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) AS t(doc_id, text, source)"
+    )
+    got = {r[0]: r for r in con.execute(TOKEN_BUDGET_WATERFILL_SQL).fetchall()}
+    assert got["a"] == ("a", 10, 1818, 10, 0, 894)
+    assert got["b"] == ("b", 20, 1818, 20, 0, 894)
+    assert got["c"] == ("c", 1000, 1818, 894, 1, 894)
+    assert got["d"] == ("d", 2000, 1818, 894, 1, 894)
+
+
+def test_waterfill_budget_respected(spark):
+    """On the real corpus: allocations never exceed the budget, leftover
+    is bounded by the number of capped sources, and every capped source
+    had more tokens than the level."""
+    from pdf_craft_spark.queries.corpusops8 import token_budget_waterfill
+
+    rows = [r.asDict() for r in token_budget_waterfill(spark, SF01).collect()]
+    assert len(rows) == 20
+    budget = rows[0]["budget"]
+    total_alloc = sum(r["alloc"] for r in rows)
+    n_capped = sum(r["capped"] for r in rows)
+    assert total_alloc <= budget
+    assert budget - total_alloc < max(n_capped, 1)
+    for r in rows:
+        assert r["alloc"] <= r["tokens"]
+        if r["capped"]:
+            assert r["tokens"] > r["level"] >= 0
+        else:
+            assert r["alloc"] == r["tokens"]
+
+
+# --- hierarchy_share_of_parent --------------------------------------------------
+
+
+def test_hierarchy_shares_sum_within_parent(spark):
+    from collections import defaultdict
+
+    from pdf_craft_spark.queries.corpusops8 import hierarchy_share_of_parent
+
+    rows = [r.asDict() for r in hierarchy_share_of_parent(spark, SF01).collect()]
+    assert len(rows) == 25
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r["r_name"]].append(r)
+    region_share_total = 0
+    for reg, rs in by_region.items():
+        s = sum(r["nation_share_ppm"] for r in rs)
+        # integer DIV floors each share: sum within (1e6 - k, 1e6]
+        assert 1_000_000 - len(rs) < s <= 1_000_000
+        assert len({r["region_share_ppm"] for r in rs}) == 1
+        region_share_total += rs[0]["region_share_ppm"]
+    assert 1_000_000 - len(by_region) < region_share_total <= 1_000_000
+
+
+# --- fd_discovery_matrix --------------------------------------------------------
+
+
+def test_fd_matrix_identities(spark):
+    """n_pair >= n_det always; fd_holds iff equality; the (yr -> mon)
+    pair cannot hold (each year has 12 months) while any self-consistent
+    derived FD the corpus does satisfy must be flagged 1."""
+    from pdf_craft_spark.queries.corpusops8 import fd_discovery_matrix
+
+    rows = [r.asDict() for r in fd_discovery_matrix(spark, SF01).collect()]
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_pair"] >= r["n_det"] >= 1
+        assert r["fd_holds"] == (1 if r["n_pair"] == r["n_det"] else 0)
+        assert r["violation_ppm"] == 1_000_000 * (r["n_pair"] - r["n_det"]) // r["n_pair"]
+    yr_mon = next(r for r in rows if r["det"] == "yr" and r["dep"] == "mon")
+    assert yr_mon["fd_holds"] == 0
+
+
+# --- pareto_concentration_report -------------------------------------------------
+
+
+def test_pareto_monotone_and_exact_k(spark):
+    import duckdb as _duck
+
+    from pdf_craft_spark.queries.corpusops8 import pareto_concentration_report
+
+    rows = sorted(
+        (r.asDict() for r in pareto_concentration_report(spark, SF01).collect()),
+        key=lambda r: r["top_pct"],
+    )
+    assert [r["top_pct"] for r in rows] == [1, 5, 10, 20, 50]
+    n = _duck.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF01}/orders.parquet'"
+    ).fetchone()[0]
+    shares = [r["share_ppm"] for r in rows]
+    assert shares == sorted(shares)
+    for r in rows:
+        assert r["k_customers"] == (r["top_pct"] * n + 99) // 100
+        # top p% always holds at least p% of revenue (sorted desc)
+        assert r["share_ppm"] >= r["top_pct"] * 10_000 - 1
