@@ -32,6 +32,7 @@ from pdf_craft_spark.queries import (
     corpusops6,
     corpusops7,
     corpusops8,
+    corpusops9,
     dedup,
     multimodalq,
     pipelineq,
@@ -87,6 +88,7 @@ for mod in (
     corpusops6,
     corpusops7,
     corpusops8,
+    corpusops9,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

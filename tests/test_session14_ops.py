@@ -443,3 +443,135 @@ def test_pareto_monotone_and_exact_k(spark):
         assert r["k_customers"] == (r["top_pct"] * n + 99) // 100
         # top p% always holds at least p% of revenue (sorted desc)
         assert r["share_ppm"] >= r["top_pct"] * 10_000 - 1
+
+
+# --- graph_degree_assortativity -------------------------------------------------
+
+
+def test_assortativity_planted_graphs():
+    """A star graph is maximally disassortative (r = -1); through the
+    oracle on a planted basket table."""
+    from pdf_craft_spark.queries.corpusops9 import (
+        GRAPH_DEGREE_ASSORTATIVITY_SQL,
+    )
+
+    con = duckdb.connect()
+    # star: hub part 0 co-ordered (twice, to clear sup>=2) with parts 1..5
+    rows = []
+    ok = 0
+    for leaf in range(1, 6):
+        for rep in range(2):
+            ok += 1
+            rows.append((ok, 0))
+            rows.append((ok, leaf))
+    vals = ", ".join(f"({o}, {p})" for o, p in rows)
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM (VALUES {vals}) AS t(l_orderkey, l_partkey)"
+    )
+    m, r = con.execute(GRAPH_DEGREE_ASSORTATIVITY_SQL).fetchone()
+    assert m == 10  # 5 undirected edges, both orientations
+    assert r == -1_000_000
+
+
+def test_assortativity_near_zero_on_random_corpus(spark):
+    from pdf_craft_spark.queries.corpusops9 import graph_degree_assortativity
+
+    row = graph_degree_assortativity(spark, SF01).collect()[0]
+    assert row.n_directed_edges > 1000
+    assert abs(row.assortativity_micro) < 100_000  # random graph ~ 0
+
+
+# --- cluster_sample_design_effect -----------------------------------------------
+
+
+def test_design_effect_planted_clustering():
+    """Clusters with identical within-cluster values (perfect ICC=1)
+    give DEFF = m; independent values give ICC ~ 0."""
+    from pdf_craft_spark.queries.corpusops9 import (
+        CLUSTER_SAMPLE_DESIGN_EFFECT_SQL,
+        CLUSTER_TAKE,
+    )
+
+    con = duckdb.connect()
+    rows = []
+    eid = 0
+    # 30 clusters, each user's 20 events all equal to user-specific value
+    for u in range(30):
+        for i in range(CLUSTER_TAKE):
+            eid += 1
+            rows.append((eid, u, f"2024-01-{(i % 28) + 1:02d}", 10.0 + u))
+    vals = ", ".join(
+        f"({e}, {u}, TIMESTAMP '{d} 00:00:00', {v})" for e, u, d, v in rows
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+        "AS t(event_id, user_id, ts, value)"
+    )
+    k, n, icc, deff = con.execute(CLUSTER_SAMPLE_DESIGN_EFFECT_SQL).fetchone()
+    assert (k, n) == (30, 600)
+    assert icc == 1_000_000  # all within-cluster variance is zero
+    assert deff == CLUSTER_TAKE * 1_000_000  # DEFF = 1 + (m-1)*1 = m
+
+
+def test_design_effect_real_corpus_near_one(spark):
+    from pdf_craft_spark.queries.corpusops9 import cluster_sample_design_effect
+
+    row = cluster_sample_design_effect(spark, SF01).collect()[0]
+    assert row.n_clusters > 100
+    # event values are iid across users: DEFF must hover near 1
+    assert 700_000 < row.deff_micro < 1_400_000
+
+
+# --- did_estimator ---------------------------------------------------------------
+
+
+def test_did_hand_computed(spark):
+    from pdf_craft_spark.queries.corpusops9 import did_estimator
+
+    row = did_estimator(spark, SF01).collect()[0].asDict()
+    cells = duckdb.execute(
+        f"""
+        SELECT user_id % 2 AS arm,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 0 ELSE 1 END AS period,
+               COUNT(*) AS n,
+               SUM(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT)) AS s
+        FROM '{SF01}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    d = {(a, p): (n, s) for a, p, n, s in cells}
+    did = (d[(1, 1)][1] / d[(1, 1)][0] - d[(1, 0)][1] / d[(1, 0)][0]) - (
+        d[(0, 1)][1] / d[(0, 1)][0] - d[(0, 0)][1] / d[(0, 0)][0]
+    )
+    assert row["did_micro_cents"] == round(did * 1_000_000)
+    assert row["n_treat_post"] == d[(1, 1)][0]
+
+
+# --- ltv_cohort_curve -------------------------------------------------------------
+
+
+def test_ltv_curve_monotone_per_cohort(spark):
+    from collections import defaultdict
+
+    from pdf_craft_spark.queries.corpusops9 import ltv_cohort_curve
+
+    rows = [r.asDict() for r in ltv_cohort_curve(spark, SF01).collect()]
+    assert len(rows) >= 20
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        assert rs[0]["age"] == 0
+        cum = 0
+        for r in rs:
+            cum += r["rev_cents"]
+            assert r["cum_rev_cents"] == cum
+            assert (
+                r["ltv_micro_cents"]
+                == 1_000_000 * r["cum_rev_cents"] // r["cohort_users"]
+            )
+        # curves only grow
+        ltvs = [r["ltv_micro_cents"] for r in rs]
+        assert ltvs == sorted(ltvs)
+    # the 1995 cohort spans the full 7-year window
+    assert max(r["age"] for r in by_cohort[1995]) == 6
