@@ -316,6 +316,25 @@ HEADLINE = [
     "temperature_mixture_weights",
     "dedup_containment_topk",
     "kwic_contexts",
+    # round-5 session-14 additions: eval/causal/market/profiling classes
+    "sim_binary_hash_topk",
+    "auc_exact_eval",
+    "cuped_adjustment",
+    "window_rank_semantics_matrix",
+    "term_burstiness",
+    "market_concentration_hhi",
+    "er_jaro_winkler_pairs",
+    "mutual_nn_pairs",
+    "lift_gains_table",
+    "filter_disparate_impact",
+    "token_budget_waterfill",
+    "hierarchy_share_of_parent",
+    "fd_discovery_matrix",
+    "pareto_concentration_report",
+    "graph_degree_assortativity",
+    "cluster_sample_design_effect",
+    "did_estimator",
+    "ltv_cohort_curve",
 ]
 
 
