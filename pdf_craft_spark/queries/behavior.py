@@ -204,29 +204,15 @@ MB_PPM = 1_000_000
 
 
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the deduped basket list feeds FIVE plan branches (both pair sides,
-    # two per-part counts, the order count); materialize it once or
-    # Catalyst re-derives the scan+distinct per branch (measured: 5 scans
-    # / 18 aggregates, 2.3-4.1s -> 1 scan at sf0.1).  localCheckpoint ==
-    # the written basket table a production run would read.
-    li = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= MB_MIN_SUP)
+    # the deduped basket list and the supported pair table are the shared
+    # session artifacts (corpusops3) every basket/graph consumer reads —
+    # the written tables a production run would load (MB_MIN_SUP == the
+    # artifact's support-2 threshold)
+    from pdf_craft_spark.queries.corpusops3 import basket_cached, copurchase_sup_cached
+
+    li = basket_cached(spark, sf_dir)
+    pairs = copurchase_sup_cached(spark, sf_dir).selectExpr(
+        "u AS pa", "v AS pb", "sup AS support"
     )
     cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     n_orders = li.select("l_orderkey").distinct().agg(
@@ -498,25 +484,15 @@ RECSYS_MIN_SUP = 2
 
 
 def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("item"),
-            F.col("b.l_partkey").alias("rec"),
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= RECSYS_MIN_SUP)
+    # directed pair support is symmetric (count of orders holding both
+    # items), so the directed pair table is the two orientations of the
+    # shared undirected artifact — same support-2 threshold, one build
+    from pdf_craft_spark.queries.corpusops3 import basket_cached, copurchase_sup_cached
+
+    li = basket_cached(spark, sf_dir)
+    und = copurchase_sup_cached(spark, sf_dir)
+    pairs = und.selectExpr("u AS item", "v AS rec", "sup AS support").unionAll(
+        und.selectExpr("v AS item", "u AS rec", "sup AS support")
     )
     cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     scored = (
@@ -816,11 +792,13 @@ APRIORI_MIN_SUP = 2
 
 
 def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    it = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        .selectExpr("l_orderkey AS o", "l_partkey AS p")
-        .distinct()
-    )
+    # basket + frequent-pair tables are the shared session artifacts.
+    # Dropping infrequent items cannot change pair support (a sup>=2 pair
+    # implies both members have item-sup>=2), so the artifact's pair
+    # table equals the pairs-over-itf aggregate this op used to rebuild.
+    from pdf_craft_spark.queries.corpusops3 import basket_cached, copurchase_sup_cached
+
+    it = basket_cached(spark, sf_dir).selectExpr("l_orderkey AS o", "l_partkey AS p")
     freq_items = (
         it.groupBy("p")
         .agg(F.count(F.lit(1)).alias("sup"))
@@ -829,13 +807,7 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     itf = it.join(F.broadcast(freq_items), "p").select("o", "p")
     a, b, c = itf.alias("a"), itf.alias("b"), itf.alias("c")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= APRIORI_MIN_SUP)
-        .select("pa", "pb")
-    )
+    pairs = copurchase_sup_cached(spark, sf_dir).selectExpr("u AS pa", "v AS pb")
     cand = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .join(c, (F.col("a.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))

@@ -112,22 +112,50 @@ ORACLES["mad_price_by_brand"] = MAD_PRICE_BY_BRAND_SQL
 TRUSS_TOPK = 50
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+def basket_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session artifact: the deduped (l_orderkey, l_partkey) basket table
+    — the one input the whole market-basket / co-purchase-graph family
+    (pairs, triples, recsys, sssp, link prediction, truss, assortativity)
+    derives from.  At prod this is a written table of the basket-prep
+    job; here the scan+distinct runs once per session instead of once
+    per consumer (guide §2.4: shared exchange)."""
+    from pdf_craft_spark.queries.dedup import session_artifact
+
+    return session_artifact(
+        spark,
+        f"basket:{sf_dir}",
+        lambda: _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
     )
-    a, b = basket.alias("a"), basket.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+
+
+def copurchase_sup_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session artifact: undirected co-purchase edges (u < v) with their
+    support, support >= 2 — the one edge rule sssp / link prediction /
+    edge support / assortativity / market-basket all share (three copies
+    of this recipe used to drift independently; now there is one)."""
+    from pdf_craft_spark.queries.dedup import session_artifact
+
+    def build() -> DataFrame:
+        basket = basket_cached(spark, sf_dir)
+        a, b = basket.alias("a"), basket.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+            .filter(F.col("sup") >= 2)
         )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("u", "v")
-    )
+
+    return session_artifact(spark, f"copurchase_sup:{sf_dir}", build)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_sup_cached(spark, sf_dir).select("u", "v")
 
 
 def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,10 +297,11 @@ CONTAIN_TOPK = 20
 
 
 def dedup_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import _shingle_rows, lsh_pairs_cached
+    from pdf_craft_spark.queries.dedup import lsh_pairs_cached, shingles_cached
 
     pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-    sh = _shingle_rows(_t(spark, sf_dir, "documents")).select("doc_id", "sh").distinct()
+    # the session shingle artifact is already distinct per (doc_id, sh)
+    sh = shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     inter = (
         pairs.join(sh.selectExpr("doc_id AS doc_a", "sh"), "doc_a")

@@ -37,23 +37,11 @@ ASSORT_MIN_SUP = 2
 
 
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = basket.alias("a"), basket.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= ASSORT_MIN_SUP)
-        .select("pa", "pb")
-    )
+    # the shared co-purchase edge artifact (corpusops3) — one edge rule,
+    # built once per session (ASSORT_MIN_SUP == its support-2 threshold)
+    from pdf_craft_spark.queries.corpusops3 import copurchase_sup_cached
+
+    und = copurchase_sup_cached(spark, sf_dir).selectExpr("u AS pa", "v AS pb")
     edges = und.selectExpr("pa AS src", "pb AS dst").unionAll(
         und.selectExpr("pb AS src", "pa AS dst")
     )

@@ -39,6 +39,33 @@ FIXED_ITERS = 3
 _TELEPORT = (15 * SCALE) // 100  # (1 - d) * SCALE with d = 0.85
 
 
+def custsupp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session artifact: the distinct customer<->supplier trading-pair
+    table every bipartite-graph consumer (pagerank, HITS, random walks,
+    maximal matching) derives its edges from — the written edge table at
+    prod, built once per session instead of once per consumer."""
+    from pdf_craft_spark.queries.dedup import session_artifact
+
+    def build() -> DataFrame:
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_custkey"
+        )
+        # dedup on the raw int pair (cheap fixed-width hashing) — string
+        # ids are built by consumers that need them
+        return (
+            li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+            )
+            .distinct()
+        )
+
+    return session_artifact(spark, f"custsupp:{sf_dir}", build)
+
+
 def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring.  The iteration loop runs under a shuffle
     width of defaultParallelism (restored after): the rank vector is one
@@ -60,23 +87,11 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
-        "o_orderkey", "o_custkey"
-    )
-    # dedup on the raw int pair (cheap fixed-width hashing), THEN build
-    # the prefixed string ids — distinct over pre-built strings costs
-    # ~2x in hash/compare work
-    pairs = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .selectExpr(
-            "'c' || CAST(o_custkey AS STRING) AS src",
-            "'s' || CAST(l_suppkey AS STRING) AS dst",
-        )
+    # the shared bipartite trading-pair artifact; prefixed string ids are
+    # a narrow projection over the materialized int pairs
+    pairs = custsupp_cached(spark, sf_dir).selectExpr(
+        "'c' || CAST(cust AS STRING) AS src",
+        "'s' || CAST(supp AS STRING) AS dst",
     )
     edges = pairs.unionByName(
         pairs.selectExpr("dst AS src", "src AS dst")
@@ -638,27 +653,12 @@ LP_TOP = 50
 
 
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds both self-join sides
-    )
-    a, b = basket.alias("a"), basket.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-        # feeds 4 branches (two adjacency directions, the wedge join's
-        # both sides via adj, and the existing-edge anti-join): write-once
-        .localCheckpoint(eager=True)
-    )
+    # the shared co-purchase edge artifact — already materialized, so all
+    # 4 plan branches (two adjacency directions, the wedge join's both
+    # sides via adj, the existing-edge anti-join) read the written table
+    from pdf_craft_spark.queries.corpusops3 import copurchase_sup_cached
+
+    edges = copurchase_sup_cached(spark, sf_dir).selectExpr("u AS pa", "v AS pb")
     adj = edges.selectExpr("pa AS u", "pb AS v").unionAll(
         edges.selectExpr("pb AS u", "pa AS v")
     )
@@ -754,20 +754,9 @@ WALK_LEN = 3
 def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
-        "o_orderkey", "o_custkey"
-    )
-    pairs = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .selectExpr(
-            "'c' || CAST(o_custkey AS STRING) AS src",
-            "'s' || CAST(l_suppkey AS STRING) AS dst",
-        )
+    pairs = custsupp_cached(spark, sf_dir).selectExpr(
+        "'c' || CAST(cust AS STRING) AS src",
+        "'s' || CAST(supp AS STRING) AS dst",
     )
     edges = pairs.unionByName(pairs.selectExpr("dst AS src", "src AS dst"))
     adj = edges.selectExpr(
@@ -871,22 +860,13 @@ SSSP_N_SEEDS = 3
 
 
 def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    basket = (
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = basket.alias("a"), basket.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .selectExpr("pa", "pb", "1000 DIV sup AS w")
+    # the shared co-purchase edge artifact (support >= 2, built once per
+    # session — corpusops3.copurchase_sup_cached); weight derives from
+    # the carried support
+    from pdf_craft_spark.queries.corpusops3 import copurchase_sup_cached
+
+    und = copurchase_sup_cached(spark, sf_dir).selectExpr(
+        "u AS pa", "v AS pb", "1000 DIV sup AS w"
     )
     edges = (
         und.selectExpr("pa AS src", "pb AS dst", "w")
@@ -1005,18 +985,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
-        "o_orderkey", "o_custkey"
-    )
-    edges = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the shared bipartite trading-pair artifact IS the edge table here
+    edges = custsupp_cached(spark, sf_dir)
     custs = edges.select("cust").distinct()
     h = custs.select("cust", F.lit(HITS_SCALE).cast("long").alias("h"))
     for _ in range(HITS_ITERS):
@@ -1295,16 +1265,10 @@ def _maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_craft_spark.queries.dedup import md5_prefix_long_sql
 
     h = md5_prefix_long_sql("concat(cust, '_', supp)", 15, "spark")
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
-        "o_orderkey", "o_custkey"
-    )
+    # edge-hash projection over the shared trading-pair artifact; still
+    # checkpointed because every matching round re-reads the eh column
     edges = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-        .distinct()
+        custsupp_cached(spark, sf_dir)
         .selectExpr("cust", "supp", f"({h}) AS eh")
         .localCheckpoint(eager=True)
     )

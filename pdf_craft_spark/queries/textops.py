@@ -1196,9 +1196,9 @@ ORACLES["rrf_rank_fusion"] = RRF_RANK_FUSION_SQL
 # window count over the shingle key (ONE shuffle, no self-join), then one
 # per-doc aggregate.  Integer ppm output.
 def text_novelty_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import _shingle_rows
+    from pdf_craft_spark.queries.dedup import shingles_cached
 
-    sh = _shingle_rows(_docs(spark, sf_dir))
+    sh = shingles_cached(spark, sf_dir)
     d = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sh")))
     return (
         d.groupBy("doc_id")
