@@ -140,38 +140,37 @@ MNN_BUCKET_BITS = 4
 
 def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
-    ).select(
+    # quantized vectors stay ARRAYS: the per-pair dot is an int64 fold
+    # over zip_with (order-free exact integer sum — any evaluation order
+    # gives the identical value), so the scorer is two BROADCAST joins of
+    # the 1-row-per-vector table plus a projection, replacing the old
+    # exploded (pair x dim) shuffle + aggregate — the shuffle, not the
+    # arithmetic, was the cost (guide §2.3: shuffle fewer bytes).
+    qarr = emb.select(
         "vec_id",
-        "label",
-        "pos",
-        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qv"),
     )
-    codes = (
-        q.filter(F.col("pos") < MNN_BUCKET_BITS)
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("qv") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"),
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("bucket")
-        )
+    bucket_bits = " + ".join(
+        f"CASE WHEN element_at(qv, {p + 1}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(MNN_BUCKET_BITS)
     )
+    codes = qarr.selectExpr("vec_id", f"CAST({bucket_bits} AS BIGINT) AS bucket")
     pa = codes.selectExpr("vec_id AS va", "bucket")
     pb = codes.selectExpr("vec_id AS vb", "bucket")
     pairs = pa.join(pb, "bucket").filter(F.col("va") < F.col("vb")).select("va", "vb")
-    qa = q.selectExpr("vec_id AS va", "pos", "qv AS qa")
-    qb = q.selectExpr("vec_id AS vb", "pos", "qv AS qb")
     dots = (
-        pairs.join(qa, "va")
-        .join(qb, ["vb", "pos"])
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
+        pairs.join(F.broadcast(qarr.selectExpr("vec_id AS va", "qv AS qa")), "va")
+        .join(F.broadcast(qarr.selectExpr("vec_id AS vb", "qv AS qb")), "vb")
+        .select(
+            "va",
+            "vb",
+            F.expr(
+                "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+            ).alias("dot"),
+        )
     )
     edges = dots.selectExpr("va AS src", "vb AS prt", "dot").unionAll(
         dots.selectExpr("vb AS src", "va AS prt", "dot")

@@ -592,9 +592,11 @@ def minhash_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged connected-component labels (doc_id, component) over the
+    near-dup pair graph — the core loop of dedup_components, shared via
+    cc_labels_cached with the downstream canonicalization/modularity
+    consumers (the written component table at prod)."""
     pairs = lsh_pairs_cached(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -608,23 +610,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
+        # the old label rides through the update projection, so the
+        # convergence check is a filter over the materialized round table
+        # instead of a second join per round
+        merged = (
             labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
             .select(
                 labels["doc_id"],
+                F.col("component").alias("oc"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_comp", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("component", "nc")
-            .join(labels.withColumnRenamed("component", "oc"), "doc_id")
-            .filter(F.col("nc") != F.col("oc"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("component") != F.col("oc")).count()
+        labels = merged.select("doc_id", "component")
         if changed == 0:
             break
     else:
@@ -635,6 +636,19 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_components: min-label propagation did not converge "
             f"within 32 rounds ({changed} labels still changing)"
         )
+    return labels
+
+
+def cc_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_artifact(
+        spark, f"cc_labels:{sf_dir}", lambda: _cc_labels(spark, sf_dir)
+    )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    labels = _cc_labels(spark, sf_dir)
     w = W.partitionBy("component")
     return labels.select(
         "doc_id",
@@ -959,7 +973,9 @@ ORACLES["setsim_prefix_join"] = SETSIM_PREFIX_JOIN_SQL
 # representative choice is a deterministic function of (n_chars, doc_id)
 # so reruns and repartitioning cannot flip winners.
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    # reads the written component table (shared with modularity) — the
+    # canonicalization step consumes CC output, it does not re-run CC
+    comp = cc_labels_cached(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
     scored = comp.join(docs, "doc_id")
     w = (

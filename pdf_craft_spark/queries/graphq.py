@@ -765,7 +765,11 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_number() OVER (PARTITION BY src ORDER BY dst) AS rnk",
         "count(1) OVER (PARTITION BY src) AS deg",
     ).localCheckpoint(eager=True)
-    deg = adj.selectExpr("src AS node", "deg").distinct()
+    # one row per node, referenced by every walk step — materialize once
+    # instead of re-distincting the full adjacency per step
+    deg = (
+        adj.selectExpr("src AS node", "deg").distinct().localCheckpoint(eager=True)
+    )
 
     walk = (
         adj.filter("src LIKE 'c%'")
@@ -882,20 +886,23 @@ def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(SSSP_MAX_ROUNDS):
+        # carry the previous distance through the relax aggregate
+        # (min(od) ignores the candidate rows' NULLs), so convergence is
+        # a filter over the materialized round table instead of a second
+        # join per round — one shuffle per round, period (guide §2.4)
+        cand = edges.join(dist.withColumnRenamed("node", "src"), "src").selectExpr(
+            "dst AS node", "dist + w AS d", "CAST(NULL AS BIGINT) AS od"
+        )
         relaxed = (
-            edges.join(dist.withColumnRenamed("node", "src"), "src")
-            .selectExpr("dst AS node", "dist + w AS dist")
-            .unionByName(dist)
+            cand.unionByName(dist.selectExpr("node", "dist AS d", "dist AS od"))
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("d").alias("dist"), F.min("od").alias("od"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            relaxed.join(dist.withColumnRenamed("dist", "od"), "node", "left")
-            .filter(F.col("od").isNull() | (F.col("dist") != F.col("od")))
-            .count()
-        )
-        dist = relaxed
+        changed = relaxed.filter(
+            F.col("od").isNull() | (F.col("dist") != F.col("od"))
+        ).count()
+        dist = relaxed.select("node", "dist")
         if changed == 0:
             break
     else:
@@ -1132,15 +1139,13 @@ def _modularity_of(pairs: DataFrame, labels: DataFrame, name: str) -> DataFrame:
 
 
 def graph_modularity_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_craft_spark.queries.dedup import dedup_components, lsh_pairs_cached
+    from pdf_craft_spark.queries.dedup import cc_labels_cached, lsh_pairs_cached
 
     pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     lpa = graph_label_propagation(spark, sf_dir).selectExpr(
         "doc_id AS v", "community AS c"
     )
-    cc = dedup_components(spark, sf_dir).selectExpr(
-        "doc_id AS v", "component AS c"
-    )
+    cc = cc_labels_cached(spark, sf_dir).selectExpr("doc_id AS v", "component AS c")
     return (
         _modularity_of(pairs, cc, "components")
         .unionByName(_modularity_of(pairs, lpa, "lpa"))

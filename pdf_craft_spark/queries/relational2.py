@@ -642,11 +642,19 @@ def knn_graph_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DOT.format(a="ea", b="eb")) / F.sqrt(F.col("na") * F.col("nb")),
         6,
     )
-    pairs = (
+    # cosine is symmetric bit-for-bit (elementwise products commute and
+    # the fold order is unchanged), so evaluate the interpreted
+    # higher-order dot once per UNORDERED pair (va < vb), materialize,
+    # and mirror — halves the dominant per-pair fold work (guide §1.2:
+    # fix the per-task work).  The checkpoint stops Catalyst re-deriving
+    # the join (and re-paying the dots) into each union branch.
+    half = (
         a.join(b, "label")
-        .filter(F.col("va") != F.col("vb"))
-        .select("label", "va", "vb", cos.alias("cos_sim"))
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("cos_sim"))
+        .localCheckpoint(eager=True)
     )
+    pairs = half.unionAll(half.selectExpr("vb AS va", "va AS vb", "cos_sim"))
     rk = F.row_number().over(
         W.partitionBy("va").orderBy(F.desc("cos_sim"), F.asc("vb"))
     )

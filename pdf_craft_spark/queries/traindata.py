@@ -188,26 +188,20 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (disjoint slices, so total shingling work is one corpus
     pass); at production scale the exploded shingle table would be
     written once and both branches would read it."""
-    from pdf_craft_spark.queries.dedup import _df_cutoff, _shingle_rows, _tokens
+    from pdf_craft_spark.queries.dedup import _df_cutoff, shingles_cached
 
+    # the session shingle artifact replaces both shingling passes (pct is
+    # a pure function of doc_id, so tagging the materialized rows is
+    # row-identical to carrying it through the shingler); the cutoff's
+    # n_train is the distinct doc count over the train slice of the same
+    # artifact — every doc with >= 3 tokens emits >= 1 shingle, so this
+    # equals the old doc-level count without a tokenize pass
     pct = _hash_pct()
-    base = (
-        _docs(spark, sf_dir)
-        .select("doc_id", pct.alias("pct"), _tokens().alias("toks"))
-        .filter(F.size("toks") >= 3)
-    )
-    docs = _shingle_rows(
-        _docs(spark, sf_dir).select("doc_id", pct.alias("pct"), "text"),
-        carry=("pct",),
-    )
+    docs = shingles_cached(spark, sf_dir).withColumn("pct", pct)
     train_rows = docs.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select(
         "doc_id", "sh"
     )
-    # the cutoff's n_train comes from the DOC-level frame (a scan + count,
-    # no shingling) — every doc past the size(toks)>=3 filter emits ≥1
-    # shingle, so this count equals distinct doc_id over train_rows without
-    # paying a third tokenize+shingle+explode pass for a scalar
-    train_docs = base.filter(F.col("pct") < 100 - VAL_PCT - TEST_PCT).select("doc_id")
+    train_docs = train_rows.select("doc_id").distinct()
     # shingles are distinct per doc (_shingle_rows ends in distinct()), so
     # count(*) per shingle in train_rows IS its train document frequency
     train_sh = _df_cutoff(train_rows, train_docs, "sh").select("sh").distinct()
