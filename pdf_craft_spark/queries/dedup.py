@@ -913,19 +913,40 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verify per CANDIDATE PAIR against the collected shingle ARRAYS —
     # size(array_intersect(sa, sb)) is a per-row set intersection, so
-    # the verify stage shuffles |candidates| pair rows, never the
+    # the verify stage handles |candidates| pair rows, never the
     # candidates × shingles row explosion (measured at sf0.1: the
-    # exploded verify was 36 s isolated; the array verify ~4 s)
+    # exploded verify was 36 s isolated; the array verify ~4 s).  The
+    # per-doc array table is one row per DOCUMENT (tiny) while the pair
+    # table is the big side, so the arrays attach via BROADCAST hash
+    # joins — the planner cannot estimate the aggregate's size and was
+    # shuffling ~2 KB of array payload per pair side (~1.2 GB at sf0.1;
+    # guide §2.3/§3.1: never shuffle the heavy payload to meet a tiny
+    # dimension).  The PPJoin LENGTH filter then drops pairs whose set
+    # sizes alone forbid J >= T (J >= 3/5 ⟹ 8·min(n_a,n_b) >=
+    # 3·(n_a+n_b)) BEFORE the intersect — a strictly weaker
+    # precondition of the final predicate, so the output is unchanged.
     arrs = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("arr"))
     return (
-        cand.join(arrs.selectExpr("doc_id AS doc_a", "arr AS sa"), "doc_a")
-        .join(arrs.selectExpr("doc_id AS doc_b", "arr AS sb"), "doc_b")
+        cand.join(F.broadcast(arrs.selectExpr("doc_id AS doc_a", "arr AS sa")), "doc_a")
+        .join(F.broadcast(arrs.selectExpr("doc_id AS doc_b", "arr AS sb")), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "sa",
+            "sb",
+            "CAST(size(sa) AS INT) AS n_a",
+            "CAST(size(sb) AS INT) AS n_b",
+        )
+        .filter(
+            (SETSIM_T_NUM + SETSIM_T_DEN) * F.least("n_a", "n_b")
+            >= SETSIM_T_NUM * (F.col("n_a") + F.col("n_b"))
+        )
         .selectExpr(
             "doc_a",
             "doc_b",
             "CAST(size(array_intersect(sa, sb)) AS BIGINT) AS n_inter",
-            "CAST(size(sa) AS INT) AS n_a",
-            "CAST(size(sb) AS INT) AS n_b",
+            "n_a",
+            "n_b",
         )
         .filter(
             SETSIM_T_DEN * F.col("n_inter")
