@@ -87,11 +87,17 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shared bipartite trading-pair artifact; prefixed string ids are
-    # a narrow projection over the materialized int pairs
+    # the shared bipartite trading-pair artifact.  The rank loop runs on
+    # BIGINT node keys (customer id*2, supplier id*2+1 — bijective): the
+    # million-row edge table then checkpoints and joins as 16 bytes/row
+    # instead of two ~8-char strings, and every per-round hash join keys
+    # on a long.  The 'c…'/'s…' strings the contract returns are rebuilt
+    # in the final 20-row projection — rank arithmetic is key-agnostic,
+    # and the final (rank DESC, node-string) ordering is computed on the
+    # reconstructed strings, so the output is bit-identical.
     pairs = custsupp_cached(spark, sf_dir).selectExpr(
-        "'c' || CAST(cust AS STRING) AS src",
-        "'s' || CAST(supp AS STRING) AS dst",
+        "CAST(cust AS BIGINT) * 2 AS src",
+        "CAST(supp AS BIGINT) * 2 + 1 AS dst",
     )
     edges = pairs.unionByName(
         pairs.selectExpr("dst AS src", "src AS dst")
@@ -129,7 +135,12 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.orderBy(F.col("rank").desc(), "node").limit(20).select(
+    named = ranks.selectExpr(
+        "CASE WHEN node % 2 = 0 THEN 'c' || CAST(node DIV 2 AS STRING)"
+        " ELSE 's' || CAST(node DIV 2 AS STRING) END AS node",
+        "rank",
+    )
+    return named.orderBy(F.col("rank").desc(), "node").limit(20).select(
         "node", F.col("rank").alias("rank_scaled")
     )
 

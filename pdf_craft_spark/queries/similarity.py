@@ -1013,7 +1013,7 @@ def kmeans_int_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     dim = max(p for _, p in cents) + 1
     assign = None
-    for _ in range(KMEANS_ROUNDS):
+    for t in range(KMEANS_ROUNDS):
         rows = [
             (p, *[cents[(j, p)] for j in range(K)]) for p in range(dim)
         ]
@@ -1027,7 +1027,15 @@ def kmeans_int_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # when-chain order = tie-break to the smallest cluster id
         assign = dists.select(
             "vec_id", cluster.cast("int").alias("cluster"), mind.alias("dist")
-        ).localCheckpoint(eager=True)
+        )
+        if t == KMEANS_ROUNDS - 1:
+            # the last round's centroid update is dead state (nothing
+            # reads it) — skip it; only the final assignment is output
+            break
+        # non-final rounds need only the centroid update: compute the
+        # assignment INLINE in the update job (single consumer, so a
+        # materialization barrier here just adds a write+read of state
+        # the next line immediately folds into 512 collected rows)
         upd = (
             q.join(assign.select("vec_id", "cluster"), "vec_id")
             .groupBy("cluster", "pos")
@@ -1038,6 +1046,8 @@ def kmeans_int_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in upd:
             new_cents[(int(r["cluster"]), int(r["pos"]))] = int(r["qv"])
         cents = new_cents
+    # no checkpoint on the final assignment either: the output rollup is
+    # its single consumer, so the whole last round is ONE job
     return (
         assign.groupBy("cluster")
         .agg(
@@ -1293,6 +1303,43 @@ def _pq_cent_array(book: list[tuple[int, list[float]]]) -> str:
     return f"array({items})"
 
 
+def _pq_code_exprs(books) -> list[str]:
+    """The 8-byte code per vector — one array_min over the 16-struct
+    codebook per subspace; min over (d, c) structs is nearest centroid
+    with ties -> lowest code, matching the oracle's ORDER BY.  Requires
+    embedding + norm2 in scope."""
+    exprs = []
+    for m, book in enumerate(books):
+        off = m * PQ_SUB
+        exprs.append(
+            f"array_min(transform({_pq_cent_array(book)}, s -> named_struct("
+            f"'d', aggregate(zip_with(slice(embedding, {off + 1}, {PQ_SUB}), s.v, "
+            "(x, y) -> (CAST(x AS DOUBLE) / sqrt(norm2) - y)"
+            " * (CAST(x AS DOUBLE) / sqrt(norm2) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'c', s.c)))['c']"
+            f" AS c{m}"
+        )
+    return exprs
+
+
+def pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session artifact: the written PQ code table (vec_id, c0..c7) —
+    the interpreted subspace encode is identical in pq_topk and
+    ivfpq_topk, so it runs once per session instead of once per query."""
+    from pdf_craft_spark.queries.dedup import session_artifact
+
+    def build() -> DataFrame:
+        books = pq_fit(sf_dir)
+        base = _emb(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
+        )
+        return base.selectExpr("vec_id", *_pq_code_exprs(books))
+
+    return session_artifact(spark, f"pq_codes:{sf_dir}", build)
+
+
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     books = pq_fit(sf_dir)
@@ -1301,21 +1348,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.expr(_DOT.format(a="embedding", b="embedding")).alias("norm2"),
     )
-    # the 8-byte code table — the written PQ index (one array_min over the
-    # 16-struct codebook per subspace; min over (d, c) structs is nearest
-    # centroid with ties -> lowest code, matching the oracle's ORDER BY)
-    code_exprs = []
-    for m, book in enumerate(books):
-        off = m * PQ_SUB
-        code_exprs.append(
-            f"array_min(transform({_pq_cent_array(book)}, s -> named_struct("
-            f"'d', aggregate(zip_with(slice(embedding, {off + 1}, {PQ_SUB}), s.v, "
-            "(x, y) -> (CAST(x AS DOUBLE) / sqrt(norm2) - y)"
-            " * (CAST(x AS DOUBLE) / sqrt(norm2) - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'c', s.c)))['c']"
-            f" AS c{m}"
-        )
-    codes = base.selectExpr("vec_id", *code_exprs).localCheckpoint(eager=True)
+    codes = pq_codes_cached(spark, sf_dir)
     # per-query ADC lookup tables: 8 arrays of 16 partial dots, ordered by
     # code (transform preserves codebook order), element_at(lut, c+1) is
     # the table lookup
@@ -1493,24 +1526,13 @@ IVFPQ_SHORTLIST = 150
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _n, nprobe, cents = ivf_fit(sf_dir)
     books = pq_fit(sf_dir)
-    code_exprs = []
-    for m, book in enumerate(books):
-        off = m * PQ_SUB
-        code_exprs.append(
-            f"array_min(transform({_pq_cent_array(book)}, s -> named_struct("
-            f"'d', aggregate(zip_with(slice(embedding, {off + 1}, {PQ_SUB}), s.v, "
-            "(x, y) -> (CAST(x AS DOUBLE) / sqrt(norm2) - y)"
-            " * (CAST(x AS DOUBLE) / sqrt(norm2) - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 'c', s.c)))['c']"
-        )
-    # the shared assignment artifact carries embedding/norm2/dsorted;
-    # the written IVF-PQ index adds the 8-byte code per vector
+    # the written IVF-PQ index = coarse list id (from the shared IVF
+    # assignment artifact) + the 8-byte code (from the shared PQ code
+    # artifact) — a trivial equi-join of two materialized tables
     base = ivf_assign_cached(spark, sf_dir)
     index = base.select(
-        "vec_id",
-        F.element_at("dsorted", 1)["c"].alias("cid"),
-        *[F.expr(e).alias(f"c{m}") for m, e in enumerate(code_exprs)],
-    ).localCheckpoint(eager=True)
+        "vec_id", F.element_at("dsorted", 1)["c"].alias("cid")
+    ).join(pq_codes_cached(spark, sf_dir), "vec_id")
     lut_exprs = []
     for m, book in enumerate(books):
         off = m * PQ_SUB
