@@ -324,13 +324,6 @@ ORDER BY doc_a, doc_b
 # per shingle row once, and the min-agg's partial (map-side) combine
 # reduces the shuffle to 16 short strings per document — the shuffle was
 # never the cost.  Keep the explode + groupBy-min shape.
-def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """(doc_id, s0..s15) MinHash signature table for a (doc_id, text)
-    frame — the persisted sketch both the band index and the
-    estimate-vs-exact calibration read."""
-    return _sigs_from_shingles(_shingle_rows(docs))
-
-
 def _sigs_from_shingles(sh: DataFrame) -> DataFrame:
     """Signature table from an already-built (doc_id, sh) shingle frame,
     so consumers holding the materialized shingle artifact skip the
@@ -355,15 +348,6 @@ def _sigs_from_shingles(sh: DataFrame) -> DataFrame:
     return keys.groupBy("doc_id").agg(
         *[F.min(f"k{j}").alias(f"s{j}") for j in range(N_HASHES)]
     )
-
-
-def _minhash_band_index(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_key) LSH band index for a (doc_id, text)
-    frame — the persisted-index artifact that both the batch self-join
-    (dedup_minhash_lsh) and the continuous-ingest check
-    (dedup_incremental) build on."""
-    sig = _minhash_sigs(docs)
-    return _bands_from_sig(sig)
 
 
 def _bands_from_sig(sig: DataFrame) -> DataFrame:
